@@ -1,0 +1,70 @@
+"""Engine-portable expressions — identical results in Spark and DuckDB.
+
+Two problem classes the oracle harness must survive (SURVEY.md §7.3(2)):
+
+1. **Float summation order.** ``SUM(double)`` is order-dependent; Spark's
+   partial/final aggregation and DuckDB's single-threaded scan would drift in
+   the last bits. Fix: cast to exact DECIMAL before aggregating, cast the
+   exact result back to DOUBLE at the end. Both engines then produce the
+   bit-identical IEEE value. (Testdata doubles carry <=2 decimal digits, so
+   DECIMAL(12,2) casts are exact and unambiguous.)
+
+2. **Engine-specific hash functions.** Spark's xxhash64/hash and DuckDB's
+   hash() are different algorithms, so any operator whose OUTPUT includes
+   hash values (minhash signatures, simhash, fingerprints) must use a hash
+   both engines compute identically: md5 (both expose it as a hex string),
+   folded to a signed 64-bit int via the first 16 hex digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+
+def dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Exact-decimal view of a (<=scale-digit) double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DecimalType(precision, scale))
+
+
+def dsum(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Order-independent sum of a double column: exact decimal sum -> double."""
+    return F.sum(dec(col, precision, scale)).cast("double")
+
+
+def davg(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Order-independent mean: exact decimal sum -> double, / count.
+    One IEEE division on deterministic operands — bit-stable anywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, precision, scale)).cast("double") / F.count(c).cast("double")
+
+
+# SQL fragments for the DuckDB side of the same contracts ------------------
+
+def dsum_sql(col: str, precision: int = 12, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def davg_sql(col: str, precision: int = 12, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({col} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+        f" / CAST(COUNT({col}) AS DOUBLE)"
+    )
+
+
+def portable_hash64(col: Column, seed: int = 0) -> Column:
+    """Deterministic signed-64-bit hash identical in Spark and DuckDB.
+
+    md5 hex -> first 15 hex digits -> int. 15 digits (60 bits) keeps the
+    value inside int64 without sign finagling in either engine. ``seed``
+    varies the hash family (for minhash signatures) by prefixing the input.
+    """
+    payload = F.concat(F.lit(f"s{seed}|"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB rendering of :func:`portable_hash64` (same bits)."""
+    return f"CAST(('0x' || substring(md5('s{seed}|' || {expr}), 1, 15)) AS BIGINT)"

@@ -1,0 +1,109 @@
+"""The reference's one query — distributed word count, top-K — with its exact
+semantics, as pure DataFrame expressions (no UDFs: tokenize/filter/count all
+stay JVM-side inside whole-stage codegen).
+
+Reference semantics reproduced here (SURVEY.md §1.3, citing /root/reference):
+
+1. Tokenizer: ``line.split("[!.:;_,'@?()/° \\n\\t]+")``
+   (WorkerSender.java:216). Note ``-``, ``"`` and digits are NOT delimiters.
+2. Case-sensitive counting: the original token is counted; lowercasing
+   happens only inside the partition hash (WorkerSender.java:135,218,230) —
+   a physical placement detail Spark's own hash partitioning replaces.
+3. Encode-drop filter: a token is shuffled only if ``encode()`` is non-empty
+   (WorkerSender.java:138-145,221). ``encode()`` keeps characters whose
+   lowercase codepoint is in ``[`, z]`` (0x60..0x7A), so digit-only or
+   non-ASCII-only tokens ("123", "à") are silently dropped; mixed tokens
+   ("été" → "t") survive.
+4. Sort: count DESC, then word ASC (ValueThenKeyComparator.java:7-14).
+5. Top-K: K=20 per worker (WorkerSender.java:26), K=7 sequential oracle
+   (WordCounter.java:54), K=50 intended global (SimpleClient.java:46). The
+   working reference never merges globally (dead code,
+   SimpleClient.java:286-399); we implement the intended GLOBAL top-K.
+
+Scale note: Spark turns this plan into scan → whole-stage-codegen'd
+explode+filter → partial hash-agg (map-side combine, which the reference
+lacks — its worst inefficiency: one TCP write per token occurrence,
+WorkerSender.java:230) → shuffle on word → final hash-agg →
+TakeOrderedAndProject (distributed top-K, O(n log k), not the reference's
+full sort). Every stage is the plan you'd want at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# WorkerSender.java:216 — the canonical (distributed-path) delimiter class.
+TOKEN_DELIMITERS = "[!.:;_,'@?()/° \n\t]+"
+# WordCounter.java:28 — the sequential oracle's divergent class (no °, no
+# tab, no '+' so delimiter runs yield empty tokens). Kept for completeness.
+ORACLE_DELIMITERS = "[!.:;_,'@?()/ ]"
+
+# encode() keep-class (WorkerSender.java:138-145): chars whose lowercase
+# codepoint c satisfies 0 <= (c+1-'a') <= 26, i.e. '`' (0x60) .. 'z' (0x7A).
+_ENCODE_DROP_RE = "[^`-z]"
+
+
+def tokenize(line: Column, delimiters: str = TOKEN_DELIMITERS) -> Column:
+    """line -> array<string> of tokens (reference O5, a flatMap)."""
+    return F.split(line, delimiters)
+
+
+def encode_keeps(token: Column) -> Column:
+    """The characters of ``token`` that survive encode() (lowercased)."""
+    return F.regexp_replace(F.lower(token), _ENCODE_DROP_RE, "")
+
+
+def keep_token(token: Column) -> Column:
+    """Reference O7: token is counted iff encode(token) != "" (drops empty
+    strings, digit-only and non-ASCII-only tokens)."""
+    return F.length(encode_keeps(token)) > 0
+
+
+def word_count(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """lines -> (word, cnt), reference semantics. Columns: word, cnt."""
+    return (
+        lines.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .where(keep_token(F.col("word")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def word_count_topk(lines: DataFrame, k: int = 20, text_col: str = "value") -> DataFrame:
+    """Global top-K by (cnt DESC, word ASC) — the intended global result of
+    the reference pipeline (O1-O13 + the dead O14 merge)."""
+    return word_count(lines, text_col).orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python oracle (property-test target; mirrors the Java line-by-line
+# semantics independently of both Spark and DuckDB).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_PY_SPLIT = _re.compile(r"[!.:;_,'@?()/° \n\t]+")
+
+
+def py_encode(word: str) -> str:
+    """Direct port of encode() (WorkerSender.java:129-148): lowercase, keep
+    chars with (ord(c)+1-ord('a')) in [0,26], emit 2-digit codes."""
+    out = []
+    for ch in word.lower():
+        v = ord(ch) + 1 - ord("a")
+        if 0 <= v <= 26:
+            out.append(f"{v:02d}")
+    return "".join(out)
+
+
+def py_word_count(lines: list[str], k: int | None = None) -> list[tuple[str, int]]:
+    counts: Counter[str] = Counter()
+    for line in lines:
+        for tok in _PY_SPLIT.split(line):
+            if py_encode(tok):
+                counts[tok] += 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ordered[:k] if k is not None else ordered

@@ -1,0 +1,61 @@
+"""Reference-parity queries: the reference's own word-count pipeline run over
+the `documents` table (its text corpus generalized), with the exact §1.3
+semantics. This is the flagship — it exercises every reference operator
+O1-O13 (scan → tokenize/flatMap → filter → shuffle → hash-agg → sort →
+limit → sink) in one declarative plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.parity.wordcount import word_count, word_count_topk
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+# The same tokenizer / keep-filter, rendered for DuckDB (RE2). Doubled
+# single-quote escapes the apostrophe inside the SQL literal; \n and \t are
+# real characters in the regex class, passed via escape sequences RE2 accepts.
+_SQL_TOKENS = r"""
+    SELECT unnest(regexp_split_to_array(text, '[!.:;_,''@?()/° \n\t]+')) AS word
+    FROM documents
+"""
+_SQL_KEEP = r"length(regexp_replace(lower(word), '[^`-z]', '', 'g')) > 0"
+
+
+@register(
+    "wordcount_topk",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    kept AS (SELECT word FROM toks WHERE {_SQL_KEEP})
+    SELECT word, count(*) AS cnt
+    FROM kept
+    GROUP BY word
+    ORDER BY cnt DESC, word ASC
+    LIMIT 20
+    """,
+    doc="Reference O1-O13: word count, global top-20 by (cnt DESC, word ASC). "
+    "Semantics per WorkerSender.java:216,221,129-148; ValueThenKeyComparator.java:7-14; "
+    "K=20 per WorkerSender.java:26.",
+    tags=("parity",),
+)
+def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return word_count_topk(docs.select(F.col("text").alias("value")), k=20)
+
+
+@register(
+    "wordcount_full",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    kept AS (SELECT word FROM toks WHERE {_SQL_KEEP})
+    SELECT word, count(*) AS cnt FROM kept GROUP BY word
+    """,
+    doc="Reference O5-O9 without the top-K: the full (word, cnt) aggregate — "
+    "order-insensitive compare exercises the shuffle+hash-agg path alone.",
+    tags=("parity",),
+)
+def q_wordcount_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return word_count(docs.select(F.col("text").alias("value")))

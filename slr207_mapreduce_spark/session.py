@@ -1,0 +1,81 @@
+"""SparkSession factory with 100 TB-minded defaults.
+
+The reference hand-rolls its runtime (SSH deploy, NIO sockets, sleeps —
+/root/reference/deploy.sh:21-34, ListenerReducer.java:183-338). Spark
+replaces all of that; what remains for us is config hygiene: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), sensible shuffle
+parallelism, Arrow for any pandas exchange, and a fixed UTC session timezone
+so timestamp semantics are reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for correctness-at-scale, not just local runs:
+#  - AQE re-plans at shuffle boundaries (coalesces small partitions, splits
+#    skewed ones, demotes sort-merge to broadcast when a side turns out small).
+#  - advisoryPartitionSizeInBytes keeps post-shuffle partitions ~64 MB so a
+#    1000-executor cluster neither starves (too few splits) nor drowns in
+#    scheduling overhead (too many).
+#  - Arrow on: every pandas_udf / toPandas crossing is columnar-batched.
+SCALE_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # columnar shuffle/storage stay default; whole-stage codegen is on by default
+}
+
+
+def get_session(
+    app_name: str = "slr207-mapreduce-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[N]`` where N comes from
+    ``$SPARK_GRAFT_CPUS`` (driver convention) or all cores. On a real
+    cluster, pass ``master=None`` with a pre-set master URL via
+    spark-submit — the defaults here are orthogonal to deployment.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    conf = dict(SCALE_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def harden_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of our defaults to an externally
+    created session (e.g. the driver's). Static configs (shuffle service,
+    memory) can't change post-start and are left alone."""
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.shuffle.partitions",
+    ):
+        try:
+            spark.conf.set(key, SCALE_DEFAULTS[key])
+        except Exception:
+            pass  # read-only in this deployment; keep going
+    return spark

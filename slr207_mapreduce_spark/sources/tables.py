@@ -1,0 +1,89 @@
+"""Canonical table loaders.
+
+Scan operators (reference O1-O4, SURVEY.md §2): the reference splits a text
+file into 1 KB line-aligned chunks and round-robins them to workers
+(/root/reference/SimpleClient.java:100-149,249-270). Spark's
+FileSourceScanExec does the same split planning automatically
+(spark.sql.files.maxPartitionBytes), with locality, column pruning and
+predicate pushdown on top — so "load a table" is one declarative call and
+the physical scan strategy is Catalyst's business.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated star schema + pipeline tables (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    # Timestamps in the testdata are timezone-naive parquet values; pin the
+    # session to UTC so Spark and the DuckDB oracle agree bit-for-bit on
+    # every timestamp comparison and truncation.
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one canonical table as a DataFrame (parquet scan, pushdown-ready)."""
+    _pin_utc(spark)
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load several tables; also registers each as a temp view so the same
+    query set can be expressed via ``spark.sql``."""
+    out = {}
+    for name in names:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan — reference O1 (SimpleClient.java:116-143):
+    one row per line, column ``value: string``. Input splitting (reference
+    O2/O3) is automatic via maxPartitionBytes."""
+    _pin_utc(spark)
+    return spark.read.text(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    _pin_utc(spark)
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    _pin_utc(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
