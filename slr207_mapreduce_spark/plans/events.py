@@ -1,1 +1,214 @@
-"""Placeholder — filled in as operators land."""
+"""Event-stream analytics in batch form (SURVEY.md §2.1 "Streaming" row's
+batch-replay oracles; the live Structured Streaming counterparts are in
+slr207_mapreduce_spark/streaming/ with rows-only checks).
+
+Time-bucketed aggregation is MapReduce with a time-derived key (reference
+O9 with key = window start). The batch versions here are the oracle targets
+the streaming tests replay against (DuckDB has no streaming — SURVEY.md
+§7.3(1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.functions.portable import davg_sql, dec, dsum_sql
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT
+      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      {dsum_sql('value')} AS sum_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling 1-hour window aggregation (batch form of the streaming "
+    "window(); window key = date_trunc of event time).",
+    tags=("events", "window_agg"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH slides AS (
+      SELECT e.*, s.offset_min
+      FROM events e
+      CROSS JOIN (VALUES (0), (30)) AS s(offset_min)
+    )
+    SELECT
+      CAST(date_trunc('hour', ts - to_minutes(offset_min)) + to_minutes(offset_min) AS TIMESTAMP) AS window_start,
+      COUNT(*) AS n_events,
+      {dsum_sql('value')} AS sum_value
+    FROM slides
+    GROUP BY 1
+    """,
+    doc="Sliding window (1 h window, 30 min slide): each event maps to 2 "
+    "windows — the explode-to-windows construction Structured Streaming "
+    "uses internally.",
+    tags=("events", "window_agg"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # window(ts, '1 hour', '30 minutes') assigns each row to the 2 windows
+    # containing it; emit window.start to match the oracle's arithmetic.
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                    ts) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization with a 30-min inactivity gap via lag + running sum "
+    "(batch form of session_window(); same session boundaries).",
+    tags=("events", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    # unix_seconds truncates to the second — matches DuckDB date_diff('second')
+    # which counts second-boundary crossings, not exact elapsed time.
+    gap_s = F.unix_seconds(F.col("ts")) - F.unix_seconds(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum(is_new).over(wsum).cast("long").alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "events_dedup_latest",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Keep-latest dedup per (user, event_type) — batch form of streaming "
+    "dropDuplicates with keep-last semantics (row_number over event time).",
+    tags=("events", "dedup"),
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed_after_signup,
+      CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+    doc="Ordered funnel (signup → view → purchase) via conditional min — "
+    "one shuffle on user_id, no self-joins.",
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        t("signup").alias("t_signup"),
+        t("view").alias("t_view"),
+        t("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    viewed = signed & (F.col("t_view") > F.col("t_signup"))
+    full = viewed & (F.col("t_purchase") > F.col("t_view"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_int(signed).alias("n_signed_up"),
+        as_int(viewed).alias("n_viewed_after_signup"),
+        as_int(full).alias("n_full_funnel"),
+    )

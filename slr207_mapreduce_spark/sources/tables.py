@@ -44,10 +44,27 @@ def _pin_utc(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Read one canonical table as a DataFrame (parquet scan, pushdown-ready)."""
+    """Read one canonical table as a DataFrame (parquet scan, pushdown-ready).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects; read nanos as long (legacy conf) and truncate to
+    microseconds with integer division (ns values ~1.7e18 exceed double's
+    exact range — float division would corrupt the low digits). The DuckDB
+    oracle casts TIMESTAMP_NS → TIMESTAMP (µs) which truncates identically.
+    """
     _pin_utc(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

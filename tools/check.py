@@ -50,12 +50,18 @@ def _norm_cell(v):
     import datetime
     import decimal
 
+    import numpy as np
+
     if isinstance(v, decimal.Decimal):
         return float(v)
     if isinstance(v, (datetime.datetime, datetime.date, pd.Timestamp)):
         return str(pd.Timestamp(v).floor("us"))
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        return v.item()
     return v
 
 
