@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract): runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is materialized through the `noop` sink — full computation, no
+driver-side collection cost, no column-pruning shortcut a count() would take.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: one per operator family, weighted toward the shapes
+# that dominate real pipelines (scan+agg, join+agg+topk, window, dedup, knn).
+BENCH_QUERIES = [
+    "wordcount_topk",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "agg_count_distinct",
+    "window_rank_topn_per_group",
+    "events_sessionization",
+    "dedup_minhash_lsh",
+    "text_term_stats",
+    "knn_bruteforce",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.session import get_session
+
+    spark = get_session(app_name="slr207-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footers so query 1 isn't charged for session
+    # startup (the driver measures engine throughput, not cold start).
+    specs["q6_forecast_revenue"].build(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        specs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline-query wall time, local[%s], sf=%s" % (cpus, sf),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,303 @@
+"""Deduplication operators — the LLM-data-pipeline extension family
+(BASELINE.json north_star; SURVEY.md §2.1 last row).
+
+MapReduce lineage: every variant is a multi-round MapReduce over the
+reference's primitives — shingle/tokenize (map, O5), signature computation
+(reduce per doc, O9), band-bucket redistribution (shuffle, O8), candidate
+verification (reduce per bucket, O9). Here each round is a DataFrame op;
+Spark fuses and pipelines them.
+
+Scale design (100 TB):
+- Exact dedup: hash-groupBy on content fingerprint — one shuffle of
+  (hash, id), never the payload.
+- MinHash+LSH: per-doc signatures are a groupBy (one shuffle of distinct
+  doc-shingle pairs); candidate generation joins on (band, band_key) so
+  only docs sharing a bucket meet — never the O(n²) cross join.
+- SimHash: 16-bit signature per doc via bit-vote aggregation; near-dup =
+  hamming ≤ k within signature buckets.
+- All hashes are md5-based (functions/portable.py) so the DuckDB oracle
+  reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.functions.portable import portable_hash64, portable_hash64_sql
+
+# --------------------------------------------------------------------------
+# Shingling (word n-grams)
+# --------------------------------------------------------------------------
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Array of word n-gram shingles of a whitespace-tokenized text column.
+    Empty array when the doc has fewer than n tokens (Spark's sequence()
+    would otherwise run descending and fabricate shingles)."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) END"
+    )
+
+
+def shingles_sql(text_col: str = "text", n: int = 3) -> str:
+    """DuckDB rendering of :func:`shingles` (1-based list_slice, same n)."""
+    toks = f"string_split({text_col}, ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index input."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles("text", n)).alias("sh"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    doc_sh: DataFrame, num_hashes: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc MinHash signature: h{s} = min over shingles of hash_s(shingle).
+    One aggregation — num_hashes mins computed in the same reduce pass."""
+    aggs = [
+        F.min(portable_hash64(F.col("sh"), seed=s)).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return doc_sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, num_hashes: int = 6, band_size: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode signatures into (doc, band, band_key) rows; docs sharing a
+    band_key in any band are LSH candidates."""
+    num_bands = num_hashes // band_size
+    parts = []
+    for b in range(num_bands):
+        cols = [f"h{b * band_size + j}" for j in range(band_size)]
+        key = F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+        parts.append(
+            sigs.select(
+                F.col(id_col), F.lit(b).cast("int").alias("band"), key.alias("bkey")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH with estimated Jaccard.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. est_jaccard =
+    fraction of agreeing minhashes — the unbiased Jaccard estimator.
+    """
+    sigs = minhash_signatures(doc_shingles(docs, id_col, shingle_n), num_hashes, id_col)
+    bands = lsh_bands(sigs, num_hashes, band_size, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    ma = sigs.alias("ma")
+    mb = sigs.alias("mb")
+    agree = sum(
+        F.when(F.col(f"ma.h{s}") == F.col(f"mb.h{s}"), 1).otherwise(0)
+        for s in range(num_hashes)
+    )
+    return (
+        cand.join(ma, F.col("doc_a") == F.col(f"ma.{id_col}"))
+        .join(mb, F.col("doc_b") == F.col(f"mb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_lsh_sql(
+    num_hashes: int = 6, band_size: int = 2, shingle_n: int = 3
+) -> str:
+    """DuckDB oracle reproducing :func:`minhash_lsh_candidates` bit-for-bit."""
+    num_bands = num_hashes // band_size
+    mins = ",\n             ".join(
+        f"MIN({portable_hash64_sql('s', seed=s)}) AS h{s}" for s in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(num_bands):
+        cols = [f"h{b * band_size + j}" for j in range(band_size)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bkey FROM mh"
+        )
+    bands = "\n      UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN ma.h{s} = mb.h{s} THEN 1 ELSE 0 END" for s in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('text', shingle_n)}) AS s
+      FROM documents
+    ),
+    mh AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({agree} AS DOUBLE) / {float(num_hashes)} AS est_jaccard
+    FROM cand
+    JOIN mh ma ON ma.doc_id = doc_a
+    JOIN mh mb ON mb.doc_id = doc_b
+    """
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification path / small-scale exact near-dup)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, shingle_n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard over shingle sets via the inverted-index self-join
+    (shuffle on shingle — only docs sharing a shingle ever meet)."""
+    sh = doc_shingles(docs, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('text', shingle_n)}) AS s
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over distinct whitespace tokens: bit i of the
+    signature is the sign of the per-bit vote sum across token hashes."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .distinct()
+        .withColumn("h", portable_hash64(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {portable_hash64_sql('tok')} AS h
+      FROM toks WHERE length(tok) > 0
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """

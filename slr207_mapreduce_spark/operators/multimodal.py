@@ -1,0 +1,129 @@
+"""Multimodal column operators (BASELINE.json north_star).
+
+Contract: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over ``mapInPandas`` —
+the only Spark-idiomatic shape for per-blob Python work (vectorized batch
+transfer, no per-row pickling, partition-parallel).
+
+The actual codec step is STUBBED: this container has no image/audio
+libraries, so ``decode_image``/``decode_audio`` raise NotImplementedError
+unless PIL/soundfile are importable, and the tested path uses
+``fake_decode_features`` — a deterministic md5-derived feature extractor
+with the exact same Spark-side plumbing (schema, batching, partitioning).
+Swapping in a real codec changes only the inner python function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata carried next to every blob (never inside it).
+BLOB_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image/png, audio/wav, ...
+        StructField("source_uri", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),  # md5 of payload
+        StructField("fake_width", IntegerType()),  # stub features
+        StructField("fake_height", IntegerType()),
+    ]
+)
+
+
+def with_blob_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo blob table: UTF-8 payload bytes + metadata struct. In production
+    this is the parquet/iceberg table of raw media bytes."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload").cast(BinaryType()),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("source_uri"),
+            F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(payload: bytes):
+    """Real image decode — requires PIL, absent in this container."""
+    if not _have_pil():
+        raise NotImplementedError(
+            "image decode needs PIL; this environment stubs it — use "
+            "fake_decode_features for the plumbing-equivalent path"
+        )
+    from io import BytesIO
+
+    from PIL import Image
+
+    return Image.open(BytesIO(payload))
+
+
+def fake_decode_features(blobs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in decoder: md5-derived pseudo width/height.
+    Exactly the batch shape a real decoder uses (iterator of Arrow-backed
+    pandas frames in, frames out — constant memory per batch)."""
+    for pdf in blobs:
+        payloads = pdf["payload"]
+        digests = [hashlib.md5(bytes(p)).hexdigest() for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(bytes(p)) for p in payloads],
+                "digest": digests,
+                "fake_width": [int(d[:4], 16) % 1920 + 1 for d in digests],
+                "fake_height": [int(d[4:8], 16) % 1080 + 1 for d in digests],
+            }
+        )
+
+
+def extract_features(blob_df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the blob table."""
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        fake_decode_features, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_stub(blob_df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame index.
+    The decode itself is stubbed (frame count derived from payload length —
+    deterministic); schema/explode shape is the real one."""
+    n_frames = (F.length("payload") / F.lit(64)).cast("int") + 1
+    return (
+        blob_df.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias(
+                "frame_idx"
+            ),
+        )
+        .withColumn("frame_uri", F.concat(F.lit("frame://"), "doc_id", F.lit("#"), "frame_idx"))
+    )

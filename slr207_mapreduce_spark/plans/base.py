@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_analysis,
         dedup_queries,
         similarity_queries,
+        multimodal_queries,
     )
 
     return dict(REGISTRY)

@@ -1,1 +1,132 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication queries over the documents table (north-star family;
+operators in slr207_mapreduce_spark/operators/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_lsh_sql,
+    minhash_signatures,
+    doc_shingles,
+    ngram_jaccard_pairs,
+    ngram_jaccard_sql,
+    simhash,
+    simhash_sql,
+)
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content fingerprint; canonical row = "
+    "min doc_id. Only (hash, id) shuffles — never the payload.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=ngram_jaccard_sql(threshold=0.5, shingle_n=3),
+    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the "
+    "inverted-index self-join — docs meet only when they share a shingle.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(d, threshold=0.5, shingle_n=3)
+
+
+from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
+from slr207_mapreduce_spark.operators.dedup import shingles_sql
+
+_MINHASH_SIG_SQL = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('text', 3)}) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(f"MIN({portable_hash64_sql('s', seed=s)}) AS h{s}" for s in range(6))}
+    FROM sh GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=_MINHASH_SIG_SQL,
+    doc="Per-doc 6-hash MinHash signature over 3-gram shingles (md5-portable "
+    "hash family — bit-identical in the oracle).",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return minhash_signatures(doc_shingles(d, "doc_id", 3), num_hashes=6)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=minhash_lsh_sql(num_hashes=6, band_size=2, shingle_n=3),
+    doc="MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join, "
+    "est_jaccard = agreeing-hash fraction. The 100 TB dedup path: candidate "
+    "generation is an equi-join on (band, band_key), never all-pairs.",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_candidates(d, num_hashes=6, band_size=2, shingle_n=3)
+
+
+@register(
+    "dedup_simhash",
+    oracle=simhash_sql(bits=16),
+    doc="16-bit SimHash per doc (bit-vote over md5-portable token hashes).",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return simhash(d, bits=16)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sigs AS ({simhash_sql(bits=16)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    doc="SimHash near-dup pairs at hamming distance ≤ 2 over the 16-bit "
+    "signatures (the candidate filter a banded simhash index would produce).",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    s = simhash(d, bits=16)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 2)
+    )

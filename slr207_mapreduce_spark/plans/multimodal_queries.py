@@ -1,0 +1,64 @@
+"""Multimodal-column queries (north-star family; operators in
+slr207_mapreduce_spark/operators/multimodal.py).
+
+The feature extraction runs through the REAL scale plumbing — binary
+column + mapInPandas with Arrow batches — while the codec inside is a
+deterministic md5-derived stub (no media libs in this container), which
+makes the whole path oracle-checkable: DuckDB recomputes the same md5
+arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    with_blob_column,
+)
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS INTEGER) AS fake_width,
+           CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+    doc="Blob feature extraction: binary payload column + typed metadata, "
+    "decoded via Arrow-batched mapInPandas (the Python-codec surface). "
+    "Codec is a deterministic md5 stub → the oracle reproduces it in SQL; "
+    "swapping in PIL changes only the inner function.",
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return extract_features(with_blob_column(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(length(text) // 64 AS INTEGER) + 1, 10)) AS BIGINT) AS frame_idx,
+           'frame://' || CAST(doc_id AS VARCHAR) || '#' ||
+             CAST(unnest(range(0, CAST(length(text) // 64 AS INTEGER) + 1, 10)) AS VARCHAR) AS frame_uri
+    FROM documents
+    """,
+    doc="Video frame-sampling plumbing: every-Nth-frame explode per blob "
+    "(stub frame count ∝ payload bytes); the schema/explode shape a real "
+    "ffmpeg-backed sampler uses.",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return frame_sample_stub(with_blob_column(d), every_n=10).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_uri"
+    )

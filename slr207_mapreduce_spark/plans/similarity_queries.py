@@ -1,1 +1,101 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search queries over the embeddings table (north-star family;
+operators in slr207_mapreduce_spark/operators/similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_neardup_sql,
+    knn_bruteforce,
+    knn_bruteforce_sql,
+    knn_lsh_bucketed,
+    knn_lsh_bucketed_sql,
+)
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+_N_QUERIES = 10  # query set: vec_id < 10 (broadcast side)
+
+
+@register(
+    "knn_bruteforce",
+    oracle=knn_bruteforce_sql(k=5, query_pred=f"{{col}} < {_N_QUERIES}"),
+    doc="Exact brute-force cosine top-5 for 10 query vectors: broadcast "
+    "queries, one corpus scan, per-query top-k reduce. O(Q·N·d) — the ANN "
+    "verifier / small-Q baseline.",
+    tags=("similarity", "bench"),
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return knn_bruteforce(e, e.where(F.col("vec_id") < _N_QUERIES), k=5)
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle=knn_lsh_bucketed_sql(
+        k=5, bits=4, tables=8, query_pred=f"{{col}} < {_N_QUERIES}"
+    ),
+    doc="ANN top-5 via multi-table sign-bit LSH (8 tables × 4 bits, "
+    "OR-of-ANDs): candidates meet through an equi-join on (table, bucket) "
+    "— the scale path (shuffle ∝ bucket sizes, not N×Q). ~75% recall vs "
+    "brute force on this corpus, measured in tests/test_llm_ops.py.",
+    tags=("similarity",),
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return knn_lsh_bucketed(
+        e, e.where(F.col("vec_id") < _N_QUERIES), k=5, bits=4, tables=8
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=cosine_neardup_sql(threshold=0.2, bits=8),
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.2) restricted to shared "
+    "sign-bit buckets — the embedding-space analogue of MinHash LSH.",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return cosine_neardup_pairs(e, threshold=0.2, bits=8)
+
+
+@register(
+    "embedding_centroid_by_label",
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(CAST(floor(x * 1e12) AS BIGINT)) AS BIGINT) AS sum_component_e12,
+           COUNT(*) AS n_vectors
+    FROM comp GROUP BY label, dim
+    """,
+    doc="Per-label component sums (centroid numerators): posexplode over the "
+    "vector column, fixed-point 1e-12 quantization (IEEE multiply + floor "
+    "are bit-deterministic in every engine; float→DECIMAL casts are NOT — "
+    "Spark and DuckDB round the 12th digit differently), exact integer sum "
+    "— the aggregation shape of a k-means/IVF training step.",
+    tags=("similarity", "agg"),
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),  # 1-based like ORDINALITY
+        F.col("x").cast("double").alias("x"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.sum(F.floor(F.col("x") * F.lit(1e12)).cast("long"))
+        .cast("long")
+        .alias("sum_component_e12"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

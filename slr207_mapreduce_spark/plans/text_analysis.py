@@ -1,1 +1,191 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the documents table (north-star family;
+operators in slr207_mapreduce_spark/operators/text.py): language ID,
+quality scoring, token counting, fingerprinting, tf/df term stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.operators.text import (
+    BPE_ISH_REGEX,
+    LANGS,
+    lang_hit_count,
+    lang_hit_count_sql,
+    predicted_lang,
+    predicted_lang_sql,
+    rolling_fingerprint,
+    rolling_fingerprint_sql,
+    tokens_ws,
+)
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {", ".join(f"{lang_hit_count_sql('text', lg)} AS {lg}_hits" for lg in LANGS)},
+           {predicted_lang_sql({lg: lang_hit_count_sql('text', lg) for lg in LANGS})} AS predicted_lang
+    FROM documents
+    """,
+    doc="Stopword-hit language ID: per-language hit counts + deterministic "
+    "argmax (ties → lexicographically smallest code). Pure column "
+    "expressions — one scan, no shuffle.",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    hits = {lg: lang_hit_count("text", lg) for lg in LANGS}
+    cols = [F.col("doc_id"), F.col("lang")]
+    cols += [hits[lg].alias(f"{lg}_hits") for lg in LANGS]
+    cols.append(predicted_lang(hits).alias("predicted_lang"))
+    return d.select(*cols)
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_tokens,
+             length(regexp_replace(text, '[^!.,;:?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
+                 t -> list_contains(['the','and','of','to','in','a','is'], t))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars_actual AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars_actual AS DOUBLE) AS punct_ratio,
+           CAST(n_digits AS DOUBLE) / CAST(n_chars_actual AS DOUBLE) AS digit_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.01
+                THEN 'good' WHEN n_tokens >= 10 THEN 'fair' ELSE 'poor' END AS quality_band
+    FROM t
+    """,
+    doc="Heuristic quality scoring: length, punct/digit/stopword ratios and "
+    "a banded verdict — the pre-training corpus filter shape.",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    stop = F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in", "a", "is")])
+    t = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(tokens_ws("text")).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^!.,;:?]", "")).cast("long").alias("n_punct"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("n_digits"),
+        F.size(
+            F.filter(tokens_ws("text"), lambda tok: F.array_contains(stop, tok))
+        ).cast("long").alias("n_stop"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    stop_ratio = dbl("n_stop") / dbl("n_tokens")
+    return t.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        (dbl("n_chars_actual") / dbl("n_tokens")).alias("chars_per_token"),
+        (dbl("n_punct") / dbl("n_chars_actual")).alias("punct_ratio"),
+        (dbl("n_digits") / dbl("n_chars_actual")).alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when((F.col("n_tokens") >= 20) & (stop_ratio > 0.01), "good")
+        .when(F.col("n_tokens") >= 10, "fair")
+        .otherwise("poor")
+        .alias("quality_band"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace tokens and a BPE-ish "
+    "pre-tokenizer regex (word pieces | numbers | single symbols) — the "
+    "token-budget estimator for training-data pipelines.",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens_ws("text")).cast("long").alias("ws_tokens"),
+        # F.lit pattern, not an F.expr SQL string: the SQL parser would eat
+        # the backslash in \s and silently change the character class.
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_REGEX), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           {rolling_fingerprint_sql('text')} AS rolling_hash
+    FROM documents
+    """,
+    doc="Document fingerprinting: content md5 + order-sensitive polynomial "
+    "rolling hash over tokens (acc = (acc*131 + h) mod 2^31-1) — the "
+    "incremental-dedup key family.",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        rolling_fingerprint("text").alias("rolling_hash"),
+    )
+
+
+@register(
+    "text_term_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term)
+    SELECT term, CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(MAX(df.df) AS BIGINT) AS df,
+           CAST(MAX(tf) AS BIGINT) AS max_tf_in_doc
+    FROM tf JOIN df USING (term)
+    GROUP BY term
+    """,
+    doc="Corpus term statistics (tf / df / max-tf) — the integer core of "
+    "tf-idf, kept log-free so the oracle matches exactly; the idf weighting "
+    "itself is a trivial map over these outputs.",
+    tags=("text",),
+)
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
+        F.length("term") > 0
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        tf.join(df, "term")
+        .groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.max("df").cast("long").alias("df"),
+            F.max("tf").cast("long").alias("max_tf_in_doc"),
+        )
+    )

@@ -1,0 +1,179 @@
+"""Structured Streaming tests: micro-batch replay with manufactured late
+rows, diffed against the batch oracle (SURVEY.md §7.2 phase 5)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def batch_dir(spark):
+    """Events split into 3 parquet files (micro-batches) by time order, plus
+    a 4th file containing rows far OLDER than the watermark at that point
+    (manufactured late data)."""
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF_SMOKE).orderBy("ts").cache()
+    rows = ev.count()
+    third = rows // 3
+    ordered = ev.withColumn(
+        "rn", F.row_number().over(__import__("pyspark").sql.Window.orderBy("ts", "event_id"))
+    )
+    for i in range(3):
+        part = ordered.where(
+            (F.col("rn") > i * third) & (F.col("rn") <= (i + 1) * third if i < 2 else True)
+        ).drop("rn")
+        part.coalesce(1).write.parquet(os.path.join(d, f"batch_{i}"))
+        # flatten: move part file up with deterministic name ordering
+    # rewrite into flat files with lexicographic names so the file source
+    # discovers them in batch order
+    flat = tempfile.mkdtemp(prefix="stream_flat_")
+    idx = 0
+    for i in range(3):
+        bdir = os.path.join(d, f"batch_{i}")
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(bdir, f), os.path.join(flat, f"{i:02d}_{idx:02d}.parquet"))
+                idx += 1
+    yield flat
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(flat, ignore_errors=True)
+
+
+def test_tumbling_window_matches_batch_oracle(spark, batch_dir):
+    from slr207_mapreduce_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_window_counts,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    stream = read_events_stream(spark, batch_dir, max_files_per_trigger=1)
+    out = run_to_memory(
+        tumbling_window_counts(stream, "1 hour", "10 hours"), "t_tumbling", "append"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in out.collect()
+    }
+    ev = load_table(spark, "events", SF_SMOKE)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    # availableNow emits only windows closed by the final watermark; every
+    # emitted window must match the batch aggregate exactly, and most
+    # windows must have been emitted (10h watermark on ~30 days of data).
+    assert len(got) > 0.8 * len(want)
+    for k, v in got.items():
+        assert want[k] == v, f"window {k}: stream={v} batch={want[k]}"
+
+
+def test_late_rows_are_dropped(spark, batch_dir, tmp_path):
+    """Append a file of rows 10 days older than everything seen → with a
+    short watermark they fall into closed windows and are dropped."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_window_counts,
+    )
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    late = ev.orderBy("ts").limit(20).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 10 DAYS")
+    )
+    late.coalesce(1).write.parquet(str(tmp_path / "late"))
+    import shutil as sh, os as o
+
+    for f in sorted(o.listdir(tmp_path / "late")):
+        if f.endswith(".parquet"):
+            sh.copy(str(tmp_path / "late" / f), os.path.join(batch_dir, f"99_{f}"))
+    stream = read_events_stream(spark, batch_dir, max_files_per_trigger=1)
+    out = run_to_memory(
+        tumbling_window_counts(stream, "1 hour", "1 hour"), "t_late", "append"
+    )
+    starts = [r["window_start"] for r in out.collect()]
+    min_real_ts = ev.agg(F.min("ts")).collect()[0][0]
+    assert all(s >= min_real_ts.replace(minute=0, second=0, microsecond=0) for s in starts), (
+        "late (10-day-old) rows leaked into emitted windows"
+    )
+
+
+def test_streaming_dedup_drops_duplicate_ids(spark, tmp_path):
+    from slr207_mapreduce_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF_SMOKE).orderBy("ts").limit(100).cache()
+    d = str(tmp_path / "dup_src")
+    ev.coalesce(1).write.parquet(d)
+    # duplicate the same rows into a second file
+    import os as o, shutil as sh
+
+    files = [f for f in sorted(o.listdir(d)) if f.endswith(".parquet")]
+    sh.copy(os.path.join(d, files[0]), os.path.join(d, "zz_dup.parquet"))
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    out = run_to_memory(streaming_dedup(stream, ["event_id"], "10 hours"), "t_dedup")
+    n = out.count()
+    assert n == 100, f"expected 100 unique events, got {n}"
+
+
+def test_session_window_stream_runs(spark, batch_dir):
+    from slr207_mapreduce_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        session_windows,
+    )
+
+    stream = read_events_stream(spark, batch_dir, max_files_per_trigger=1)
+    out = run_to_memory(session_windows(stream, "30 minutes", "10 hours"), "t_sess")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream
+    from slr207_mapreduce_spark.streaming.stateful import running_user_totals
+
+    ev = load_table(spark, "events", SF_SMOKE).orderBy("ts").limit(200).cache()
+    d = str(tmp_path / "state_src")
+    ev.coalesce(1).write.parquet(d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream, "10 hours")
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table("t_state").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
