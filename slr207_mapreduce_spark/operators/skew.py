@@ -1,0 +1,64 @@
+"""Skew- and layout-control operators (SURVEY.md §4.2(3): 100 TB hygiene).
+
+The reference's partitioner is pathologically skewed — ``encode()``
+lowercases and common-prefix words collide onto one worker
+(/root/reference/WorkerSender.java:129-148,223-224) and nothing re-balances.
+Spark's first line of defense is AQE skew-join splitting (on by default in
+session.py); this module covers the cases AQE can't fix:
+
+- ``salted_join``: explicit key salting for a join whose LEFT side has a
+  hot key. The left side gets a random-ish (hash-derived, deterministic)
+  salt in [0, n); the right side is replicated n× with every salt value;
+  the join key becomes (key, salt) so one hot key spreads over n tasks.
+- ``repartition_by``: explicit pre-shuffle to co-locate several downstream
+  wide ops on one partitioning (pay one shuffle instead of three).
+- bucketed writes live in sources/sinks.py (bucketBy) — co-located joins
+  with zero runtime shuffle for repeated join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``key`` with the left side salted against skew.
+
+    The salt is derived from a per-row hash of the whole left row's key +
+    a uniform spreading column (monotonically varying xxhash64 over all
+    columns), NOT random(): deterministic → retryable tasks produce the
+    same result (lineage-safe, unlike rand()-based salting).
+    """
+    salt_l = (F.abs(F.xxhash64(*left.columns)) % num_salts).cast("int")
+    l = left.withColumn("__salt", salt_l)
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(num_salts)])),
+    )
+    out = l.join(r, on=[key, "__salt"], how=how).drop("__salt")
+    return out
+
+
+def repartition_by(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Explicit hash re-partitioning to co-locate downstream wide ops
+    (joins/aggs on the same key reuse the exchange instead of re-shuffling).
+    """
+    if n is not None:
+        return df.repartition(n, *[F.col(c) for c in cols])
+    return df.repartition(*[F.col(c) for c in cols])
+
+
+def explain_shuffles(df: DataFrame) -> int:
+    """Count Exchange nodes in the physical plan — the shuffle budget a
+    reviewer should check before running anything at scale."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    return plan.count("Exchange")

@@ -78,6 +78,32 @@ def word_count_topk(lines: DataFrame, k: int = 20, text_col: str = "value") -> D
     return word_count(lines, text_col).orderBy(F.desc("cnt"), F.asc("word")).limit(k)
 
 
+def word_count_sequential_oracle(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """The reference's OTHER tokenizer — WordCounter.java:28 (sequential
+    oracle path): split on the single-char class ``[!.:;_,'@?()/ ]`` (no
+    ``+``, so delimiter runs yield counted empty tokens), NO encode filter,
+    case-sensitive.
+
+    Java ``String.split(regex)`` (limit=0) drops ALL trailing empty tokens
+    and returns ``[input]`` when the regex never matches (even for "").
+    Spark's ``split`` treats every limit<=0 as keep-trailing-empties, so
+    Java semantics are rebuilt explicitly: strip the trailing delimiter run
+    before splitting (equivalent to dropping trailing empties), with the
+    no-match and all-delimiters cases special-cased. Columns: word, cnt."""
+    col = F.col(text_col)
+    stripped = F.regexp_replace(col, ORACLE_DELIMITERS + "+$", "")
+    tokens = (
+        F.when(~col.rlike(ORACLE_DELIMITERS), F.array(col))
+        .when(stripped == "", F.array().cast("array<string>"))
+        .otherwise(F.split(stripped, ORACLE_DELIMITERS))
+    )
+    return (
+        lines.select(F.explode(tokens).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pure-Python oracle (property-test target; mirrors the Java line-by-line
 # semantics independently of both Spark and DuckDB).
@@ -97,6 +123,26 @@ def py_encode(word: str) -> str:
         if 0 <= v <= 26:
             out.append(f"{v:02d}")
     return "".join(out)
+
+
+def py_word_count_sequential(lines: list[str], k: int | None = None) -> list[tuple[str, int]]:
+    """Python port of WordCounter.java:28,34-41 (Java split semantics:
+    trailing empty tokens dropped, interior/leading kept; '' yields [''])."""
+    import re
+
+    counts: Counter[str] = Counter()
+    pat = re.compile(r"[!.:;_,'@?()/ ]")
+    for line in lines:
+        if pat.search(line) is None:
+            toks = [line]  # Java: no match → whole input, even if ""
+        else:
+            toks = pat.split(line)
+            while toks and toks[-1] == "":
+                toks.pop()  # Java: ALL trailing empty strings removed
+        for tok in toks:
+            counts[tok] += 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ordered[:k] if k is not None else ordered
 
 
 def py_word_count(lines: list[str], k: int | None = None) -> list[tuple[str, int]]:

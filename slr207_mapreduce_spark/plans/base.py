@@ -69,6 +69,9 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         similarity_queries,
         multimodal_queries,
+        subqueries,
+        tpch_extra,
+        udf_queries,
     )
 
     return dict(REGISTRY)

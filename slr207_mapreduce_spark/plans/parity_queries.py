@@ -59,3 +59,37 @@ def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wordcount_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return word_count(docs.select(F.col("text").alias("value")))
+
+
+# WordCounter.java's divergent tokenizer (SURVEY.md §1.3(2)): single-char
+# delimiter class (delimiter runs produce counted empty tokens), no encode
+# filter, Java String.split trailing-empty semantics.
+_SEQ_CLS = "[!.:;_,''@?()/ ]"
+
+
+@register(
+    "wordcount_sequential_oracle",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(
+        CASE WHEN NOT regexp_matches(text, '{_SEQ_CLS}') THEN [text]
+             WHEN regexp_replace(text, '{_SEQ_CLS}+$', '') = '' THEN []
+             ELSE string_split_regex(regexp_replace(text, '{_SEQ_CLS}+$', ''), '{_SEQ_CLS}')
+        END) AS word
+      FROM documents
+    )
+    SELECT word, count(*) AS cnt FROM toks GROUP BY word
+    """,
+    doc="The reference's sequential-oracle tokenizer (WordCounter.java:28, "
+    "34-41): single-char split — no '+', so delimiter runs yield counted "
+    "empty tokens; no encode-drop filter; Java split drops trailing "
+    "empties (Spark needs explicit limit=0; the SQL strips the trailing "
+    "delimiter run, which is equivalent). Documents the two-tokenizer "
+    "divergence the reference itself ships with (SURVEY.md §1.3(2)).",
+    tags=("parity",),
+)
+def q_wordcount_sequential_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.parity.wordcount import word_count_sequential_oracle
+
+    docs = load_table(spark, "documents", sf_dir)
+    return word_count_sequential_oracle(docs.select(F.col("text").alias("value")))

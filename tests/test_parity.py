@@ -84,6 +84,34 @@ def test_property_python_vs_spark_tokenize(spark_global, lines):
     assert got == want
 
 
+def test_sequential_oracle_tokenizer_java_split_semantics(spark):
+    """WordCounter.java path: single-char class, empty tokens counted,
+    Java trailing-empty-drop semantics (SURVEY.md §1.3(2))."""
+    from slr207_mapreduce_spark.parity.wordcount import (
+        py_word_count_sequential,
+        word_count_sequential_oracle,
+    )
+
+    lines = [
+        "a,,b",      # interior empty token counted
+        ",a",        # leading empty counted
+        "a,,",       # trailing empties dropped
+        ",,,",       # all delimiters -> no tokens
+        "",          # Java: "" -> [""] -> one empty token
+        "x y,z",     # plain
+        "tab\there", # tab is NOT a delimiter in this class
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    got = sorted(
+        [(r["word"], r["cnt"]) for r in word_count_sequential_oracle(df).collect()]
+    )
+    want = sorted(py_word_count_sequential(lines))
+    assert got == want
+    d = dict(want)
+    assert d[""] == 3  # one from "a,,b"? no: interior of a,,b(1) + ,a(1) + ""(1)
+    assert "tab\there" in d
+
+
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark

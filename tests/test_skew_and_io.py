@@ -1,0 +1,86 @@
+"""Tests for skew handling and source/sink round-trips."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    from slr207_mapreduce_spark.operators.skew import salted_join
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", SF_SMOKE).select(
+        F.col("o_custkey").alias("k"), "o_orderkey"
+    )
+    c = load_table(spark, "customer", SF_SMOKE).select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = o.join(c, "k").select("o_orderkey", "c_name")
+    salted = salted_join(o, c, "k", num_salts=4).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key must land in multiple salted partitions."""
+    from slr207_mapreduce_spark.operators.skew import salted_join
+
+    hot = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(1, "x")], ["k", "v"])
+    j = salted_join(hot, dim, "k", num_salts=8)
+    assert j.count() == 10000
+    n_salts = (
+        hot.withColumn("__salt", (F.abs(F.xxhash64("k", "id")) % 8).cast("int"))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8, "hot key not spread across salts"
+
+
+def test_csv_json_text_roundtrip(spark, tmp_path):
+    from slr207_mapreduce_spark.sources.tables import load_table, read_csv, read_json
+    from slr207_mapreduce_spark.sources.sinks import write_table
+
+    n = load_table(spark, "nation", SF_SMOKE)
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    write_table(n, csv_path, fmt="csv", header="true")
+    write_table(n, json_path, fmt="json")
+    back_csv = read_csv(spark, csv_path).orderBy("n_nationkey").collect()
+    back_json = read_json(spark, json_path).select(*n.columns).orderBy("n_nationkey").collect()
+    orig = n.orderBy("n_nationkey").collect()
+    assert [tuple(r) for r in back_csv] == [tuple(r) for r in orig]
+    assert [tuple(r) for r in back_json] == [tuple(r) for r in orig]
+
+
+def test_partitioned_parquet_write_prunes(spark, tmp_path):
+    """partitionBy layout must enable partition pruning on read."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.sources.sinks import write_table
+
+    l = load_table(spark, "lineitem", SF_SMOKE)
+    p = str(tmp_path / "li_part")
+    write_table(l, p, partition_by=["l_returnflag"])
+    assert sorted(
+        d.split("=")[1] for d in os.listdir(p) if d.startswith("l_returnflag=")
+    ) == ["A", "N", "R"]
+    back = spark.read.parquet(p).where(F.col("l_returnflag") == "R")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert back.count() == l.where(F.col("l_returnflag") == "R").count()
+
+
+def test_explain_shuffles_counts_exchanges(spark):
+    from slr207_mapreduce_spark.operators.skew import explain_shuffles
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    l = load_table(spark, "lineitem", SF_SMOKE)
+    no_shuffle = l.select("l_orderkey")
+    one_shuffle = l.groupBy("l_orderkey").count()
+    assert explain_shuffles(no_shuffle) == 0
+    assert explain_shuffles(one_shuffle) >= 1
