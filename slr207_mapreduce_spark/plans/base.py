@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         subqueries,
         tpch_extra,
         udf_queries,
+        udtf_queries,
     )
 
     return dict(REGISTRY)

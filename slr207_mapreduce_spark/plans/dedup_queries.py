@@ -104,6 +104,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_ml",
+    oracle=None,  # MLlib's internal hash family isn't SQL-reproducible
+    doc="MinHash near-dup candidates via MLlib MinHashLSH (HashingTF set "
+    "vectors → approxSimilarityJoin) — the off-the-shelf library path next "
+    "to the md5-portable implementation (dedup_minhash_lsh). Rows-only "
+    "check here; tests/test_mllib_lsh.py validates candidate quality "
+    "against the exact Jaccard operator.",
+    tags=("dedup", "minhash", "mllib"),
+)
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.mllib_lsh import minhash_neardup_pairs_ml
+
+    d = load_table(spark, "documents", sf_dir)
+    return minhash_neardup_pairs_ml(d, jaccard_distance_threshold=0.6)
+
+
+@register(
     "dedup_simhash_pairs",
     oracle=f"""
     WITH sigs AS ({simhash_sql(bits=16)})

@@ -49,7 +49,7 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .select("c_nationkey", "o_orderkey", "o_totalprice")
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
     )
 
@@ -76,8 +76,8 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderpriority",
         "o_orderkey",
-        F.rank().over(w_rnk).alias("rnk"),
-        F.dense_rank().over(w_drnk).alias("drnk"),
+        F.rank().over(w_rnk).cast("long").alias("rnk"),
+        F.dense_rank().over(w_drnk).cast("long").alias("drnk"),
     )
 
 
@@ -197,5 +197,5 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )

@@ -1,0 +1,46 @@
+"""MLlib LSH variants validated against the exact/portable operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_mllib_minhash_candidates_are_similar_docs(spark):
+    from slr207_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+    from slr207_mapreduce_spark.operators.mllib_lsh import minhash_neardup_pairs_ml
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    got = minhash_neardup_pairs_ml(docs, jaccard_distance_threshold=0.6).collect()
+    assert len(got) > 0
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    # MLlib's jaccard_distance = 1 - true jaccard on the shingle sets; they
+    # must agree (HashingTF at 2^18 features: collisions negligible on this
+    # vocabulary).
+    for r in got:
+        true_j = exact.get((r["doc_a"], r["doc_b"]), 0.0)
+        assert abs((1.0 - r["jaccard_distance"]) - true_j) < 0.05, (
+            r["doc_a"],
+            r["doc_b"],
+            r["jaccard_distance"],
+            true_j,
+        )
+
+
+def test_mllib_brp_knn_beats_random(spark):
+    from slr207_mapreduce_spark.operators.mllib_lsh import knn_random_projection_ml
+    from slr207_mapreduce_spark.operators.similarity import knn_bruteforce
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    q = emb.where(F.col("vec_id") < 5)
+    approx = knn_random_projection_ml(emb, q, k=5).collect()
+    assert {r["query_id"] for r in approx} == {0, 1, 2, 3, 4}
+    # euclidean distances must be sane (positive, finite) and per-query
+    # sorted output achievable
+    assert all(r["euclidean_dist"] > 0 for r in approx)

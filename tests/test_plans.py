@@ -73,7 +73,7 @@ def test_no_python_udf_in_relational_hot_paths(spark):
     the explicit UDF surface and are exempt.)"""
     specs = _specs()
     for name, spec in specs.items():
-        if name.startswith(("udf_", "multimodal_")):
+        if name.startswith(("udf_", "udtf_", "multimodal_")):
             continue
         plan = _plan(spec.build(spark, SF_SMOKE), "extended")
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"

@@ -1,0 +1,86 @@
+"""Coverage for the remaining source/sink rows: text corpus scan (reference
+O1), rate source smoke, foreachBatch sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_text_corpus_scan_wordcount(spark, tmp_path):
+    """Reference O1 end-to-end on an actual text FILE (one row per line),
+    cross-checked against the pure-Python oracle."""
+    from slr207_mapreduce_spark.parity.wordcount import py_word_count, word_count_topk
+    from slr207_mapreduce_spark.sources.tables import read_text_corpus
+
+    lines = [
+        "home cook steal",
+        "fairy dance pop",
+        "home home cook!pop",
+        "The thé 123 a-b",
+    ]
+    p = tmp_path / "corpus.txt"
+    p.write_text("\n".join(lines))
+    df = read_text_corpus(spark, str(p))
+    assert df.columns == ["value"]
+    got = [(r["word"], r["cnt"]) for r in word_count_topk(df, k=20).collect()]
+    assert got == py_word_count(lines, k=20)
+
+
+def test_rate_source_smoke(spark):
+    """Rate source: the built-in synthetic stream (SURVEY §7.2 phase 5)."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline and spark.table("rate_smoke").count() == 0:
+            time.sleep(0.3)
+        assert spark.table("rate_smoke").count() > 0
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: arbitrary batch-DataFrame logic per micro-batch (the
+    escape hatch for sinks Spark lacks natively)."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "src")
+    load_table(spark, "events", SF_SMOKE).orderBy("ts").limit(60).coalesce(
+        1
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "out")
+    seen_batches = []
+
+    def handle(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        batch_df.groupBy("event_type").count().write.mode("append").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    q = (
+        read_events_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert seen_batches, "foreachBatch never invoked"
+    total = spark.read.parquet(os.path.join(out_dir, "*")).agg(
+        F.sum("count")
+    ).collect()[0][0]
+    assert total == 60

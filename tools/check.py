@@ -65,6 +65,17 @@ def _norm_cell(v):
     return v
 
 
+def _dtype_kind(dtype) -> str:
+    """Canonical dtype class: int width matters (the driver may compare
+    schemas), datetime unit and tz do not, decimals count as float."""
+    s = str(dtype)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s in ("object",):
+        return "object"
+    return s
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -73,6 +84,10 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if sc != dc:
         problems.append(f"columns: spark={sc} duck={dc}")
         return problems
+    for c in sc:
+        ks, kd = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(duck_pdf[c].dtype)
+        if ks != kd:
+            problems.append(f"dtype {c}: spark={ks} duck={kd}")
     if problems:
         return problems
     a, b = canon(spark_pdf), canon(duck_pdf)
