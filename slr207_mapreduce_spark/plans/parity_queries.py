@@ -21,7 +21,8 @@ _SQL_TOKENS = r"""
     SELECT unnest(regexp_split_to_array(text, '[!.:;_,''@?()/° \n\t]+')) AS word
     FROM documents
 """
-_SQL_KEEP = r"length(regexp_replace(lower(word), '[^`-z]', '', 'g')) > 0"
+# encode() non-empty ⟺ lowered token contains a char in [`-z]
+_SQL_KEEP = r"regexp_matches(lower(word), '[`-z]')"
 
 
 @register(

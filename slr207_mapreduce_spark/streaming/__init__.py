@@ -13,6 +13,7 @@ from slr207_mapreduce_spark.streaming.ops import (  # noqa: F401
     sliding_window_sums,
     session_windows,
     streaming_dedup,
+    stream_stream_view_purchase_join,
     run_to_memory,
 )
 from slr207_mapreduce_spark.streaming.stateful import running_user_totals  # noqa: F401

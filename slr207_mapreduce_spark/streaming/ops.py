@@ -110,6 +110,43 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_view_purchase_join(
+    events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    view events in the preceding ``max_gap`` (attribution join).
+
+    Both sides carry watermarks and the join has a time-range condition, so
+    Spark can bound the buffered state on each side — the only shape a
+    stream-stream join is allowed to take at scale (unbounded-state joins
+    are rejected by the engine / would OOM anyway).
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    return purchases.join(
+        views,
+        (purchases.user_id == views.v_user)
+        & (views.view_ts <= purchases.purchase_ts)
+        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
+    ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -148,6 +148,31 @@ def test_session_window_stream_runs(spark, batch_dir):
     assert all(r["session_start"] <= r["session_end"] for r in rows)
 
 
+def test_stream_stream_join_matches_batch(spark, batch_dir):
+    """Purchase↔view attribution join: streaming result must equal the
+    batch join on the same data (watermark generous enough to keep all)."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_view_purchase_join,
+    )
+
+    stream = read_events_stream(spark, batch_dir, max_files_per_trigger=1)
+    got = run_to_memory(
+        stream_stream_view_purchase_join(stream, "1 hour", "100 hours"), "t_ssj"
+    )
+    got_set = {(r["purchase_id"], r["view_id"]) for r in got.collect()}
+    # batch replay: withWatermark is a no-op in batch mode, so the same
+    # function is its own oracle on the batch frame
+    ev = load_table(spark, "events", SF_SMOKE)
+    want_set = {
+        (r["purchase_id"], r["view_id"])
+        for r in stream_stream_view_purchase_join(ev, "1 hour", "100 hours").collect()
+    }
+    assert got_set == want_set and len(want_set) > 0
+
+
 def test_stateful_running_totals(spark, tmp_path):
     from slr207_mapreduce_spark.sources.tables import load_table
     from slr207_mapreduce_spark.streaming.ops import read_events_stream
