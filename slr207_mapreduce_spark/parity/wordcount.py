@@ -81,6 +81,36 @@ def word_count_topk(lines: DataFrame, k: int = 20, text_col: str = "value") -> D
     return word_count(lines, text_col).orderBy(F.desc("cnt"), F.asc("word")).limit(k)
 
 
+def word_count_topk_per_partition(
+    lines: DataFrame, k: int = 20, text_col: str = "value"
+) -> DataFrame:
+    """The reference's LITERAL working behavior: per-worker top-K printed to
+    each worker's console (WorkerSender.java:286-296 — the global merge is
+    dead code, SURVEY.md §1.3(6)). Reproduced per Spark input partition:
+    columns (partition_id, word, cnt, rk), rk ≤ k within the partition.
+
+    Partition-layout-dependent by definition (as the reference's output
+    was machine-assignment-dependent) — so this is a library function with
+    a containment property test, not an oracle-checked query: the global
+    top-K over the union of per-partition counts equals the true top-K.
+    """
+    from pyspark.sql import Window
+
+    per_part = (
+        lines.withColumn("__pid", F.spark_partition_id())
+        .select(F.col("__pid"), F.explode(tokenize(F.col(text_col))).alias("word"))
+        .where(keep_token(F.col("word")))
+        .groupBy("__pid", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("__pid").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        per_part.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(F.col("__pid").alias("partition_id"), "word", "cnt", "rk")
+    )
+
+
 def word_count_sequential_oracle(lines: DataFrame, text_col: str = "value") -> DataFrame:
     """The reference's OTHER tokenizer — WordCounter.java:28 (sequential
     oracle path): split on the single-char class ``[!.:;_,'@?()/ ]`` (no

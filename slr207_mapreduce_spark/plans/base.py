@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_extra,
         udf_queries,
         udtf_queries,
+        asof_queries,
     )
 
     return dict(REGISTRY)

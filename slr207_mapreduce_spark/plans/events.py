@@ -146,6 +146,51 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_time_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    doc="Hypertable-style multi-granularity time rollup: (day, hour), "
+    "(day), () subtotals in ONE pass via ROLLUP on truncated timestamps — "
+    "the continuous-aggregate shape, instead of three scans.",
+    tags=("events", "window_agg", "groupingsets"),
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_approx_percentiles",
+    oracle=None,  # t-digest/GK sketches are engine-specific by construction
+    doc="approx_percentile over event values (p50/p90/p99) — the fixed-"
+    "memory quantile path for fact-scale data (exact percentile needs a "
+    "global sort). Engine sketches differ from DuckDB's → rows-only; "
+    "tests/test_llm_ops.py bounds the error against exact quantiles.",
+    tags=("events", "approx"),
+)
+def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99")
+    )
+
+
+@register(
     "events_dedup_latest",
     oracle="""
     SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value

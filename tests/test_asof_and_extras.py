@@ -1,0 +1,98 @@
+"""Edge-case tests: as-of join, per-partition top-K containment, approx
+percentile error bounds."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_edges(spark):
+    from slr207_mapreduce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "p1"),  # before any right row
+            (1, _ts("2024-01-01T12:00:00"), "p2"),  # exactly at right row (inclusive)
+            (1, _ts("2024-01-01T13:00:00"), "p3"),  # after both right rows
+            (2, _ts("2024-01-01T12:00:00"), "p4"),  # key with no right rows
+        ],
+        ["k", "t", "pid"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T11:00:00"), "v1"),
+            (1, _ts("2024-01-01T12:00:00"), "v2"),
+        ],
+        ["k", "t", "vid"],
+    )
+    out = {
+        r["pid"]: r["vid_right"]
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="t", right_payload=["vid"]
+        ).collect()
+    }
+    assert out == {"p1": None, "p2": "v2", "p3": "v2", "p4": None}
+
+
+def test_per_partition_topk_contains_global_topk(spark):
+    """Union of per-partition counts re-aggregated must reproduce the global
+    top-K (the property that made the reference's dead global merge
+    recoverable from per-worker state)."""
+    from slr207_mapreduce_spark.parity.wordcount import (
+        word_count_topk,
+        word_count_topk_per_partition,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", SF_SMOKE)
+        .select(F.col("text").alias("value"))
+        .repartition(8)
+    )
+    per_part = word_count_topk_per_partition(docs, k=10**9)  # no truncation
+    merged = (
+        per_part.groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+    global_topk = word_count_topk(docs, k=20)
+    assert [tuple(r) for r in merged.collect()] == [
+        tuple(r) for r in global_topk.collect()
+    ]
+    # sanity: the per-partition frame really is partition-scoped
+    assert per_part.select("partition_id").distinct().count() > 1
+
+
+def test_approx_percentile_error_bounded(spark):
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r["p50_p90_p99"]
+        for r in all_queries()["events_approx_percentiles"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    e = load_table(spark, "events", SF_SMOKE)
+    values = {}
+    for r in e.select("event_type", "value").collect():
+        values.setdefault(r["event_type"], []).append(r["value"])
+    # approx result must fall inside the p±0.03 rank window of the exact
+    # sorted values (sketch guarantee is rank-error, not value-error — in a
+    # sparse tail neighboring ranks can be far apart in value).
+    for et, approx in got.items():
+        xs = sorted(values[et])
+        n = len(xs)
+        for p, a in zip((0.5, 0.9, 0.99), approx):
+            lo = xs[max(0, int((p - 0.03) * n) - 1)]
+            hi = xs[min(n - 1, int((p + 0.03) * n))]
+            assert lo <= a <= hi, (et, p, a, lo, hi)
