@@ -56,9 +56,11 @@ def repartition_by(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame
 
 
 def explain_shuffles(df: DataFrame) -> int:
-    """Count Exchange nodes in the physical plan — the shuffle budget a
-    reviewer should check before running anything at scale."""
+    """Count data-shuffle Exchange nodes in the physical plan — the shuffle
+    budget a reviewer should check before running anything at scale.
+    BroadcastExchange is excluded: broadcasting a dim is the cheap
+    alternative to a shuffle, not a shuffle."""
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple"
     )
-    return plan.count("Exchange")
+    return plan.count("Exchange") - plan.count("BroadcastExchange")

@@ -124,6 +124,29 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           list_sort(list(DISTINCT CAST(l_suppkey AS BIGINT))) AS suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Array aggregation made deterministic: collect_set is unordered by "
+    "construction, so every collected array is sort_array'd before leaving "
+    "the operator — the only way array aggs can be reproducible under "
+    "partitioning.",
+    tags=("agg", "array"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_set(F.col("l_suppkey").cast("long"))).alias("suppliers"),
+    )
+
+
+@register(
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, {dsum_sql('l_extendedprice')} AS sum_price,

@@ -221,6 +221,33 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_type",
+    oracle="""
+    SELECT event_id,
+           map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS mkeys,
+           map_values(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS mvals,
+           (MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}['type'])[1] AS type_via_map
+    FROM events WHERE event_id < 100
+    """,
+    doc="Map-type construction and access (create_map/map_keys/map_values/"
+    "element_at) — maps compared via their key/value arrays since insertion "
+    "order is part of both engines' map layout here.",
+    tags=("scalar", "map"),
+)
+def scalar_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, "type").alias("type_via_map"),
+    )
+
+
+@register(
     "scalar_array_map_funcs",
     oracle="""
     SELECT

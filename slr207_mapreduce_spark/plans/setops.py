@@ -92,6 +92,16 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_intersect_all",
+    oracle=f"{_SQL_BUILDING} INTERSECT ALL {_SQL_SPENDERS}",
+    doc="INTERSECT ALL (bag intersection — multiplicity-aware).",
+    tags=("setop",),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _building(spark, sf_dir).intersectAll(_big_spenders(spark, sf_dir))
+
+
+@register(
     "setop_distinct",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     doc="DISTINCT on a projection (whole-row dedup — reference O8+O9 with "

@@ -75,6 +75,37 @@ def test_partitioned_parquet_write_prunes(spark, tmp_path):
     assert back.count() == l.where(F.col("l_returnflag") == "R").count()
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located bucketed tables must join with ZERO exchanges — the
+    repeated-join-key pattern that saves the fact-table shuffle at 100 TB."""
+    from slr207_mapreduce_spark.operators.skew import explain_shuffles
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.sources.sinks import write_table
+
+    o = load_table(spark, "orders", SF_SMOKE)
+    l = load_table(spark, "lineitem", SF_SMOKE)
+    write_table(o, "", bucket_by=(4, ["o_orderkey"]), table_name="b_orders")
+    write_table(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "",
+        bucket_by=(4, ["o_orderkey"]),
+        table_name="b_lineitem",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (broadcast would win at this tiny SF and
+        # bypass the bucketed scan entirely)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        n_shuffles = explain_shuffles(j)
+        assert n_shuffles == 0, f"bucketed join still shuffles ({n_shuffles} exchanges)"
+        assert j.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_explain_shuffles_counts_exchanges(spark):
     from slr207_mapreduce_spark.operators.skew import explain_shuffles
     from slr207_mapreduce_spark.sources.tables import load_table
