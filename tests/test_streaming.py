@@ -148,6 +148,41 @@ def test_session_window_stream_runs(spark, batch_dir):
     assert all(r["session_start"] <= r["session_end"] for r in rows)
 
 
+def test_complete_output_mode_final_state(spark, batch_dir):
+    """Complete mode re-emits the full aggregate each batch; after
+    availableNow finishes, the memory table holds the final totals for
+    EVERY window (no watermark-closed subset, unlike append)."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream
+
+    from pyspark.sql import functions as F2
+
+    stream = read_events_stream(spark, batch_dir, max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").agg(
+        F2.count(F2.lit(1)).alias("n"), F2.sum("value").alias("s")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in spark.table("t_complete").collect()
+    }
+    ev = load_table(spark, "events", SF_SMOKE)
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("event_type")
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_join_matches_batch(spark, batch_dir):
     """Purchase↔view attribution join: streaming result must equal the
     batch join on the same data (watermark generous enough to keep all)."""
