@@ -89,24 +89,37 @@ def minhash_signatures(
 
 
 def lsh_bands(
-    sigs: DataFrame, num_hashes: int = 6, band_size: int = 2, id_col: str = "doc_id"
+    sigs: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    carry_signature: bool = False,
 ) -> DataFrame:
     """Explode signatures into (doc, band, band_key) rows; docs sharing a
-    band_key in any band are LSH candidates."""
+    band_key in any band are LSH candidates. With ``carry_signature`` the
+    h* columns ride along so downstream similarity estimation needs no
+    join back to the signature table."""
     num_bands = num_hashes // band_size
-    parts = []
+    carried = [f"h{s}" for s in range(num_hashes)] if carry_signature else []
+    entries = []
     for b in range(num_bands):
         cols = [f"h{b * band_size + j}" for j in range(band_size)]
         key = F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
-        parts.append(
-            sigs.select(
-                F.col(id_col), F.lit(b).cast("int").alias("band"), key.alias("bkey")
-            )
+        entries.append(
+            F.struct(F.lit(b).cast("int").alias("band"), key.alias("bkey"))
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    # ONE explode instead of a union of per-band projections: a union
+    # re-evaluates the signature subtree once per branch; the explode keeps
+    # a single consumer so signatures are computed exactly once.
+    return (
+        sigs.select(F.col(id_col), *[F.col(c) for c in carried], F.explode(F.array(*entries)).alias("__bk"))
+        .select(
+            F.col(id_col),
+            F.col("__bk.band").alias("band"),
+            F.col("__bk.bkey").alias("bkey"),
+            *[F.col(c) for c in carried],
+        )
+    )
 
 
 def minhash_lsh_candidates(
@@ -122,9 +135,16 @@ def minhash_lsh_candidates(
     fraction of agreeing minhashes — the unbiased Jaccard estimator.
     """
     sigs = minhash_signatures(doc_shingles(docs, id_col, shingle_n), num_hashes, id_col)
-    bands = lsh_bands(sigs, num_hashes, band_size, id_col)
+    # Bands CARRY the full signature so the band self-join yields both
+    # sides' hashes directly — no join back to sigs (two joins and two
+    # recomputations of the signature aggregation saved).
+    bands = lsh_bands(sigs, num_hashes, band_size, id_col, carry_signature=True)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    agree = sum(
+        F.when(F.col(f"a.h{s}") == F.col(f"b.h{s}"), 1).otherwise(0)
+        for s in range(num_hashes)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -132,24 +152,11 @@ def minhash_lsh_candidates(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
-    ma = sigs.alias("ma")
-    mb = sigs.alias("mb")
-    agree = sum(
-        F.when(F.col(f"ma.h{s}") == F.col(f"mb.h{s}"), 1).otherwise(0)
-        for s in range(num_hashes)
-    )
-    return (
-        cand.join(ma, F.col("doc_a") == F.col(f"ma.{id_col}"))
-        .join(mb, F.col("doc_b") == F.col(f"mb.{id_col}"))
-        .select(
-            "doc_a",
-            "doc_b",
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
             (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 

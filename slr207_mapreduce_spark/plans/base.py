@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
         udf_queries,
         udtf_queries,
         asof_queries,
+        graph_queries,
     )
 
     return dict(REGISTRY)

@@ -1,0 +1,50 @@
+"""Connected-components unit tests (hand graphs) + cluster sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_cc_two_components_and_chain(spark):
+    from slr207_mapreduce_spark.operators.graph import connected_components
+
+    # component {1,2,3} (triangle), chain {10,11,12,13}, pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12], got[13]} == {10}
+    assert {got[20], got[21]} == {20}
+
+
+def test_cc_long_chain_converges(spark):
+    from slr207_mapreduce_spark.operators.graph import connected_components
+
+    n = 25  # diameter 24 — forces many propagation rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = connected_components(edges, max_iter=n + 2).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == n + 1
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    from slr207_mapreduce_spark.operators.dedup import minhash_lsh_candidates
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    clusters = {
+        r["node"]: r["cluster_id"]
+        for r in all_queries()["dedup_clusters"].build(spark, SF_SMOKE).collect()
+    }
+    pairs = minhash_lsh_candidates(load_table(spark, "documents", SF_SMOKE)).collect()
+    # every candidate pair must land in the same cluster
+    for r in pairs:
+        assert clusters[r["doc_a"]] == clusters[r["doc_b"]]
+    # every cluster label is a member of its own cluster
+    for node, cid in clusters.items():
+        assert clusters[cid] == cid
