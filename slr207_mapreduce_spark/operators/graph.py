@@ -33,12 +33,17 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: the loop re-evaluates sym every round, and the
+        # symmetrizing union would otherwise recompute the (possibly very
+        # expensive) upstream edge pipeline twice per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.a == labels.node)
@@ -63,5 +68,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # partially-propagated labels would silently split components —
+        # loud failure beats wrong clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -6,7 +6,6 @@ still exactly checkable."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from slr207_mapreduce_spark.operators.dedup import minhash_lsh_candidates, minhash_lsh_sql
 from slr207_mapreduce_spark.operators.graph import connected_components

@@ -62,6 +62,39 @@ def q_wordcount_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_count(docs.select(F.col("text").alias("value")))
 
 
+@register(
+    "wordcount_top7",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    kept AS (SELECT word FROM toks WHERE {_SQL_KEEP})
+    SELECT word, count(*) AS cnt FROM kept GROUP BY word
+    ORDER BY cnt DESC, word ASC LIMIT 7
+    """,
+    doc="K=7 — the sequential oracle's print count (WordCounter.java:54).",
+    tags=("parity",),
+)
+def q_wordcount_top7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return word_count_topk(docs.select(F.col("text").alias("value")), k=7)
+
+
+@register(
+    "wordcount_top50",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKENS}),
+    kept AS (SELECT word FROM toks WHERE {_SQL_KEEP})
+    SELECT word, count(*) AS cnt FROM kept GROUP BY word
+    ORDER BY cnt DESC, word ASC LIMIT 50
+    """,
+    doc="K=50 — the dead client-side global merge's intended print count "
+    "(SimpleClient.java:46,358-365).",
+    tags=("parity",),
+)
+def q_wordcount_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return word_count_topk(docs.select(F.col("text").alias("value")), k=50)
+
+
 # WordCounter.java's divergent tokenizer (SURVEY.md §1.3(2)): single-char
 # delimiter class (delimiter runs produce counted empty tokens), no encode
 # filter, Java String.split trailing-empty semantics.
