@@ -18,7 +18,7 @@ session.py); this module covers the cases AQE can't fix:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

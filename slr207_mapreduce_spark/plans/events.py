@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from slr207_mapreduce_spark.functions.portable import davg_sql, dec, dsum_sql
+from slr207_mapreduce_spark.functions.portable import dec, dsum_sql
 from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from slr207_mapreduce_spark.functions.portable import dec, dsum, dsum_sql
+from slr207_mapreduce_spark.functions.portable import dec
 from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
 

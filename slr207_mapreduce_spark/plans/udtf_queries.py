@@ -5,7 +5,6 @@ generalized form of the reference's tokenizer flatMap (O5)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from slr207_mapreduce_spark.plans.base import register
