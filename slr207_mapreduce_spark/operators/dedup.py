@@ -52,23 +52,29 @@ def shingles_sql(text_col: str = "text", n: int = 3) -> str:
     )
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index input.
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs — the inverted-index input.
 
     Tokenizes in a separate projection so ``split`` runs once per row;
     inlining it into the shingle expression re-splits the text for every
     sub-expression (no CSE across the CASE/transform/slice tree) — measured
-    2.3× slower on the sf0.1 corpus."""
+    2.3× slower on the sf0.1 corpus.
+
+    ``distinct=True`` gives set semantics (required for exact Jaccard — a
+    full shuffle). MinHash callers pass ``distinct=False``: min over the
+    multiset equals min over the set, so the dedup shuffle is pure waste
+    there."""
     refs = ", ".join(f"t[i+{j}-1]" for j in range(n))
     shingle = (
         f"CASE WHEN size(t) < {n} THEN array() "
         f"ELSE transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {refs})) END"
     )
-    return (
-        docs.select(F.col(id_col), F.split("text", " ").alias("t"))
-        .select(F.col(id_col), F.explode(F.expr(shingle)).alias("sh"))
-        .distinct()
+    out = docs.select(F.col(id_col), F.split("text", " ").alias("t")).select(
+        F.col(id_col), F.explode(F.expr(shingle)).alias("sh")
     )
+    return out.distinct() if distinct else out
 
 
 # --------------------------------------------------------------------------
@@ -134,7 +140,9 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. est_jaccard =
     fraction of agreeing minhashes — the unbiased Jaccard estimator.
     """
-    sigs = minhash_signatures(doc_shingles(docs, id_col, shingle_n), num_hashes, id_col)
+    sigs = minhash_signatures(
+        doc_shingles(docs, id_col, shingle_n, distinct=False), num_hashes, id_col
+    )
     # Bands CARRY the full signature so the band self-join yields both
     # sides' hashes directly — no join back to sigs (two joins and two
     # recomputations of the signature aggregation saved).

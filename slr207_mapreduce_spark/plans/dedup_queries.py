@@ -76,7 +76,9 @@ _MINHASH_SIG_SQL = f"""
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    return minhash_signatures(doc_shingles(d, "doc_id", 3), num_hashes=6)
+    # distinct=False: min over the shingle multiset == min over the set,
+    # so the dedup shuffle is skipped (result identical, oracle unchanged)
+    return minhash_signatures(doc_shingles(d, "doc_id", 3, distinct=False), num_hashes=6)
 
 
 @register(

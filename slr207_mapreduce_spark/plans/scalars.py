@@ -221,6 +221,43 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           list_transform(embedding, x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)) AS sign_mask,
+           CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                (acc, x) -> acc + x) AS DOUBLE) AS comp_sum,
+           CAST(list_zip(embedding[1:2], embedding[3:4])[1][1] AS DOUBLE) AS zip_head
+    FROM embeddings WHERE vec_id < 50
+    """,
+    doc="Higher-order array functions — filter / transform / aggregate "
+    "(sequential fold, engine-stable) / zip_with — lambda expressions "
+    "evaluated JVM-side inside codegen, the array-processing workhorses "
+    "for nested (multimodal) columns.",
+    tags=("scalar", "array", "higher_order"),
+)
+def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_positive"),
+        F.transform(
+            emb, lambda x: F.when(x > 0, 1).otherwise(0).cast("long")
+        ).alias("sign_mask"),
+        F.aggregate(
+            F.transform(emb, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("double").alias("comp_sum"),
+        F.zip_with(
+            F.slice(emb, 1, 2), F.slice(emb, 3, 2), lambda a, b: a
+        ).getItem(0).cast("double").alias("zip_head"),
+    )
+
+
+@register(
     "scalar_map_type",
     oracle="""
     SELECT event_id,
