@@ -36,7 +36,10 @@ def salted_join(
     columns), NOT random(): deterministic → retryable tasks produce the
     same result (lineage-safe, unlike rand()-based salting).
     """
-    salt_l = (F.abs(F.xxhash64(*left.columns)) % num_salts).cast("int")
+    # pmod, not abs(...)%n: abs(Long.MIN_VALUE) overflows back to negative,
+    # which would yield a salt matching no replicated right row (row loss)
+    # whenever num_salts doesn't divide 2^63.
+    salt_l = F.pmod(F.xxhash64(*left.columns), F.lit(num_salts)).cast("int")
     l = left.withColumn("__salt", salt_l)
     r = right.withColumn(
         "__salt",

@@ -171,6 +171,34 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+    doc="Skew-salted equi-join (operators/skew.py): the left side carries a "
+    "deterministic hash salt, the right side is replicated per salt, and "
+    "the join key becomes (key, salt) — one hot key spreads over N tasks. "
+    "Result is IDENTICAL to the plain join, which is exactly what the "
+    "oracle checks.",
+    tags=("join", "skew"),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.skew import salted_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"), "o_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    return salted_join(o, c, "k", num_salts=8).select("o_orderkey", "c_name")
+
+
+@register(
     "join_range_nonequi",
     oracle="""
     SELECT o_orderkey, o_totalprice, tier

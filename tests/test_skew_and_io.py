@@ -33,7 +33,7 @@ def test_salted_join_spreads_hot_key(spark):
     j = salted_join(hot, dim, "k", num_salts=8)
     assert j.count() == 10000
     n_salts = (
-        hot.withColumn("__salt", (F.abs(F.xxhash64("k", "id")) % 8).cast("int"))
+        hot.withColumn("__salt", F.pmod(F.xxhash64("k", "id"), F.lit(8)).cast("int"))
         .select("__salt")
         .distinct()
         .count()

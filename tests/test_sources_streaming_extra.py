@@ -51,17 +51,46 @@ def test_rate_source_smoke(spark):
         q.stop()
 
 
+def _write_events_src(spark, path, n):
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    load_table(spark, "events", SF_SMOKE).orderBy("ts").limit(n).coalesce(
+        1
+    ).write.parquet(str(path))
+    return str(path)
+
+
+def test_checkpointed_file_sink_exactly_once(spark, tmp_path):
+    """write_stream: checkpointed parquet sink; restarting the query from
+    the same checkpoint must not duplicate rows (exactly-once files)."""
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream, write_stream
+
+    src = _write_events_src(spark, tmp_path / "src", 80)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(2):  # second run restarts from checkpoint: no new data
+        q = write_stream(
+            read_events_stream(spark, src, max_files_per_trigger=1).select(
+                "event_id", "ts", "user_id"
+            ),
+            out,
+            ckpt,
+        )
+        try:
+            # write_stream uses the production tail-follow trigger (never
+            # self-terminates); drain the initial batches then stop
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert spark.read.parquet(out).count() == 80
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     """foreachBatch: arbitrary batch-DataFrame logic per micro-batch (the
     escape hatch for sinks Spark lacks natively)."""
-    from slr207_mapreduce_spark.sources.tables import load_table
     from slr207_mapreduce_spark.streaming.ops import read_events_stream
-    from tests.conftest import SF_SMOKE
 
-    src = str(tmp_path / "src")
-    load_table(spark, "events", SF_SMOKE).orderBy("ts").limit(60).coalesce(
-        1
-    ).write.parquet(src)
+    src = _write_events_src(spark, tmp_path / "src_fb", 60)
     out_dir = str(tmp_path / "out")
     seen_batches = []
 
