@@ -175,6 +175,53 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gap_filled_hours",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n_events,
+             {dsum_sql('value')} AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT s.hour, coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN agg a ON s.hour = a.hour
+    """,
+    doc="Gap-filled hourly series: a calendar spine (sequence + explode) "
+    "left-joined to the hourly aggregate so empty hours appear as zero "
+    "rows — the time-series densification pattern (the spine is generated, "
+    "never collected to the driver).",
+    tags=("events", "window_agg", "gapfill"),
+)
+def events_gap_filled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    return spine.join(agg, "hour", "left").select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@register(
     "events_approx_percentiles",
     oracle=None,  # t-digest/GK sketches are engine-specific by construction
     doc="approx_percentile over event values (p50/p90/p99) — the fixed-"

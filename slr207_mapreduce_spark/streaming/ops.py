@@ -110,6 +110,13 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a (broadcastable) static
+    dimension — no state, no watermark needed; the dim is re-resolved per
+    micro-batch so slowly-changing dimensions pick up updates."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def stream_stream_view_purchase_join(
     events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -85,6 +85,33 @@ def test_checkpointed_file_sink_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == 80
 
 
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: every streamed event picks up its user's static
+    attribute; result equals the batch join."""
+    from pyspark.sql import functions as F2
+
+    from slr207_mapreduce_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    src = _write_events_src(spark, tmp_path / "src_enrich", 100)
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(50)], ["user_id", "segment"]
+    )
+    out = run_to_memory(
+        stream_static_enrich(
+            read_events_stream(spark, src, max_files_per_trigger=1), dim, "user_id"
+        ).select("event_id", "user_id", "segment"),
+        "t_enrich",
+    )
+    got = {r["event_id"]: r["segment"] for r in out.collect()}
+    batch = spark.read.parquet(src).join(dim, "user_id", "left")
+    want = {r["event_id"]: r["segment"] for r in batch.collect()}
+    assert got == want and len(got) == 100
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     """foreachBatch: arbitrary batch-DataFrame logic per micro-batch (the
     escape hatch for sinks Spark lacks natively)."""
