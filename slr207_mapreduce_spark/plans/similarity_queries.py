@@ -64,6 +64,49 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_normalize_quantize",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id, label,
+           nrm AS l2_norm,
+           CAST(floor(e[1] / nrm * 127) AS BIGINT) AS q0,
+           CAST(floor(e[2] / nrm * 127) AS BIGINT) AS q1,
+           list_transform(e, x -> CAST(floor(x / nrm * 127) AS BIGINT)) AS quantized
+    FROM norms
+    """,
+    doc="Vector preprocessing for multimodal/embedding pipelines: L2 "
+    "normalization + int8-range quantization (floor(x/‖x‖·127)) — floor on "
+    "deterministic IEEE products keeps the int codes engine-exact; output "
+    "is the compressed representation an ANN index would store.",
+    tags=("similarity", "multimodal"),
+)
+def q_embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.similarity import norm_f64
+
+    e = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < 200)
+    nrm = norm_f64(F.col("embedding"))
+    qz = lambda x: F.floor(x / F.col("l2_norm") * 127).cast("long")  # noqa: E731
+    return (
+        e.select("vec_id", "label", F.col("embedding"), nrm.alias("l2_norm"))
+        .select(
+            "vec_id",
+            "label",
+            "l2_norm",
+            qz(F.element_at("embedding", 1).cast("double")).alias("q0"),
+            qz(F.element_at("embedding", 2).cast("double")).alias("q1"),
+            F.transform(
+                F.col("embedding"), lambda x: qz(x.cast("double"))
+            ).alias("quantized"),
+        )
+    )
+
+
+@register(
     "embedding_centroid_by_label",
     oracle="""
     WITH comp AS (

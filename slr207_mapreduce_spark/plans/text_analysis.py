@@ -153,6 +153,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bigrams WHERE length(bigram) > 1
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC
+    LIMIT 100
+    """,
+    doc="Top-100 word bigrams across the corpus — the reference's word "
+    "count (O5-O12) generalized to n-grams; same explode→count→top-K "
+    "plan, n-gram construction via a transform over the token array.",
+    tags=("text", "ngram"),
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    bigram = (
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i])) END"
+    )
+    return (
+        d.select(F.split("text", " ").alias("t"))
+        .select(F.explode(F.expr(bigram)).alias("bigram"))
+        .where(F.length("bigram") > 1)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+@register(
     "text_term_stats",
     oracle="""
     WITH toks AS (
