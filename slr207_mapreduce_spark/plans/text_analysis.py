@@ -197,17 +197,20 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
-    df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term)
-    SELECT term, CAST(SUM(tf) AS BIGINT) AS total_tf,
-           CAST(MAX(df.df) AS BIGINT) AS df,
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY doc_id, term)
+    SELECT term,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           COUNT(*) AS df,
            CAST(MAX(tf) AS BIGINT) AS max_tf_in_doc
-    FROM tf JOIN df USING (term)
+    FROM tf
     GROUP BY term
     """,
     doc="Corpus term statistics (tf / df / max-tf) — the integer core of "
     "tf-idf, kept log-free so the oracle matches exactly; the idf weighting "
-    "itself is a trivial map over these outputs.",
+    "itself is a trivial map over these outputs. Two aggregations, no join: "
+    "tf rows are unique per (doc, term) by construction, so df is simply "
+    "the per-term row count of the tf relation (the earlier distinct+join "
+    "formulation paid two extra shuffles for nothing).",
     tags=("text",),
 )
 def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,15 +219,8 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("term") > 0
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    return (
-        tf.join(df, "term")
-        .groupBy("term")
-        .agg(
-            F.sum("tf").cast("long").alias("total_tf"),
-            F.max("df").cast("long").alias("df"),
-            F.max("tf").cast("long").alias("max_tf_in_doc"),
-        )
+    return tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.count(F.lit(1)).alias("df"),
+        F.max("tf").cast("long").alias("max_tf_in_doc"),
     )

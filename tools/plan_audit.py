@@ -1,0 +1,73 @@
+"""Physical-plan audit for the headline queries.
+
+For each bench query, prints: shuffle count, broadcast-join count, whether
+filters/columns are pushed/pruned at the parquet scans, whether top-K uses
+TakeOrderedAndProject, and whether any row-at-a-time Python UDF leaked in.
+Output is a markdown table (PLANS.md is the committed snapshot).
+
+Usage: python tools/plan_audit.py [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit(df) -> dict:
+    jvm = df._sc._jvm
+    simple = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    formatted = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    extended = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "extended")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    return {
+        "shuffles": simple.count("Exchange") - simple.count("BroadcastExchange"),
+        "broadcasts": simple.count("BroadcastExchange"),
+        # tree section only — each scan also appears once in the details list
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", formatted)),
+        "pushed_any": any(p.strip() for p in pushed),
+        "read_cols": sum(len([c for c in rs.split(",") if c]) for rs in read_schemas),
+        "take_ordered": "TakeOrderedAndProject" in simple,
+        "python_udf": "BatchEvalPython" in extended,
+        "aqe": "AdaptiveSparkPlan" in simple,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    from bench import BENCH_QUERIES
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.session import get_session
+
+    spark = get_session(
+        app_name="plan-audit",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    print("| query | shuffles | broadcasts | scans | pushdown | read cols | TakeOrdered | PyUDF | AQE |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for name in BENCH_QUERIES:
+        a = audit(specs[name].build(spark, args.sf))
+        print(
+            f"| {name} | {a['shuffles']} | {a['broadcasts']} | {a['scans']} | "
+            f"{'yes' if a['pushed_any'] else '—'} | {a['read_cols']} | "
+            f"{'yes' if a['take_ordered'] else '—'} | "
+            f"{'LEAKED' if a['python_udf'] else 'none'} | "
+            f"{'on' if a['aqe'] else 'OFF'} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
