@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_queries,
         subqueries,
         tpch_extra,
+        tpch_full,
         udf_queries,
         udtf_queries,
         asof_queries,

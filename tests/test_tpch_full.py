@@ -1,0 +1,104 @@
+"""Plan-shape and semantic pins for the Q2/Q8/Q9/Q11/Q13/Q17/Q18/Q20/Q21
+module (plans/tpch_full.py). Value correctness is covered by
+tests/test_oracle.py (every registered query runs against DuckDB); these
+tests pin the scale-relevant plan properties and the outer-join/semi-join
+semantics that exact-match oracles can mask.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _specs():
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    return all_queries()
+
+
+def test_q8_dims_broadcast_facts_shuffle(spark):
+    """Q8's five dimension joins broadcast; only fact-fact joins and the
+    final group shuffle. At 100 TB the dims are KBs-MBs while
+    lineitem/orders are the scale tables."""
+    plan = _plan(_specs()["q8_market_share"].build(spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") >= 5
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 4, f"too many shuffles for q8: {shuffles}\n{plan}"
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark):
+    """The priority filter lives in the JOIN CONDITION: customers whose
+    every order is 1-URGENT must appear with c_count=0, not vanish."""
+    out = _specs()["q13_customer_order_distribution"].build(spark, SF_SMOKE)
+    rows = {r["c_count"]: r["custdist"] for r in out.collect()}
+    n_cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    assert sum(rows.values()) == n_cust  # every customer lands in a bucket
+
+
+def test_q18_in_subquery_compiles_to_semi_join_and_is_deterministic(spark):
+    plan = _plan(_specs()["q18_large_volume_customers"].build(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    a = _specs()["q18_large_volume_customers"].build(spark, SF_SMOKE).collect()
+    b = _specs()["q18_large_volume_customers"].build(spark, SF_SMOKE).collect()
+    assert a == b  # total sort order → stable limit
+
+
+def test_q20_nested_in_chain_is_two_semi_joins(spark):
+    plan = _plan(_specs()["q20_potential_promotion"].build(spark, SF_SMOKE), "simple")
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_q21_sole_late_supplier_semantics(spark):
+    """Brute-force re-derivation of the decorrelated NOT EXISTS: every
+    counted (order, supplier) must be the order's ONLY late supplier."""
+    sf = SF_SMOKE
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet").where(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in late:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_suppkey"])
+    supp_per_order: dict[int, set[int]] = {}
+    for r in l.select("l_orderkey", "l_suppkey").distinct().collect():
+        supp_per_order.setdefault(r["l_orderkey"], set()).add(r["l_suppkey"])
+    qualifying = {
+        k
+        for k, v in by_order.items()
+        if len(v) == 1 and len(supp_per_order[k]) >= 2
+    }
+    assert qualifying, "fixture should have sole-late multi-supplier orders"
+    # numwait counts late LINES of qualifying orders; re-derive the total
+    # independently (top-20 cut means query total <= brute-force total).
+    late_lines = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(l.l_orderkey)
+        .count()
+        .collect()
+    )
+    expected_total = sum(r["count"] for r in late_lines if r["l_orderkey"] in qualifying)
+    out = _specs()["q21_suppliers_kept_waiting"].build(spark, sf).collect()
+    got_total = sum(r["numwait"] for r in out)
+    assert 0 < got_total <= expected_total
+
+
+def test_q2_argmax_join_back_no_window_over_fact(spark):
+    """The correlated max decorrelates to groupBy+join — a Window over the
+    joined fact would keep all rows flowing through one partition per
+    part."""
+    plan = _plan(_specs()["q2_min_cost_supplier"].build(spark, SF_SMOKE), "simple")
+    assert "Window" not in plan
