@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         multimodal_queries,
         subqueries,
+        pipeline_queries,
         tpch_extra,
         tpch_full,
         udf_queries,

@@ -1,0 +1,108 @@
+"""Semantics and plan pins for the training-data-pipeline family
+(plans/pipeline_queries.py). Values are oracle-checked by test_oracle.py;
+these pin the properties the hash gate can't see: determinism across runs,
+cap/fraction invariants, contamination ground truth, and the
+stateless-vs-window scale split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _plan(df, mode: str = "simple") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _specs():
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    return all_queries()
+
+
+def test_domain_cap_bounds_every_source(spark):
+    out = _specs()["pipeline_domain_cap"].build(spark, SF_CORRECT)
+    per_source = out.groupBy("source").count().collect()
+    assert per_source and all(r["count"] <= 5 for r in per_source)
+
+
+def test_fractional_sample_is_stateless_and_deterministic(spark):
+    """The scale-path sampler: no shuffle before the output sort, and the
+    same rows on every run (no rand())."""
+    spec = _specs()["pipeline_fractional_sample"]
+    df = spec.build(spark, SF_CORRECT)
+    a = [r["doc_id"] for r in df.collect()]
+    b = [r["doc_id"] for r in spec.build(spark, SF_CORRECT).collect()]
+    assert a == b and len(a) > 0
+    # drop the presentation orderBy: the sampling itself must be a pure map
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    from slr207_mapreduce_spark.plans.pipeline_queries import _doc_bucket
+
+    core = d.where(_doc_bucket() < 10).select("doc_id")
+    assert "Exchange" not in _plan(core)
+
+
+def test_split_partitions_the_corpus_exactly(spark):
+    out = _specs()["pipeline_train_split"].build(spark, SF_CORRECT).collect()
+    total = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in out) == total  # no doc lost or duplicated
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    by = {r["split"]: r["n_docs"] for r in out}
+    assert by["train"] > by["val"] and by["train"] > by["test"]
+
+
+def test_mixture_downweights_dominant_language(spark):
+    kept = {
+        r["lang"]: r["n_kept"]
+        for r in _specs()["pipeline_mixture_reweight"].build(spark, SF_CORRECT).collect()
+    }
+    raw = {
+        r["lang"]: r["count"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert all(kept[lg] <= raw[lg] for lg in kept)
+    # en is halved, the tail is barely touched → kept share must drop for en
+    assert kept["en"] / raw["en"] < kept["de"] / raw["de"]
+
+
+def test_decontaminate_flags_planted_duplicate(spark, tmp_path):
+    """Ground truth on a synthetic corpus: a doc sharing a 5-gram with a
+    benchmark doc is flagged; a disjoint doc is not."""
+    rows = [
+        (0, "a b c d e f g", "en", "s0", 13),      # benchmark (0 % 37 == 0)
+        (1, "x a b c d e y", "en", "s1", 13),      # shares 5-gram "a b c d e"
+        (2, "p q r s t u v", "en", "s2", 13),      # disjoint
+        (3, "one two three", "en", "s3", 13),      # too short for a 5-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in _specs()["pipeline_decontaminate"].build(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    plan = _plan(_specs()["pipeline_decontaminate"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_quality_quantile_keeps_upper_half(spark):
+    out = _specs()["pipeline_quality_quantile"].build(spark, SF_CORRECT)
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    n = d.count()
+    kept = out.count()
+    assert n / 2 <= kept <= n  # >= median keeps at least half
+    min_kept = out.agg(F.min("n_chars")).collect()[0][0]
+    dropped_max = (
+        d.join(out.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.max("n_chars"))
+        .collect()[0][0]
+    )
+    assert dropped_max is None or dropped_max <= min_kept
