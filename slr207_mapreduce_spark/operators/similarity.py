@@ -248,6 +248,126 @@ def knn_lsh_bucketed_sql(
     """
 
 
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: inverted lists under a deterministic coarse
+    quantizer.
+
+    Centroids are the corpus vectors with ``id % centroid_stride == 0`` —
+    a seeded coarse quantizer instead of trained k-means, which keeps the
+    whole operator oracle-checkable (MLlib KMeans is not reproducible in
+    SQL; swapping trained centroids in changes nothing structurally, and
+    the centroid-training aggregation shape is covered by
+    embedding_centroid_by_label). Every corpus vector is assigned to its
+    nearest centroid by cosine (argmax, centroid-id tie-break) — the
+    inverted lists. A query probes its ``nprobe`` nearest cells and ranks
+    exact cosine only against those lists.
+
+    Scale path: centroids are O(sqrt N) and broadcast, so assignment is a
+    map over the corpus (no shuffle); the lists would be written bucketed
+    by cell id so a probe reads only nprobe/|C| of the corpus (partition
+    pruning), and the candidate join shuffles candidates, never N×Q.
+    """
+    from pyspark.sql import Window
+
+    cent = corpus.where(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
+    )
+
+    def nearest(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cid"))
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
+            .crossJoin(F.broadcast(cent))
+            .select(
+                out_id,
+                "cid",
+                cosine(F.col("v"), F.col("cemb")).alias("ccos"),
+            )
+            .withColumn("crn", F.row_number().over(w))
+            .where(F.col("crn") <= n)
+            .select(out_id, "cid")
+        )
+
+    cells = nearest(corpus, "neighbor_id", 1)
+    probes = nearest(queries, "query_id", nprobe)
+    cand = probes.join(cells, "cid").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def knn_ivf_sql(
+    k: int, nprobe: int, centroid_stride: int, query_pred: str
+) -> str:
+    cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      WHERE vec_id % {centroid_stride} = 0
+    ),
+    cell_rank AS (
+      SELECT e.vec_id AS neighbor_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {COSINE_SQL.format(a='e.embedding', b='cent.cemb')} DESC,
+                                         cent.cid ASC) AS crn
+      FROM embeddings e, cent
+    ),
+    cells AS (SELECT neighbor_id, cid FROM cell_rank WHERE crn = 1),
+    probe_rank AS (
+      SELECT e.vec_id AS query_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {COSINE_SQL.format(a='e.embedding', b='cent.cemb')} DESC,
+                                         cent.cid ASC) AS crn
+      FROM embeddings e, cent
+      WHERE ({query_pred.format(col='e.vec_id')})
+    ),
+    probes AS (SELECT query_id, cid FROM probe_rank WHERE crn <= {nprobe}),
+    cand AS (
+      SELECT p.query_id, cells.neighbor_id
+      FROM probes p JOIN cells ON p.cid = cells.cid
+      WHERE p.query_id <> cells.neighbor_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_sim
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float,

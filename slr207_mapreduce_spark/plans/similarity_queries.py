@@ -11,6 +11,8 @@ from slr207_mapreduce_spark.operators.similarity import (
     cosine_neardup_sql,
     knn_bruteforce,
     knn_bruteforce_sql,
+    knn_ivf,
+    knn_ivf_sql,
     knn_lsh_bucketed,
     knn_lsh_bucketed_sql,
 )
@@ -48,6 +50,26 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     return knn_lsh_bucketed(
         e, e.where(F.col("vec_id") < _N_QUERIES), k=5, bits=4, tables=8
+    )
+
+
+@register(
+    "knn_ivf",
+    oracle=knn_ivf_sql(
+        k=5, nprobe=3, centroid_stride=50, query_pred=f"{{col}} < {_N_QUERIES}"
+    ),
+    doc="ANN top-5 via IVF: deterministic coarse quantizer (seed vectors "
+    "vec_id % 50 == 0), nearest-centroid inverted lists, 3-cell probe, "
+    "exact cosine re-rank inside the probed cells. The FAISS-IVF shape on "
+    "DataFrames: centroids broadcast (assignment is a shuffle-free map), "
+    "lists bucket by cell id for partition-pruned probes at scale. Recall "
+    "vs brute force measured in tests/test_llm_ops.py.",
+    tags=("similarity",),
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return knn_ivf(
+        e, e.where(F.col("vec_id") < _N_QUERIES), k=5, nprobe=3, centroid_stride=50
     )
 
 
