@@ -115,3 +115,24 @@ def test_explain_shuffles_counts_exchanges(spark):
     one_shuffle = l.groupBy("l_orderkey").count()
     assert explain_shuffles(no_shuffle) == 0
     assert explain_shuffles(one_shuffle) >= 1
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively: exact
+    round-trip plus pushed filters in the scan, same as parquet."""
+    from slr207_mapreduce_spark.sources.sinks import write_table
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", SF_SMOKE)
+    path = str(tmp_path / "orders_orc")
+    write_table(o, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == o.count()
+    assert [tuple(r) for r in back.orderBy("o_orderkey").limit(50).collect()] == [
+        tuple(r) for r in o.orderBy("o_orderkey").limit(50).collect()
+    ]
+    filtered = back.where(F.col("o_orderkey") == 1).select("o_orderkey", "o_custkey")
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan
