@@ -281,8 +281,7 @@ def knn_ivf(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
     )
 
-    def nearest(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cid"))
+    def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
         return (
             df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
             .crossJoin(F.broadcast(cent))
@@ -291,26 +290,46 @@ def knn_ivf(
                 "cid",
                 cosine(F.col("v"), F.col("cemb")).alias("ccos"),
             )
-            .withColumn("crn", F.row_number().over(w))
-            .where(F.col("crn") <= n)
-            .select(out_id, "cid")
         )
 
-    cells = nearest(corpus, "neighbor_id", 1)
-    probes = nearest(queries, "query_id", nprobe)
-    cand = probes.join(cells, "cid").where(
+    # Assignment is an ARGMAX AGGREGATION, not a window: max over
+    # struct(ccos, -cid) ties-breaks to the smallest centroid id, and the
+    # partial (map-side) aggregate collapses each vector's |C| scored rows
+    # to one before the shuffle — the exchange moves N rows, not N×C.
+    cells = (
+        scored_cells(corpus, "neighbor_id")
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid")
+                )
+            ).alias("best")
+        )
+        .select("neighbor_id", F.col("best.cid").alias("cid"))
+    )
+    # Probes keep the rank-window form: the query side is small by contract.
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        scored_cells(queries, "query_id")
+        .withColumn("crn", F.row_number().over(wp))
+        .where(F.col("crn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    # Probes (and hence candidates-with-query-vector) are |Q|-sized —
+    # broadcast them, so the only shuffle the corpus ever takes in this
+    # operator is the single N-row cells aggregation above.
+    cand = cells.join(F.broadcast(probes), "cid").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
-        )
+    scored = c.join(
+        F.broadcast(cand.join(F.broadcast(q), "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

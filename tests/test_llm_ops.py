@@ -169,3 +169,19 @@ def test_ivf_assignment_is_a_partition_of_the_corpus(spark):
     assert cells.select("vec_id").distinct().count() == n
     cids = {r["cid"] for r in cells.select("cid").distinct().collect()}
     assert cids <= {r["vec_id"] for r in cent.select(F.col("cid").alias("vec_id")).collect()}
+
+
+def test_ivf_corpus_shuffles_once(spark):
+    """The corpus-side cost pin: cell assignment is an argmax AGGREGATION
+    (map-side combine → the exchange moves N rows, not N×|C|), probes and
+    candidates broadcast, so the whole operator carries ≤3 shuffles — and
+    the two window ones are |Q|-sized."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    df = all_queries()["knn_ivf"].build(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 3, f"IVF shuffle regression: {shuffles}\n{plan}"
+    # argmax compiles to an aggregate (Sort/ObjectHashAggregate for struct
+    # max — still partial+final), not a window over N×C rows
+    assert "Aggregate" in plan
