@@ -304,3 +304,41 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int(viewed).alias("n_viewed_after_signup"),
         as_int(full).alias("n_full_funnel"),
     )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT cohort_day,
+           CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active_users
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen day, counted on "
+    "each later active day as an offset from their cohort — the classic "
+    "retention-triangle relation. Every shuffle keys on user_id (first-seen "
+    "min, the active-day distinct) until the final small (cohort, offset) "
+    "group; day-granularity truncation makes the ns-vs-µs timestamp "
+    "difference moot on both engines.",
+    tags=("events", "cohort"),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = e.distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -337,3 +337,47 @@ def pipeline_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b
+      ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    doc="Fuzzy string matching (record linkage / near-dup entity names): "
+    "distinct part names self-joined within edit distance ≤ 3, blocked on "
+    "the first character so candidate pairs meet via an equi-join on the "
+    "block key instead of an all-pairs cross product. The blocking-key "
+    "pattern is the scale lever: swap the first-char block for length "
+    "bands or q-gram buckets to trade recall vs candidate count; "
+    "levenshtein itself is a JVM-side builtin on both engines.",
+    tags=("pipeline", "text", "join"),
+)
+def pipeline_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, "part", sf_dir).select("p_name").distinct()
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 1).alias("blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 1).alias("blk"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )

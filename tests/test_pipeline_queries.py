@@ -106,3 +106,26 @@ def test_quality_quantile_keeps_upper_half(spark):
         .collect()[0][0]
     )
     assert dropped_max is None or dropped_max <= min_kept
+
+
+def test_fuzzy_pairs_block_and_distance_invariants(spark):
+    rows = _specs()["pipeline_fuzzy_name_pairs"].build(spark, SF_CORRECT).collect()
+    assert rows, "corpus should contain near-identical part names"
+    for r in rows:
+        assert r["name_a"][0] == r["name_b"][0]  # blocking key respected
+        assert 1 <= r["edit_dist"] <= 3          # a < b excludes dist 0
+        assert r["name_a"] < r["name_b"]
+
+
+def test_retention_cohort_offsets(spark):
+    out = _specs()["events_retention_cohort"].build(spark, SF_CORRECT).collect()
+    assert all(r["day_offset"] >= 0 for r in out)  # nobody active before first seen
+    # offset-0 row of each cohort counts exactly the cohort's members
+    n_users = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    day0 = sum(r["n_active_users"] for r in out if r["day_offset"] == 0)
+    assert day0 == n_users
