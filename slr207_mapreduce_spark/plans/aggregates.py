@@ -207,3 +207,36 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+@register(
+    "agg_hll_mergeable_sketches",
+    oracle=None,  # Datasketches HLL binary sketches are engine-specific → rows-only
+    doc="Mergeable-sketch aggregation: per-language HLL sketches of "
+    "document sources, union-merged to a global estimate WITHOUT "
+    "re-scanning the data. This is the re-aggregation property exact "
+    "distinct counts lack: at 100 TB "
+    "the per-partition/per-day sketches are built once and any rollup "
+    "(week, global, per-lang) is a cheap union of sketch bytes, the "
+    "cube/continuous-aggregate pattern. Estimates are exact here (HLL "
+    "sparse mode below ~thousands of distincts); the test pins est == "
+    "exact per group.",
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.hll_sketch_agg("source").alias("sk"),
+        F.countDistinct("source").cast("long").alias("exact_sources"),
+    )
+    est = per_lang.select(
+        "lang",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_sources"),
+        "exact_sources",
+    )
+    merged = per_lang.agg(
+        F.lit("__all__").alias("lang"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_sources"),
+        F.lit(None).cast("long").alias("exact_sources"),
+    )
+    return est.unionByName(merged).orderBy("lang")

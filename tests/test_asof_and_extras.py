@@ -96,3 +96,28 @@ def test_approx_percentile_error_bounded(spark):
             lo = xs[max(0, int((p - 0.03) * n) - 1)]
             hi = xs[min(n - 1, int((p + 0.03) * n))]
             assert lo <= a <= hi, (et, p, a, lo, hi)
+
+
+def test_hll_mergeable_sketches_exact_at_low_cardinality(spark):
+    """The rows-only sketch query: per-group HLL estimates must equal the
+    exact distinct counts at this cardinality (HLL sparse mode), and the
+    union-merged global estimate must equal the true global distinct —
+    the re-aggregation property that makes sketches the 100 TB rollup
+    path."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    from tests.conftest import SF_CORRECT
+
+    rows = (
+        all_queries()["agg_hll_mergeable_sketches"]
+        .build(spark, SF_CORRECT)
+        .collect()
+    )
+    by_lang = {r["lang"]: r for r in rows}
+    d = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    truth_all = d.select("source").distinct().count()
+    assert by_lang["__all__"]["est_sources"] == truth_all
+    for lang, r in by_lang.items():
+        if lang == "__all__":
+            continue
+        assert r["est_sources"] == r["exact_sources"], lang
