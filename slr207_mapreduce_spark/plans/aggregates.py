@@ -240,3 +240,66 @@ def agg_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_sources"),
     )
     return est.unionByName(merged).orderBy("lang")
+
+
+@register(
+    "agg_exact_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sx,
+             CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           sx / n AS mean_qty,
+           sqrt((n * syy - sy * sy) / (n * (n - 1))) AS stddev_price,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    doc="Exact-sum statistical moments: sample stddev and Pearson "
+    "correlation derived from DECIMAL-exact Σx/Σx²/Σxy, with the algebra "
+    "done in double on identical operands (each *, -, /, sqrt is one "
+    "deterministic IEEE op). The builtin stddev/corr use Welford-style "
+    "accumulation whose result depends on partition merge ORDER — fine "
+    "statistically, but not reproducible run-to-run at cluster scale; "
+    "this shape is. l_quantity is integral so its raw double sums are "
+    "exact; prices go through DECIMAL(12,2); the squared/cross terms "
+    "are exact DECIMAL products summed without rounding.",
+    tags=("agg", "stats"),
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = dec("l_extendedprice")
+    q = dec("l_quantity")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sx"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        (sx / n).alias("mean_qty"),
+        F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0)))).alias("stddev_price"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

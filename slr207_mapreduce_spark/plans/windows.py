@@ -199,3 +199,79 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rk
+    FROM orders
+    WHERE o_orderkey % 17 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, rk
+    """,
+    doc="Relative-position window functions: percent_rank ((rk-1)/(n-1)) "
+    "and cume_dist (rows≤current/n) per priority class. Both are single "
+    "deterministic double divisions over integer rank/count inputs, so "
+    "they hash-match across engines; the ORDER BY carries the o_orderkey "
+    "tie-break to keep ranks total.",
+    tags=("window",),
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 17 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.rank().over(w).cast("long").alias("rk"),
+        )
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_key,
+           nth_value(o_orderkey, 2) OVER w AS second_cheapest_key
+    FROM orders
+    WHERE o_orderkey % 23 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """,
+    doc="Navigation window functions: first_value / last_value / nth_value "
+    "per priority class. last_value carries the explicit UNBOUNDED "
+    "FOLLOWING frame (the default RANGE..CURRENT ROW frame makes "
+    "last_value mean 'current row' — the classic trap — and Spark and "
+    "DuckDB agree on that default, but the query pins the useful "
+    "semantics). nth_value with the default frame is NULL until 2 rows "
+    "have arrived, identically in both engines.",
+    tags=("window",),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 23 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.first("o_orderkey").over(w).alias("cheapest_key"),
+            F.last("o_orderkey").over(w_full).alias("priciest_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_key"),
+        )
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    )
