@@ -226,3 +226,48 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "tier")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 7, 3) AS jkey FROM customer
+    ),
+    r AS (
+      SELECT DISTINCT NULLIF(n_nationkey % 7, 3) AS jkey, n_nationkey % 7 AS bucket
+      FROM nation
+    )
+    SELECT r.bucket, CAST(l.jkey IS NULL AS BOOLEAN) AS key_is_null,
+           COUNT(*) AS n_customers
+    FROM l JOIN r ON l.jkey IS NOT DISTINCT FROM r.jkey
+    GROUP BY r.bucket, key_is_null
+    ORDER BY r.bucket
+    """,
+    doc="Null-safe equality join (Spark `<=>` ⟺ SQL IS NOT DISTINCT FROM): "
+    "NULL keys MATCH each other instead of silently dropping — the "
+    "semantics plain equi-joins get wrong when the join key is derived "
+    "and nullable (here NULLIF carves a NULL bucket out of the key "
+    "space). Spark still plans this as a hash join (null-safe equality "
+    "is a valid hash key), so the scale profile equals the plain "
+    "equi-join's.",
+    tags=("join", "null"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("jkey")
+    )
+    r = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.nullif(F.col("n_nationkey") % 7, F.lit(3)).alias("rkey"),
+            (F.col("n_nationkey") % 7).alias("bucket"),
+        )
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(r), F.col("jkey").eqNullSafe(F.col("rkey")))
+        .groupBy("bucket", F.isnull("jkey").alias("key_is_null"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("bucket")
+    )
