@@ -17,6 +17,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -68,5 +69,82 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) ---------------------
+#
+# The successor surface to applyInPandasWithState: typed state primitives
+# (ValueState / ListState / MapState) + event/processing-time timers on a
+# StatefulProcessor object. Same scale shape — state partitioned by the
+# group key, shuffled once, updated locally with Arrow batches.
+#
+# Runtime note: the operator's state server speaks protobuf; running it
+# needs google.protobuf on the Python workers (absent in this container,
+# so the end-to-end test is skipif-gated — the applyInPandasWithState
+# operator above is the fully-exercised stateful path here).
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+try:  # Spark ≥4.0 only; keep the module importable everywhere
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class EventTypeCounts(StatefulProcessor):
+    """Per-user MapState[event_type → count], emitted (full map) on every
+    batch the user appears in — the reference's eager per-key HashMap
+    accumulator (ListenerReducer.java:123-139) with a two-level key,
+    rebuilt on the typed-state API."""
+
+    def init(self, handle) -> None:
+        self.counts = handle.getMapState(
+            "counts",
+            StructType([StructField("event_type", StringType())]),
+            StructType([StructField("n", LongType())]),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (user_id,) = key
+        for pdf in rows:
+            for et, cnt in pdf["event_type"].value_counts().items():
+                k = (et,)
+                prev = self.counts.getValue(k)[0] if self.counts.containsKey(k) else 0
+                self.counts.updateValue(k, (prev + int(cnt),))
+        items = sorted((k[0], v[0]) for k, v in self.counts.iterator())
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(items),
+                "event_type": [k for k, _ in items],
+                "n_events": [v for _, v in items],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_event_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Running per-(user, event_type) counts via transformWithStateInPandas
+    with MapState. Update-mode output; state lives per user partition."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=EventTypeCounts(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

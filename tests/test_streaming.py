@@ -237,3 +237,51 @@ def test_stateful_running_totals(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state server speaks protobuf; "
+    "google.protobuf is not installed in this container",
+)
+def test_transform_with_state_event_type_counts(spark, tmp_path):
+    """transformWithStateInPandas (typed MapState): final per-(user,
+    event_type) counts across micro-batches must equal the batch groupBy.
+    Update-mode memory sink keeps every emission; the LAST row per key is
+    the final state."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream
+    from slr207_mapreduce_spark.streaming.stateful import user_event_type_counts
+
+    ev = load_table(spark, "events", SF_SMOKE).orderBy("ts").limit(200).cache()
+    d = str(tmp_path / "tws_src")
+    ev.coalesce(1).write.parquet(d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        user_event_type_counts(stream, "10 hours")
+        .writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("t_tws").collect():  # later emissions overwrite
+        got[(r["user_id"], r["event_type"])] = r["n_events"]
+    want = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
