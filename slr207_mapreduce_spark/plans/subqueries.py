@@ -186,3 +186,52 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("measure", "^l_", "").alias("measure"),
         F.col("val").cast("double").alias("val"),
     )
+
+
+@register(
+    "subq_recursive_cte_day_spine",
+    oracle="""
+    WITH RECURSIVE days(day) AS (
+      SELECT CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+      UNION ALL
+      SELECT day + INTERVAL 1 DAY FROM days
+      WHERE day < CAST('2024-01-30 00:00:00' AS TIMESTAMP)
+    )
+    SELECT day, COUNT(e.event_id) AS n_events
+    FROM days LEFT JOIN (
+      SELECT event_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS eday
+      FROM events
+    ) e ON e.eday = days.day
+    GROUP BY day
+    ORDER BY day
+    """,
+    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4): a 30-day calendar "
+    "spine generated by recursion, left-joined to per-day event counts so "
+    "empty days surface as zero — the recursive complement of the "
+    "sequence()-based spine in events_gap_filled_hours. Spark's recursion "
+    "currently supports UNION ALL only (no UNION-distinct), so it fits "
+    "ACYCLIC recursion like spines and hierarchies; cyclic closures "
+    "(dedup_clusters) stay on the iterative min-label path. Depth is "
+    "bounded (30 « the 100-step recursion limit) and the recursion "
+    "produces one row per step — driver-side-loop-free.",
+    tags=("subquery", "recursive", "events"),
+)
+def subq_recursive_cte_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(day) AS (
+          SELECT CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+          UNION ALL
+          SELECT day + INTERVAL 1 DAY FROM days
+          WHERE day < CAST('2024-01-30 00:00:00' AS TIMESTAMP)
+        )
+        SELECT day, COUNT(e.event_id) AS n_events
+        FROM days LEFT JOIN (
+          SELECT event_id, date_trunc('day', ts) AS eday FROM events
+        ) e ON e.eday = days.day
+        GROUP BY day
+        ORDER BY day
+        """
+    )
