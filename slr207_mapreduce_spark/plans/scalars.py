@@ -316,3 +316,31 @@ def scalar_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("label").cast("long"), (F.col("vec_id") % 3).cast("long"))
         ).alias("sorted_pair"),
     )
+
+
+@register(
+    "scalar_variant_type",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.nope') IS NULL AS BOOLEAN) AS missing_is_null
+    FROM events WHERE event_id < 150
+    """,
+    doc="VARIANT semi-structured type (new in Spark 4): parse_json into a "
+    "binary variant column, then typed try_variant_get extraction — the "
+    "open-schema ingestion path that beats string-JSON re-parsing per "
+    "access (the variant is decoded once, fields are read positionally). "
+    "Oracle reads the same fields via DuckDB's JSON functions; outputs are "
+    "typed identically on both sides.",
+    tags=("scalar", "json", "variant", "events"),
+)
+def scalar_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 150)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k_long"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.isnull(F.try_variant_get(v, "$.nope", "string")).alias("missing_is_null"),
+    )

@@ -235,3 +235,42 @@ def subq_recursive_cte_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day
         """
     )
+
+
+@register(
+    "subq_lateral_topk_per_nation",
+    oracle="""
+    SELECT n.n_name, top.s_name, top.s_acctbal
+    FROM nation n, LATERAL (
+      SELECT s_name, s_acctbal
+      FROM supplier
+      WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name
+      LIMIT 2
+    ) AS top
+    ORDER BY n.n_name, top.s_acctbal DESC, top.s_name
+    """,
+    doc="LATERAL correlated subquery: per nation, its top-2 suppliers by "
+    "account balance — the correlated-TVF join surface (Spark plans it as "
+    "a LateralJoin/DomainJoin; semantically a per-row subquery the "
+    "optimizer decorrelates into a ranked join, same result as the window "
+    "formulation in window_rank_topn_per_group but expressed as the SQL "
+    "LATERAL operator).",
+    tags=("subquery", "lateral", "join"),
+)
+def subq_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.s_name, top.s_acctbal
+        FROM nation n, LATERAL (
+          SELECT s_name, s_acctbal
+          FROM supplier
+          WHERE s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name
+          LIMIT 2
+        ) AS top
+        ORDER BY n.n_name, top.s_acctbal DESC, top.s_name
+        """
+    )
