@@ -303,3 +303,34 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY ALL
+    """,
+    doc="GROUP BY ALL (Spark 4 / modern-SQL sugar): every non-aggregate "
+    "select-list column becomes a grouping key, so wide summary queries "
+    "can't silently drop a key. Plans to the same partial+final "
+    "HashAggregate as an explicit GROUP BY; DuckDB supports the identical "
+    "syntax, so the oracle is textually the same query.",
+    tags=("agg", "sql"),
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY ALL
+        """
+    )

@@ -110,3 +110,36 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "setop_union_by_name",
+    oracle=f"""
+    SELECT c_custkey, 'building' AS src, CAST(NULL AS BIGINT) AS okey
+    FROM ({_SQL_BUILDING})
+    UNION ALL
+    SELECT o_custkey AS c_custkey, 'big_order' AS src, o_orderkey AS okey
+    FROM orders WHERE o_totalprice > 250000
+    """,
+    doc="unionByName with allowMissingColumns: schemas align by COLUMN NAME "
+    "not position (the right side lists columns in a different order; the "
+    "left side lacks okey entirely and gets it null-filled), vs positional "
+    "UNION ALL which would silently mis-zip. Oracle spells out the aligned "
+    "projection.",
+    tags=("setop", "union"),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = _building(spark, sf_dir).select(
+        "c_custkey",
+        F.lit("building").alias("src"),
+    )
+    right = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 250000)
+        .select(
+            F.lit("big_order").alias("src"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("c_custkey"),
+        )
+    )
+    return left.unionByName(right, allowMissingColumns=True)
