@@ -127,22 +127,28 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
-           list_sort(list(DISTINCT CAST(l_suppkey AS BIGINT))) AS suppliers
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           array_to_string(list_sort(list(DISTINCT CAST(l_suppkey AS BIGINT))), ',') AS suppliers
     FROM lineitem
     GROUP BY l_returnflag
     """,
     doc="Array aggregation made deterministic: collect_set is unordered by "
     "construction, so every collected array is sort_array'd before leaving "
     "the operator — the only way array aggs can be reproducible under "
-    "partitioning.",
+    "partitioning. Output arrays are serialized to ',' joined strings so "
+    "every emitted cell is scalar (keeps order-insensitive hash comparators "
+    "that sort raw cells happy).",
     tags=("agg", "array"),
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(F.collect_set(F.col("l_suppkey").cast("long"))).alias("suppliers"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("l_suppkey").cast("long"))), ","
+        ).alias("suppliers"),
     )
 
 

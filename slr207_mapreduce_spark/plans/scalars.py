@@ -225,7 +225,7 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
-           list_transform(embedding, x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)) AS sign_mask,
+           array_to_string(list_transform(embedding, x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)), ',') AS sign_mask,
            CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))),
                 (acc, x) -> acc + x) AS DOUBLE) AS comp_sum,
            CAST(list_zip(embedding[1:2], embedding[3:4])[1][1] AS DOUBLE) AS zip_head
@@ -243,8 +243,9 @@ def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_positive"),
-        F.transform(
-            emb, lambda x: F.when(x > 0, 1).otherwise(0).cast("long")
+        F.array_join(
+            F.transform(emb, lambda x: F.when(x > 0, 1).otherwise(0).cast("long")),
+            ",",
         ).alias("sign_mask"),
         F.aggregate(
             F.transform(emb, lambda x: x.cast("double")),
@@ -261,8 +262,8 @@ def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_type",
     oracle="""
     SELECT event_id,
-           map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS mkeys,
-           map_values(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS mvals,
+           array_to_string(map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS mkeys,
+           array_to_string(map_values(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS mvals,
            (MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}['type'])[1] AS type_via_map
     FROM events WHERE event_id < 100
     """,
@@ -278,8 +279,8 @@ def scalar_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m), ",").alias("mvals"),
         F.element_at(m, "type").alias("type_via_map"),
     )
 
@@ -293,7 +294,7 @@ def scalar_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(embedding[1] AS DOUBLE) AS first_component,
       CAST(list_max(embedding) AS DOUBLE) AS max_component,
       CAST(list_contains([CAST(label AS BIGINT), 0], 0) AS BOOLEAN) AS label_or_zero_has_zero,
-      list_sort([CAST(label AS BIGINT), CAST(vec_id % 3 AS BIGINT)]) AS sorted_pair
+      array_to_string(list_sort([CAST(label AS BIGINT), CAST(vec_id % 3 AS BIGINT)]), ',') AS sorted_pair
     FROM embeddings
     WHERE vec_id < 100
     """,
@@ -312,8 +313,13 @@ def scalar_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(
             F.array(F.col("label").cast("long"), F.lit(0).cast("long")), F.lit(0)
         ).alias("label_or_zero_has_zero"),
-        F.sort_array(
-            F.array(F.col("label").cast("long"), (F.col("vec_id") % 3).cast("long"))
+        F.array_join(
+            F.sort_array(
+                F.array(
+                    F.col("label").cast("long"), (F.col("vec_id") % 3).cast("long")
+                )
+            ),
+            ",",
         ).alias("sorted_pair"),
     )
 

@@ -98,7 +98,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            nrm AS l2_norm,
            CAST(floor(e[1] / nrm * 127) AS BIGINT) AS q0,
            CAST(floor(e[2] / nrm * 127) AS BIGINT) AS q1,
-           list_transform(e, x -> CAST(floor(x / nrm * 127) AS BIGINT)) AS quantized
+           array_to_string(list_transform(e, x -> CAST(floor(x / nrm * 127) AS BIGINT)), ',') AS quantized
     FROM norms
     """,
     doc="Vector preprocessing for multimodal/embedding pipelines: L2 "
@@ -121,8 +121,8 @@ def q_embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFram
             "l2_norm",
             qz(F.element_at("embedding", 1).cast("double")).alias("q0"),
             qz(F.element_at("embedding", 2).cast("double")).alias("q1"),
-            F.transform(
-                F.col("embedding"), lambda x: qz(x.cast("double"))
+            F.array_join(
+                F.transform(F.col("embedding"), lambda x: qz(x.cast("double"))), ","
             ).alias("quantized"),
         )
     )

@@ -76,8 +76,39 @@ def _dtype_kind(dtype) -> str:
     return s
 
 
+def _unhashable_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns containing list/ndarray/dict cells.
+
+    The driver canonicalizes with a raw ``DataFrame.sort_values`` over the
+    untouched cells, which raises ``TypeError: unhashable type`` on any
+    list-like cell — so an oracled query emitting array/map columns fails the
+    driver gate even when values are identical. Flag them here so the local
+    gate stays strictly stronger (ADVICE r01: serialize such columns with
+    array_join/array_to_string, or drop the oracle)."""
+    import numpy as np
+
+    bad = []
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype == object and s.map(
+            lambda v: isinstance(v, (list, np.ndarray, dict, set))
+        ).any():
+            bad.append(c)
+    return bad
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
+    for side, pdf in (("spark", spark_pdf), ("duck", duck_pdf)):
+        bad = _unhashable_cols(pdf)
+        if bad:
+            problems.append(
+                f"{side} output has list/array/map cells in {bad} — the driver's "
+                "sort_values canonicalization crashes on these; serialize to "
+                "scalar (array_join / array_to_string) or set oracle=None"
+            )
+    if problems:
+        return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
