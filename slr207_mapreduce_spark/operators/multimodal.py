@@ -113,6 +113,52 @@ def extract_features(blob_df: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_w", IntegerType()),
+        StructField("in_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+    ]
+)
+
+
+def fake_resize(target: int):
+    """Aspect-preserving fit-resize stub (decode is md5-derived dims, the
+    geometry arithmetic is the real thing a PIL ``thumbnail`` computes):
+    scale = min(target/w, target/h), out = max(1, floor(dim*scale)).
+    Pure IEEE f64 ops → bit-identical to the SQL oracle."""
+
+    def _batches(blobs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = float(target)
+        for pdf in blobs:
+            digests = [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]]
+            w = np.array([int(d[:4], 16) % 1920 + 1 for d in digests], dtype="float64")
+            h = np.array([int(d[4:8], 16) % 1080 + 1 for d in digests], dtype="float64")
+            scale = np.minimum(t / w, t / h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_w": w.astype("int32"),
+                    "in_h": h.astype("int32"),
+                    "out_w": np.maximum(1, np.floor(w * scale)).astype("int32"),
+                    "out_h": np.maximum(1, np.floor(h * scale)).astype("int32"),
+                }
+            )
+
+    return _batches
+
+
+def resize_stub(blob_df: DataFrame, target: int = 224) -> DataFrame:
+    """mapInPandas resize over the blob table (real plumbing, stub codec)."""
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        fake_resize(target), schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_stub(blob_df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame index.
     The decode itself is stubbed (frame count derived from payload length —

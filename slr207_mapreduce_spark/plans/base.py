@@ -77,6 +77,9 @@ def all_queries() -> dict[str, QuerySpec]:
         udtf_queries,
         asof_queries,
         graph_queries,
+        relational_extra,
+        scalars_extra,
+        events_extra,
     )
 
     return dict(REGISTRY)

@@ -62,3 +62,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_stub(with_blob_column(d), every_n=10).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_uri"
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS DOUBLE) AS w,
+             CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS DOUBLE) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS in_w,
+           CAST(h AS INTEGER) AS in_h,
+           CAST(greatest(1, floor(w * least(224.0 / w, 224.0 / h))) AS INTEGER) AS out_w,
+           CAST(greatest(1, floor(h * least(224.0 / w, 224.0 / h))) AS INTEGER) AS out_h
+    FROM dims
+    """,
+    doc="Aspect-preserving image resize plumbing (fit into 224x224): "
+    "mapInPandas batch resize whose codec is the md5-dims stub but whose "
+    "geometry (scale = min(t/w, t/h), floor, 1-px clamp) is the real "
+    "PIL-thumbnail arithmetic — IEEE f64 ops reproduced literally by the "
+    "oracle. Swapping the stub for PIL changes only the inner function.",
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import resize_stub
+
+    d = load_table(spark, "documents", sf_dir)
+    return resize_stub(with_blob_column(d), target=224)

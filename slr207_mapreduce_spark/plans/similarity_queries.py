@@ -164,3 +164,78 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_component_e12"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+_Q_CODES_SQL = """
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[]))) * 127)
+                       AS BIGINT)) AS codes
+    FROM embeddings
+"""
+
+
+@register(
+    "knn_quantized_int8",
+    oracle=f"""
+    WITH codes AS ({_Q_CODES_SQL}),
+    q AS (SELECT vec_id AS query_id, codes AS qc FROM codes WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, codes AS cc FROM codes WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_dot_product(CAST(qc AS DOUBLE[]), CAST(cc AS DOUBLE[])) AS BIGINT) AS iscore
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, iscore,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY iscore DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, iscore, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="Quantized (int8-code) top-k search: vectors L2-normalized and "
+    "floor-quantized to [-127,127] integer codes (the compressed form an "
+    "ANN index stores — 4x smaller than f32, SIMD-friendly integer dot "
+    "products), then exact integer top-3 per query with deterministic "
+    "tie-break. Integer scores are engine-exact by construction — the "
+    "memory-bandwidth scale path when 100 TB of embeddings won't fit as "
+    "f32. Queries broadcast; corpus scanned once, no corpus shuffle.",
+    tags=("similarity", "quantization"),
+)
+def q_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from slr207_mapreduce_spark.operators.similarity import norm_f64
+
+    e = load_table(spark, "embeddings", sf_dir)
+    nrm = norm_f64(F.col("embedding"))
+    codes = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") / nrm * 127).cast("long")
+        ).alias("codes"),
+    )
+    q = codes.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    c = codes.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("cc")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qc", "cc", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("iscore"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("iscore"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "iscore", "rank")
+    )

@@ -224,3 +224,86 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.max("tf").cast("long").alias("max_tf_in_doc"),
     )
+
+
+@register(
+    "text_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+      FROM toks WHERE length(term) > 0 GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,1))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * (1.5 + 1.0))
+               / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(floor(s * 1e9) AS BIGINT)) AS BIGINT) AS bm25_e9
+    FROM scored
+    GROUP BY doc_id
+    """,
+    doc="BM25 relevance scoring (k1=1.5, b=0.75) for the query "
+    "{join, hash, scan}: per-term tf saturation x length normalization "
+    "(dl/avgdl, avgdl from an exact decimal sum) x idf. The idf uses the "
+    "log-FREE monotone surrogate (N-df+0.5)/(df+0.5)+1 — the operand of "
+    "BM25's ln — because ln() itself differs by 1 ulp between JVM and "
+    "libm (measured: 40/500 operands), which would break bit-exactness; "
+    "per-term ordering is identical. Scores are fixed-point e9 summed as "
+    "integers, so the output is engine-exact. Shape: two token "
+    "aggregations + a broadcast of tiny df/stats — one corpus scan.",
+    tags=("text", "ranking"),
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.functions.portable import dec
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
+        F.length("term") > 0
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(dec("dl", 18, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin("join", "hash", "scan"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(1.5), F.lit(0.75)
+    s = (
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.floor(F.col("s") * 1e9).cast("long")).cast("long").alias("bm25_e9"))
+    )
