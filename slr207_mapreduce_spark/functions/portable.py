@@ -68,3 +68,24 @@ def portable_hash64(col: Column, seed: int = 0) -> Column:
 def portable_hash64_sql(expr: str, seed: int = 0) -> str:
     """DuckDB rendering of :func:`portable_hash64` (same bits)."""
     return f"CAST(('0x' || substring(md5('s{seed}|' || {expr}), 1, 15)) AS BIGINT)"
+
+
+def portable_hash64_lane(col: Column, pair: int, lane: int) -> Column:
+    """One of two independent 60-bit hashes carved from a single md5 digest.
+
+    A digest has 32 hex chars; lane 0 reads chars 1-15, lane 1 reads 17-31 —
+    disjoint bits, so the lanes behave as two hash functions for the price
+    of one md5 evaluation. MinHash with k hashes therefore costs ceil(k/2)
+    md5 calls per shingle instead of k — md5 is the critical-path cost of
+    the signature pass (measured ~2x on the sf0.1 corpus).
+    """
+    payload = F.concat(F.lit(f"s{pair}|"), col)
+    return F.conv(F.substring(F.md5(payload), 1 + 16 * lane, 15), 16, 10).cast("long")
+
+
+def portable_hash64_lane_sql(expr: str, pair: int, lane: int) -> str:
+    """DuckDB rendering of :func:`portable_hash64_lane` (same bits)."""
+    return (
+        f"CAST(('0x' || substring(md5('s{pair}|' || {expr}), {1 + 16 * lane}, 15))"
+        " AS BIGINT)"
+    )

@@ -49,6 +49,23 @@ def salted_join(
     return out
 
 
+def parallelize_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Rebalance a few-partition scan before a CPU-heavy fan-out.
+
+    A small parquet file arrives as ONE split, so an explode + hash pipeline
+    downstream runs on one core no matter how many the cluster has (measured:
+    the sf0.1 minhash signature pass is 2x slower single-split). At 100 TB the
+    same table arrives as thousands of splits and this is a no-op — the
+    round-robin shuffle of the raw rows only fires when the scan has fewer
+    partitions than the cluster has cores, i.e. exactly when the shuffled
+    volume is trivially small.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def repartition_by(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
     """Explicit hash re-partitioning to co-locate downstream wide ops
     (joins/aggs on the same key reuse the exchange instead of re-shuffling).

@@ -53,7 +53,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.5, shingle_n=3)
 
 
-from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
+from slr207_mapreduce_spark.functions.portable import portable_hash64_lane_sql
 from slr207_mapreduce_spark.operators.dedup import shingles_sql
 
 _MINHASH_SIG_SQL = f"""
@@ -62,7 +62,7 @@ _MINHASH_SIG_SQL = f"""
       FROM documents
     )
     SELECT doc_id,
-           {", ".join(f"MIN({portable_hash64_sql('s', seed=s)}) AS h{s}" for s in range(6))}
+           {", ".join(f"MIN({portable_hash64_lane_sql('s', *divmod(s, 2))}) AS h{s}" for s in range(6))}
     FROM sh GROUP BY doc_id
     """
 
