@@ -1,0 +1,224 @@
+"""Aggregate surface widening, round 2 (SURVEY.md §2.1 — richer reduce
+monoids over the reference's O9 per-key accumulation,
+ListenerReducer.java:123-139):
+
+- FILTER-clause conditional aggregation (one scan, many predicated sums —
+  the map-side-combine-friendly replacement for N self-joined subqueries)
+- min_by / max_by argmin-argmax with a composite (value, key) ordering so
+  ties are impossible and results are engine-stable
+- exact interpolated percentiles (percentile / median — single shuffle,
+  sort inside the aggregate; the exact counterpart of the declared
+  approx_percentile surface)
+- multiple COUNT(DISTINCT) in one aggregation (Catalyst Expand: one scan
+  fans out per distinct key set instead of N self-joins)
+- exact skewness / kurtosis from DECIMAL power sums (Spark's builtin
+  skewness()/kurtosis() fold doubles in partition order — order-dependent
+  bits — so the checked form derives both from exact Σx, Σx², Σx³, Σx⁴
+  via the closed-form central-moment identities, multiplication-only so
+  both engines produce bit-identical IEEE results at any parallelism)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.functions.portable import dec
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_open,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="FILTER (WHERE ...) conditional aggregation: one scan computes N "
+    "predicated aggregates — at 100 TB this replaces N filtered self-"
+    "aggregations (N scans) with one, and every branch still map-side "
+    "combines. Double sums go through exact DECIMAL (SCALE.md).",
+    tags=("agg",),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(fin).alias("n_finished"),
+        F.sum(F.when(fin, dec("o_totalprice"))).cast("double").alias("rev_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", dec("o_totalprice")))
+        .cast("double")
+        .alias("rev_open"),
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+    )
+
+
+@register(
+    "agg_min_by_max_by",
+    # Oracle avoids arg_min/arg_max tie ambiguity by construction: the
+    # ordering struct ends in the unique key, so rn=1 is a total order.
+    oracle="""
+    WITH lo AS (
+      SELECT o_orderstatus, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ),
+    hi AS (
+      SELECT o_orderstatus, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT l.o_orderstatus,
+           l.o_orderkey AS cheapest_order,
+           h.o_orderkey AS priciest_order
+    FROM lo l JOIN hi h ON l.o_orderstatus = h.o_orderstatus
+    WHERE l.rn = 1 AND h.rn = 1
+    """,
+    doc="min_by / max_by argmin-argmax aggregates. The ordering key is the "
+    "composite struct(price, orderkey) — a TOTAL order, so ties cannot "
+    "occur and any engine returns the same row. Plain aggregation (full "
+    "map-side combine), vs the oracle's window formulation which must "
+    "materialize per-group sorts.",
+    tags=("agg",),
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    order_struct = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", order_struct).alias("cheapest_order"),
+        F.max_by("o_orderkey", order_struct).alias("priciest_order"),
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.90) AS price_p90,
+           median(l_quantity) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (percentile()/median()): sort-"
+    "within-aggregate, one shuffle on the group key. Linear interpolation "
+    "on the sorted values is position arithmetic — order-independent, so "
+    "it hash-matches DuckDB's quantile_cont exactly. At 100 TB the "
+    "declared approx_percentile (events_approx_percentiles) is the "
+    "default; this is the exact verifier tier.",
+    tags=("agg",),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("price_p90"),
+        F.median("l_quantity").alias("med_qty"),
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_ord,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Several COUNT(DISTINCT ...) over different keys in ONE aggregation. "
+    "Catalyst plans this with Expand (each row fans out once per distinct "
+    "key set, then a two-phase distinct+count) — one scan instead of three "
+    "self-aggregated scans. The 100 TB trade: Expand multiplies shuffle "
+    "rows by the number of distinct columns; beyond a few, rewrite to HLL "
+    "sketches (agg_hll_mergeable_sketches) or bitmaps (agg_bitmap_distinct).",
+    tags=("agg",),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+        F.count_distinct("l_orderkey").alias("n_ord"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# Shared SQL text for the closed-form moment math. The arithmetic shape is
+# IDENTICAL on both sides (left-associative +/-/*, sqrt only — no pow()):
+# libm pow() is not correctly rounded and differs across implementations,
+# but *, /, sqrt are IEEE-exact, so writing x*x*x instead of pow(x,3)
+# makes the doubles bit-identical in Spark and DuckDB.
+_MOMENT_MATH = """
+    SELECT l_linestatus,
+           n,
+           m1,
+           (s2 / n - m1 * m1) AS variance,
+           (s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * m1 * m1 * m1)
+             / ((s2 / n - m1 * m1) * sqrt(s2 / n - m1 * m1)) AS skewness,
+           (s4 / n - 4.0 * m1 * (s3 / n) + 6.0 * m1 * m1 * (s2 / n)
+              - 3.0 * m1 * m1 * m1 * m1)
+             / ((s2 / n - m1 * m1) * (s2 / n - m1 * m1)) - 3.0 AS kurtosis
+    FROM sums
+"""
+
+
+@register(
+    "agg_skew_kurt_exact",
+    oracle=f"""
+    WITH sums AS (
+      SELECT l_linestatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      FROM lineitem
+      GROUP BY l_linestatus
+    )
+    {_MOMENT_MATH}
+    """,
+    doc="Exact population skewness and excess kurtosis from DECIMAL power "
+    "sums (Σx..Σx⁴ are exact 128-bit decimal — order-independent at any "
+    "parallelism), then one closed-form double evaluation per group. "
+    "Spark's builtin skewness()/kurtosis() accumulate doubles in partition "
+    "order and drift in the last bits between runs; this form is "
+    "bit-stable AND verifiable against a single-threaded oracle — the "
+    "SCALE.md exactness-under-parallelism invariant applied to third and "
+    "fourth moments. No pow(): libm pow is not correctly rounded; "
+    "multiplication chains and sqrt are.",
+    tags=("agg", "exact"),
+)
+def agg_skew_kurt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = dec("l_quantity", 38, 6)
+    sums = li.groupBy("l_linestatus").agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum(q).cast("double") / F.count("*").cast("double")).alias("m1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    sums.createOrReplaceTempView("agg_skew_power_sums")
+    return spark.sql(_MOMENT_MATH.replace("FROM sums", "FROM agg_skew_power_sums"))

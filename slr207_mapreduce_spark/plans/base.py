@@ -80,6 +80,8 @@ def all_queries() -> dict[str, QuerySpec]:
         relational_extra,
         scalars_extra,
         events_extra,
+        agg_r2,
+        events_r2,
     )
 
     return dict(REGISTRY)
