@@ -82,6 +82,8 @@ def all_queries() -> dict[str, QuerySpec]:
         events_extra,
         agg_r2,
         events_r2,
+        scalars_r2,
+        text_r2,
     )
 
     return dict(REGISTRY)

@@ -1,0 +1,186 @@
+"""Scalar + join surface widening, round 2 (SURVEY.md §2.1, per-record map
+generalizations of reference O5-O7, WorkerSender.java:216-230).
+
+- scalar_format_printf: printf-style formatting. Integer/string/hex
+  specifiers only — %f is deliberately excluded because Java's
+  String.format rounds HALF_UP while C printf rounds half-even, so float
+  formatting is not engine-portable at the last digit.
+- scalar_sequence_arrays: sequence generation + array slicing/reversal/
+  folding. Integer arithmetic only → exact everywhere. Arrays are
+  serialized with array_join (driver comparator needs scalar cells,
+  ADVICE r01). Portability trap pinned here: DuckDB array_to_string on an
+  EMPTY list returns NULL where Spark array_join returns '' — the oracle
+  COALESCEs to ''.
+- join_existence_flag: EXISTS-as-a-column (left join against a distinct
+  key set + null test) — the flag form of the semi join, kept alongside
+  join_left_semi because real pipelines need the row PLUS the boolean,
+  not the filtered subset.
+- asof_tolerance_30m: as-of join with a match-window tolerance — the
+  sensor-fusion variant: a preceding view older than 30 min is no match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.operators.asof import asof_join
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "scalar_format_printf",
+    oracle="""
+    SELECT s_suppkey,
+           printf('SUP-%06d', s_suppkey) AS padded_id,
+           printf('%s/%d', s_name, s_nationkey) AS name_nation,
+           printf('%x', s_suppkey) AS hex_key,
+           lpad(CAST(s_nationkey AS VARCHAR), 4, '0') AS lpad_nation,
+           rpad(CAST(s_suppkey AS VARCHAR), 8, '.') AS rpad_key,
+           repeat('*', s_nationkey % 5) AS stars
+    FROM supplier
+    """,
+    doc="printf-style formatting (format_string ≙ DuckDB printf: %d/%s/%x "
+    "and zero-padding agree between Java's Formatter and C printf; %f does "
+    "NOT — HALF_UP vs half-even — and is excluded by design), plus "
+    "lpad/rpad/repeat. Pure projection: runs at scan speed inside "
+    "whole-stage codegen, zero shuffle.",
+    tags=("scalar",),
+)
+def scalar_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.format_string("SUP-%06d", "s_suppkey").alias("padded_id"),
+        F.format_string("%s/%d", "s_name", "s_nationkey").alias("name_nation"),
+        F.format_string("%x", "s_suppkey").alias("hex_key"),
+        F.lpad(F.col("s_nationkey").cast("string"), 4, "0").alias("lpad_nation"),
+        F.rpad(F.col("s_suppkey").cast("string"), 8, ".").alias("rpad_key"),
+        F.repeat(F.lit("*"), (F.col("s_nationkey") % 5).cast("int")).alias("stars"),
+    )
+
+
+@register(
+    "scalar_sequence_arrays",
+    # DuckDB range(1, n+1) == Spark sequence(1, n) (inclusive upper bound).
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(range(1, l_linenumber + 1), ',') AS seq_str,
+           CAST(list_sum(range(1, l_linenumber + 1)) AS BIGINT) AS seq_sum,
+           array_to_string(list_reverse(range(1, l_linenumber + 1)), ',') AS rev_str,
+           COALESCE(array_to_string(list_slice(range(1, l_linenumber + 1), 2, 3), ','),
+                    '') AS mid_str,
+           CAST(len(range(1, l_linenumber + 1)) AS INTEGER) AS seq_len
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="Array generation and manipulation: sequence / reverse / slice / "
+    "fold-sum / size, integer-exact, serialized to scalars for the hash "
+    "gate. All JVM-side catalyst array expressions — no Python, no "
+    "shuffle; generalizes the reference's per-record map (O5) to nested "
+    "values.",
+    tags=("scalar", "array"),
+)
+def scalar_sequence_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join(seq, ",").alias("seq_str"),
+        F.aggregate(seq, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("seq_sum"),
+        F.array_join(F.reverse(seq), ",").alias("rev_str"),
+        F.array_join(F.slice(seq, 2, 2), ",").alias("mid_str"),
+        F.size(seq).alias("seq_len"),
+    )
+
+
+@register(
+    "join_existence_flag",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           (u.o_custkey IS NOT NULL) AS has_urgent
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT') u
+      ON c.c_custkey = u.o_custkey
+    """,
+    doc="Existence flag (EXISTS as a projected boolean): left join against "
+    "the DISTINCT urgent-customer key set, flag = match non-null. The "
+    "distinct pre-aggregation keeps the join 1:1 (no row multiplication), "
+    "and at TPC-H ratios the key set broadcasts — the fact side never "
+    "shuffles. Complements join_left_semi/join_left_anti, which FILTER "
+    "rather than flag.",
+    tags=("join",),
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(
+        F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("o_custkey").isNotNull().alias("has_urgent"),
+    )
+
+
+@register(
+    "asof_tolerance_30m",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           CASE WHEN v.ts >= p.ts - INTERVAL 30 MINUTE THEN v.event_id END AS view_id_30m
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="As-of join with tolerance: latest view at/before each purchase, "
+    "but only if within 30 minutes — staler matches become NULL. Same "
+    "union+carry-forward plan as asof_purchase_last_view (one shuffle, "
+    "linear per key) with the tolerance applied as a post-predicate: "
+    "equivalent to a windowed as-of because the carried row is by "
+    "construction the NEAREST preceding one. Oracle = DuckDB native ASOF "
+    "plus the same predicate.",
+    tags=("asof", "join", "custom"),
+)
+def asof_tolerance_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id", "ts"],
+    )
+    in_window = F.col("ts_right") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("event_id_right")).alias("view_id_30m"),
+    )

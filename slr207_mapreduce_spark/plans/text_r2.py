@@ -1,0 +1,90 @@
+"""Corpus-level text profiling, round 2.
+
+text_profile_by_source fuses the per-document heuristics (token counts,
+length, digit ratio — the text_quality/text_token_count family) into ONE
+scan + ONE aggregation keyed by (source, lang): the corpus-triage report a
+training-data pipeline runs before any filtering decision. At 100 TB this
+is the cheapest possible shape — every per-doc feature is a catalyst
+column expression computed inside the scan stage (no Python, no
+pre-shuffle), and the aggregate is partial→final over a tiny key domain,
+so the shuffle carries one row per (source, lang) per task.
+
+Counting integers (token counts, char counts) makes every SUM exact; the
+two ratio outputs are single IEEE divisions of exact operands — the
+SCALE.md exactness-under-parallelism invariant without DECIMAL anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.operators.text import tokens_ws
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+@register(
+    "text_profile_by_source",
+    oracle=r"""
+    WITH feats AS (
+      SELECT source, lang,
+             len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+           CAST(SUM(n_digits) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE) AS digit_ratio,
+           CAST(count(*) FILTER (WHERE n_tokens < 10) AS BIGINT) AS n_short,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM feats
+    GROUP BY source, lang
+    """,
+    doc="Corpus triage profile per (source, lang): doc/token/char totals, "
+    "short-doc counts, digit ratio — the text_quality feature set fused "
+    "into one scan + one tiny-key aggregation. Integer sums are exact; "
+    "ratios are one IEEE division each, so the report is bit-stable at "
+    "any parallelism. The token-budget planning query for a 100 TB "
+    "pre-training corpus.",
+    tags=("text", "pipeline"),
+)
+def text_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    feats = d.select(
+        "source",
+        "lang",
+        F.size(tokens_ws("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("n_digits"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        feats.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_digits").alias("_digits"),
+            F.count_if(F.col("n_tokens") < 10).alias("n_short"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            (dbl("total_tokens") / dbl("n_docs")).alias("avg_tokens"),
+            (dbl("_digits") / dbl("total_chars")).alias("digit_ratio"),
+            "n_short",
+            "min_tokens",
+            "max_tokens",
+        )
+    )
