@@ -426,3 +426,214 @@ def cosine_neardup_sql(threshold: float, bits: int = 8) -> str:
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id AND {ba} = {bb} AND {cos} >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC) —
+# the FAISS-PQ shape on DataFrames.
+
+
+def _subspace_slices(vec_col: Column, m: int, sub_dim: int) -> Column:
+    """Array of m contiguous sub-vectors (1-based slice bounds)."""
+    return F.array(*[F.slice(vec_col, s * sub_dim + 1, sub_dim) for s in range(m)])
+
+
+def _l2sq_fp(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a fixed-point int64 (nano-units).
+
+    Written as (aa - 2ab) + bb with f64 sequential-fold dots — the exact
+    expression DuckDB evaluates — then floored to integers so every
+    DOWNSTREAM reduction (the per-candidate sum over subspaces) is an
+    integer monoid: commutative, associative, order-independent at any
+    parallelism. Floats never survive past this expression.
+    """
+    d2 = dot_f64(a, a) - F.lit(2.0) * dot_f64(a, b) + dot_f64(b, b)
+    return F.floor(d2 * F.lit(1e9)).cast("long")
+
+
+_L2SQ_FP_SQL = (
+    "CAST(floor((list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})) * 1000000000.0) AS BIGINT)"
+)
+
+
+def knn_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    sub_dim: int = 8,
+    ksub: int = 16,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via product quantization + asymmetric distance (ADC).
+
+    The FAISS-IndexPQ pipeline as a declarative plan:
+
+    1. **Codebook**: the vector space is cut into ``m`` subspaces of
+       ``sub_dim`` dims; each subspace gets ``ksub`` centroids. Centroids
+       are the sub-vectors of the first ``ksub`` corpus ids — a seeded
+       codebook instead of trained k-means so the whole operator stays
+       oracle-checkable (same stance as knn_ivf's coarse quantizer;
+       trained centroids swap in without changing the plan).
+    2. **Encode** (offline at scale): each corpus vector becomes m small
+       codes — argmin centroid per subspace via MIN over struct(dist,
+       cid), a plain aggregation with full map-side combine (the corpus
+       never shuffles more than its own row count). 64 f32 dims compress
+       to m bytes — a 32× memory cut, which is what lets a 100 TB corpus'
+       index live in RAM.
+    3. **ADC scan**: a query precomputes a (m × ksub) lookup table of
+       subspace distances; a candidate's approximate distance is the SUM
+       of m table hits — here a broadcast join of the tiny LUT against
+       the code rows plus an integer sum (fixed-point nano-units, so the
+       reduction is exact and order-independent).
+    4. **Re-rank**: top ``rerank`` candidates by ADC distance get exact
+       cosine; output is the top ``k`` by (cosine desc, id asc).
+
+    Returns (query_id, neighbor_id, cos_sim, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    def sub_rows(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(_subspace_slices(F.col(vec_col), m, sub_dim)).alias(
+                "s", out_vec
+            ),
+        )
+
+    cents = sub_rows(corpus.where(F.col(id_col) < ksub), "cid", "cvec")
+
+    # Encode: argmin centroid per (doc, subspace). MIN over struct(d2, cid)
+    # = (dist asc, cid asc) tie-break — aggregation, not a window, so the
+    # map side collapses ksub scored rows per (doc, s) before any exchange.
+    codes = (
+        sub_rows(corpus, "doc_id", "dvec")
+        .join(F.broadcast(cents), "s")
+        .select(
+            "doc_id",
+            "s",
+            F.struct(_l2sq_fp(F.col("dvec"), F.col("cvec")).alias("d2"), F.col("cid")).alias(
+                "sc"
+            ),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.min("sc").alias("best"))
+        .select("doc_id", "s", F.col("best.cid").alias("code"))
+    )
+
+    # Query LUT: |Q| × m × ksub rows — tiny, broadcast.
+    lut = (
+        sub_rows(queries, "query_id", "qvec")
+        .join(F.broadcast(cents), "s")
+        .select(
+            "query_id",
+            "s",
+            "cid",
+            _l2sq_fp(F.col("qvec"), F.col("cvec")).alias("qd2"),
+        )
+    )
+
+    # ADC: integer sum of m LUT hits per (query, candidate).
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.cid),
+        )
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("qd2").alias("approx_d2"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("doc_id"))
+    cand = (
+        adc.withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= rerank)
+        .select("query_id", "doc_id")
+    )
+
+    # Exact re-rank of the short candidate list.
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cvec"))
+    scored = c.join(
+        F.broadcast(cand.join(F.broadcast(q), "query_id")), "doc_id"
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def knn_pq_adc_sql(
+    k: int, m: int, sub_dim: int, ksub: int, rerank: int, query_pred: str
+) -> str:
+    """DuckDB mirror of :func:`knn_pq_adc` (same codes, same bits)."""
+    slice_expr = (
+        "list_slice(CAST(embedding AS DOUBLE[]), s * {sd} + 1, s * {sd} + {sd})"
+    ).format(sd=sub_dim)
+    d2 = _L2SQ_FP_SQL.format(a="d.dvec", b="c.cvec")
+    qd2 = _L2SQ_FP_SQL.format(a="q.qvec", b="c.cvec")
+    cos = COSINE_SQL.format(a="qv.embedding", b="cv.embedding")
+    return f"""
+    WITH subspaces AS (SELECT unnest(range(0, {m})) AS s),
+    cents AS (
+      SELECT vec_id AS cid, s, {slice_expr} AS cvec
+      FROM embeddings CROSS JOIN subspaces WHERE vec_id < {ksub}
+    ),
+    docsub AS (
+      SELECT vec_id AS doc_id, s, {slice_expr} AS dvec
+      FROM embeddings CROSS JOIN subspaces
+    ),
+    enc AS (
+      SELECT d.doc_id, d.s, c.cid, {d2} AS d2
+      FROM docsub d JOIN cents c ON d.s = c.s
+    ),
+    codes AS (
+      SELECT doc_id, s, cid AS code FROM (
+        SELECT doc_id, s, cid,
+               row_number() OVER (PARTITION BY doc_id, s ORDER BY d2 ASC, cid ASC) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, s, {slice_expr} AS qvec
+      FROM embeddings CROSS JOIN subspaces WHERE {{col}} REPLACED
+    ),
+    lut AS (
+      SELECT q.query_id, q.s, c.cid, {qd2} AS qd2
+      FROM qsub q JOIN cents c ON q.s = c.s
+    ),
+    adc AS (
+      SELECT l.query_id, cd.doc_id, SUM(l.qd2) AS approx_d2
+      FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.cid
+      WHERE cd.doc_id <> l.query_id
+      GROUP BY l.query_id, cd.doc_id
+    ),
+    cand AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d2 ASC, doc_id ASC) AS crn
+        FROM adc
+      ) WHERE crn <= {rerank}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT ca.query_id,
+             ca.doc_id AS neighbor_id,
+             {cos} AS cos_sim,
+             row_number() OVER (PARTITION BY ca.query_id
+                                ORDER BY {cos} DESC, ca.doc_id ASC) AS rank
+      FROM cand ca
+      JOIN embeddings qv ON qv.vec_id = ca.query_id
+      JOIN embeddings cv ON cv.vec_id = ca.doc_id
+    ) WHERE rank <= {k}
+    """.replace("{col} REPLACED", query_pred.format(col="vec_id"))

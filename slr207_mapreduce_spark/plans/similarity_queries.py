@@ -7,6 +7,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from slr207_mapreduce_spark.operators.similarity import (
+    knn_pq_adc,
+    knn_pq_adc_sql,
     cosine_neardup_pairs,
     cosine_neardup_sql,
     knn_bruteforce,
@@ -238,4 +240,27 @@ def q_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "iscore", "rank")
+    )
+
+@register(
+    "knn_pq_adc",
+    oracle=knn_pq_adc_sql(
+        k=5, m=8, sub_dim=8, ksub=16, rerank=20,
+        query_pred=f"{{col}} < {_N_QUERIES}",
+    ),
+    doc="ANN top-5 via product quantization + asymmetric distance (the "
+    "FAISS-PQ shape): seeded per-subspace codebooks (8 subspaces x 16 "
+    "centroids), corpus encoded to 8 codes by an argmin AGGREGATION "
+    "(map-side combined — no window over the corpus), query LUT broadcast, "
+    "ADC distance = integer sum of LUT hits (fixed-point nano-units -> "
+    "order-independent), exact cosine re-rank of the top-20. 64 f32 dims "
+    "-> 8 bytes is the 32x compression that keeps a 100 TB corpus' index "
+    "in memory. Recall vs brute force measured in tests/test_llm_ops.py.",
+    tags=("similarity",),
+)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return knn_pq_adc(
+        e, e.where(F.col("vec_id") < _N_QUERIES), k=5, m=8, sub_dim=8,
+        ksub=16, rerank=20,
     )
