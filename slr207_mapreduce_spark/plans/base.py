@@ -84,6 +84,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events_r2,
         scalars_r2,
         text_r2,
+        pipeline_r2,
     )
 
     return dict(REGISTRY)

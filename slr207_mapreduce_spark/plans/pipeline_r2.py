@@ -1,0 +1,262 @@
+"""Training-data pipeline widening, round 2 (BASELINE.json north-star).
+
+- dedup_semantic_clusters: embedding-space near-dup PAIRS → duplicate
+  GROUPS via connected components — the semantic-dedup counterpart of
+  dedup_clusters (which clusters MinHash-LSH lexical candidates). Same
+  iterative min-label propagation operator, different candidate modality.
+- pipeline_repetition_filter: Gopher-style repetition gate — the
+  duplicate-n-gram ratio per document, computed entirely with array
+  expressions (no explode, no shuffle): a scan-speed quality filter.
+- udf_map_in_arrow: mapInArrow coverage — the zero-copy Arrow batch API
+  (one rung below mapInPandas: no pandas conversion at all). The batch
+  computation is done with pyarrow.compute kernels and checked against a
+  pure-SQL oracle.
+- window_numeric_range_frame: RANGE frame over a NUMERIC ordering column
+  (value-distance frames; peer-inclusive) — completes the frame matrix:
+  ROWS (window_running/sliding_frame), time-RANGE (events_range_frame_1h),
+  numeric-RANGE (here).
+- scalar_map_higher_order: map lambda functions (transform_values,
+  map_filter, map_zip_with) — DuckDB has no map lambdas, so the oracle
+  computes the expected outputs directly from the same inputs: an
+  independent-construction check rather than a same-function check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.functions.portable import dec
+from slr207_mapreduce_spark.operators.graph import connected_components
+from slr207_mapreduce_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_neardup_sql,
+)
+from slr207_mapreduce_spark.operators.text import tokens_ws
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({cosine_neardup_sql(threshold=0.2, bits=8)})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, reach.r
+      FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    doc="Semantic dedup: embedding-cosine near-dup pairs (sign-bit-bucketed "
+    "join, cos >= 0.2) transitively closed into duplicate clusters by "
+    "min-label propagation (O(diameter) rounds, lineage checkpointed). "
+    "Keep-rule downstream is one row_number per cluster_id. The embedding-"
+    "space sibling of dedup_clusters (MinHash modality) — a real corpus "
+    "curation run executes BOTH and unions the edge sets before closure. "
+    "Oracle: recursive-CTE transitive closure over the identical pair SQL.",
+    tags=("dedup", "similarity", "graph", "iterative"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(e, threshold=0.2, bits=8)
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
+@register(
+    "pipeline_repetition_filter",
+    # Bigrams/trigrams via index-lambda over a range — the one array-HOF
+    # form whose lambda is single-parameter in BOTH engines (DuckDB lambda
+    # index params and struct-typed list_zip output are not portable).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             len(t) AS n_tokens,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bigrams,
+             list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS trigrams
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / CAST(len(bigrams) AS DOUBLE) AS dup_bigram_ratio,
+           1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE) / CAST(len(trigrams) AS DOUBLE) AS dup_trigram_ratio,
+           (1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / CAST(len(bigrams) AS DOUBLE)) > 0.2 AS flag_repetitive
+    FROM grams
+    """,
+    doc="Gopher-style repetition gate: duplicate-bigram/-trigram ratios per "
+    "document, flag when >20% of bigrams repeat. N-grams are built with an "
+    "index-lambda over sequence() and deduped with array_distinct — pure "
+    "array expressions inside the scan stage: no explode, no shuffle, no "
+    "Python. At 100 TB this runs at scan speed like the other text gates "
+    "(SCALE.md), and its integer-ratio outputs are exact.",
+    tags=("text", "pipeline"),
+)
+def pipeline_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = tokens_ws("text")
+    toks = d.select("doc_id", "source", t.alias("t")).where(F.size("t") >= 3)
+
+    def grams(n: int):
+        # sequence(1, size - n + 1) index positions; join n consecutive tokens
+        return F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+            ),
+        )
+
+    g = toks.select(
+        "doc_id",
+        "source",
+        F.size("t").cast("long").alias("n_tokens"),
+        grams(2).alias("bigrams"),
+        grams(3).alias("trigrams"),
+    )
+    dup = lambda c: F.lit(1.0) - (  # noqa: E731
+        F.size(F.array_distinct(c)).cast("double") / F.size(c).cast("double")
+    )
+    return g.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        dup(F.col("bigrams")).alias("dup_bigram_ratio"),
+        dup(F.col("trigrams")).alias("dup_trigram_ratio"),
+        (dup(F.col("bigrams")) > 0.2).alias("flag_repetitive"),
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS the_count
+    FROM documents
+    """,
+    doc="mapInArrow: per-batch pyarrow.compute kernels (utf8_length, "
+    "binary length, count_substring) with ZERO pandas/python-object "
+    "conversion — the fastest Python escape hatch Spark has. Batches stay "
+    "Arrow end-to-end; executor memory per task is one record batch. The "
+    "oracle recomputes the same quantities in pure SQL.",
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feats(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, "the"), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_bytes", "the_count"],
+            )
+
+    return d.mapInArrow(
+        feats, "doc_id long, n_chars long, n_bytes long, the_count long"
+    )
+
+
+@register(
+    "window_numeric_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(count(*) OVER w AS BIGINT) AS n_within_1k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_within_1k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE frame over a NUMERIC ordering column: each order sees the "
+    "peers within $1000 below it — value-distance framing, peer-inclusive "
+    "(ties share a frame), vs the positional ROWS frames. Completes the "
+    "frame matrix with window_running/sliding_frame (ROWS) and "
+    "events_range_frame_1h (time RANGE). Frame sums go through exact "
+    "DECIMAL; one shuffle on the partition key.",
+    tags=("window",),
+)
+def window_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.asc("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1k"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("sum_within_1k"),
+    )
+
+
+@register(
+    "scalar_map_higher_order",
+    # DuckDB has no map lambdas — the oracle constructs the expected
+    # outputs directly from the same scalar inputs (independent
+    # construction, not same-function echo).
+    oracle="""
+    SELECT event_id,
+           CAST(value * 2 AS DOUBLE) AS doubled_value,
+           CASE WHEN value > 50.0 THEN 'value:' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+                ELSE '' END AS kept_str,
+           CAST(CAST(value AS DECIMAL(12,2)) + CAST(user_id AS DECIMAL(12,2)) AS DOUBLE) AS zipped_sum
+    FROM events WHERE event_id < 200
+    """,
+    doc="Map-type lambda functions: transform_values (per-entry rescale), "
+    "map_filter (entry predicate), map_zip_with (two-map combine) — "
+    "evaluated JVM-side like the array HOFs. Outputs are extracted back to "
+    "scalars; DuckDB lacks map lambdas, so the oracle derives the expected "
+    "values independently from the raw columns (decimal-exact where "
+    "doubles are combined).",
+    tags=("scalar", "map", "higher_order"),
+)
+def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    m = F.create_map(F.lit("v"), F.col("value"))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(m, lambda k, v: v > 50.0)
+    dec_map = F.create_map(F.lit("v"), dec("value"))
+    uid_map = F.create_map(F.lit("v"), F.col("user_id").cast("decimal(12,2)"))
+    zipped = F.map_zip_with(dec_map, uid_map, lambda k, a, b: a + b)
+    kept_str = F.concat_ws(
+        "",
+        F.transform(
+            F.map_values(kept),
+            lambda v: F.concat(F.lit("value:"), dec(v).cast("string")),
+        ),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(doubled, "v").cast("double").alias("doubled_value"),
+        kept_str.alias("kept_str"),
+        F.element_at(zipped, "v").cast("double").alias("zipped_sum"),
+    )
