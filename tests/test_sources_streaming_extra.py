@@ -140,3 +140,23 @@ def test_foreach_batch_sink(spark, tmp_path):
         F.sum("count")
     ).collect()[0][0]
     assert total == 60
+
+
+def test_textsplits_python_datasource_matches_read_text(spark):
+    """The custom Python DataSource reads the reference's split fixtures
+    with identical content to spark.read.text, plus provenance columns;
+    one input partition per split file (the reference's distribution unit)."""
+    from slr207_mapreduce_spark.sources import split_source
+
+    split_dir = "/root/reference/little_splits"
+    split_source.register(spark)
+    df = spark.read.format("textsplits").option("path", split_dir).load()
+    rows = df.collect()
+
+    native = spark.read.text(split_dir).collect()
+    assert sorted(r["value"] for r in rows) == sorted(r["value"] for r in native)
+    # provenance: every fixture file is represented, line_no restarts per file
+    files = {r["split_file"] for r in rows}
+    assert files == {f for f in os.listdir(split_dir) if f.endswith(".txt")}
+    assert df.where(F.col("line_no") == 0).count() == len(files)
+    assert df.rdd.getNumPartitions() == len(files)
