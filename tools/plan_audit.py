@@ -44,6 +44,16 @@ def main() -> int:
     args = ap.parse_args()
 
     from bench import BENCH_QUERIES
+
+    # Round-2 flagship operators audited alongside the bench set.
+    AUDIT_EXTRA = [
+        "knn_pq_adc",
+        "knn_ivf",
+        "dedup_semantic_clusters",
+        "pipeline_repetition_filter",
+        "events_session_window_batch",
+        "text_profile_by_source",
+    ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
 
@@ -57,7 +67,7 @@ def main() -> int:
 
     print("| query | shuffles | broadcasts | scans | pushdown | read cols | TakeOrdered | PyUDF | AQE |")
     print("|---|---|---|---|---|---|---|---|---|")
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + AUDIT_EXTRA:
         a = audit(specs[name].build(spark, args.sf))
         print(
             f"| {name} | {a['shuffles']} | {a['broadcasts']} | {a['scans']} | "
