@@ -78,3 +78,102 @@ def connected_components(
             "(graph diameter exceeds max_iter); raise max_iter"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def pagerank_fp(
+    edges: DataFrame,
+    iters: int = 5,
+    base: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank (damping 0.85), ``iters`` synchronous rounds.
+
+    All arithmetic is INTEGER: ranks live in ``base`` fixed-point units and
+    every division is floor-division, so results are bit-identical at any
+    parallelism AND in any engine — the iterative-algorithm analogue of the
+    SCALE.md exactness invariant (float PageRank would drift per-partition
+    in the contribution sums). Dangling mass is not redistributed (nodes
+    with no out-edges leak their damped mass — the standard simplification;
+    symmetric edge sets have none).
+
+    Per round: contrib = r_src // deg_src shuffled on dst (partial sums
+    combine map-side because integer + is commutative), then
+    r' = (15*base)//(100*N) + (85*sum)//100, with no-inbound nodes kept at
+    teleport via a left join against the node set. O(iters) shuffles on the
+    edge key — the same join-per-round shape as connected_components, with
+    lineage checkpointed each round.
+
+    Returns (node, rank_fp) — rank_fp summing to ~base over all nodes.
+    """
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .union(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    graph = sym.join(deg, "src").localCheckpoint(eager=True)
+
+    teleport = (15 * base) // (100 * n)
+    ranks = nodes.withColumn("rank_fp", F.lit(base // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            graph.join(ranks, graph.src == ranks.node)
+            # `div`, NOT `/`: Spark's `/` on longs is DOUBLE division, whose
+            # round-to-nearest can exceed the true floor quotient; `div` is
+            # exact integer division, matching DuckDB's `//` bit-for-bit.
+            .select("dst", F.expr("rank_fp div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({teleport} AS BIGINT) + (85 * coalesce(inflow, 0)) div 100"
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_fp_sql(
+    edges_sql: str, iters: int = 5, base: int = 10**12
+) -> str:
+    """DuckDB mirror of :func:`pagerank_fp`: the iteration is UNROLLED into
+    one CTE per round (recursive CTEs cannot aggregate in the recursive
+    term), same integer ops, same bits."""
+    head = f"""
+    WITH sym AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS (SELECT src AS node FROM sym UNION SELECT dst FROM sym),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    graph AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+    r0 AS (SELECT node, {base} // (SELECT n FROM nn) AS rank_fp FROM nodes)
+    """
+    rounds = []
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        rounds.append(f"""
+    c{i} AS (
+      SELECT g.dst, SUM(r.rank_fp // g.deg) AS inflow
+      FROM graph g JOIN {prev} r ON g.src = r.node
+      GROUP BY g.dst
+    ),
+    {cur} AS (
+      SELECT n.node,
+             (15 * {base}) // (100 * (SELECT n FROM nn))
+               + (85 * COALESCE(c.inflow, 0)) // 100 AS rank_fp
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + f"\n    SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
+    )

@@ -85,6 +85,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scalars_r2,
         text_r2,
         pipeline_r2,
+        warehouse_r2,
     )
 
     return dict(REGISTRY)

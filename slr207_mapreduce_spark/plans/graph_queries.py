@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from slr207_mapreduce_spark.operators.dedup import minhash_lsh_candidates, minhash_lsh_sql
-from slr207_mapreduce_spark.operators.graph import connected_components
+from slr207_mapreduce_spark.operators.graph import connected_components, pagerank_fp_sql
 from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
 
@@ -43,3 +43,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     pairs = minhash_lsh_candidates(d, num_hashes=6, band_size=2, shingle_n=3)
     return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
+_CS_EDGES_SQL = """
+      SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT 1000000 + l_suppkey, o_custkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=pagerank_fp_sql(_CS_EDGES_SQL, iters=5),
+    doc="Fixed-point PageRank (5 synchronous rounds, damping 0.85) over the "
+    "symmetrized customer-supplier trade graph (suppliers offset by 1e6 to "
+    "disjoint the id spaces). ALL arithmetic is integer floor-division in "
+    "1e12 fixed-point units — Spark `div`, DuckDB `//` — so a "
+    "1000-executor run produces the oracle's exact bits (float PageRank "
+    "drifts in the contribution sums). Per round: one shuffle of "
+    "edge-contributions (integer partial sums combine map-side) + a left "
+    "join back to the node set; lineage checkpointed per round like "
+    "connected_components. Dangling mass: none (symmetric edges).",
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.operators.graph import pagerank_fp
+
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("supp"),
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    return pagerank_fp(edges, iters=5)

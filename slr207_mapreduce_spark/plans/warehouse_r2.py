@@ -1,0 +1,140 @@
+"""Warehouse-modeling surface, round 2.
+
+- scd2_user_status_history: slowly-changing-dimension type-2 history built
+  from an event log — change detection via lag(), validity intervals via
+  lead(). The event-sourced MERGE/SCD2 pattern every warehouse needs,
+  expressed as two windows over one shuffle.
+- scalar_lateral_column_alias: lateral column aliases (SELECT a+1 AS x,
+  x*2 AS y in ONE projection) — parser/analyzer surface shared by Spark
+  ≥3.4 and DuckDB; the oracle is the same text modulo dialect.
+- scalar_to_json: JSON GENERATION (to_json over structs/arrays, from_json
+  extraction round-trip). Integer/string payloads only: both engines emit
+  identical compact JSON for those; float formatting would not be
+  portable and is excluded by design (same stance as %f in
+  scalar_format_printf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "scd2_user_status_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS status,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                AS TIMESTAMP) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                IS NULL) AS is_current
+    FROM changes
+    """,
+    doc="SCD2 history from an event log: per-user status (event_type) "
+    "change rows detected with lag(), half-open validity intervals "
+    "[valid_from, valid_to) closed with lead(), NULL valid_to = current "
+    "row. ONE shuffle on user_id serves both windows (same partitioning + "
+    "ordering), then the change filter — the event-sourced dimension-"
+    "table build, no MERGE machinery required. At 100 TB the user "
+    "partitioning is reused across both window passes (no re-exchange).",
+    tags=("events", "window", "warehouse"),
+)
+def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    changes = (
+        e.select("user_id", "ts", "event_id", "event_type", F.lag("event_type").over(w).alias("prev"))
+        .where(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+_LCA_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS gross,
+           gross * (1.0 + l_tax) AS charged,
+           charged - gross AS tax_amount
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+"""
+
+
+@register(
+    "scalar_lateral_column_alias",
+    oracle=_LCA_SQL,
+    doc="Lateral column aliases: later select-list items reference earlier "
+    "aliases in the SAME projection (gross -> charged -> tax_amount) — "
+    "analyzer sugar that inlines to one projection node, so the plan is "
+    "identical to writing the expressions out; row-local double math "
+    "(no aggregation) is IEEE-deterministic. Identical query text runs on "
+    "both engines.",
+    tags=("scalar", "sql"),
+)
+def scalar_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_LCA_SQL)
+
+
+@register(
+    "scalar_to_json",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(k := o_orderkey, status := o_orderstatus,
+                               pri := o_orderpriority)) AS obj_json,
+           to_json([o_orderkey, o_custkey]) AS arr_json,
+           CAST(json_extract(('{"a":' || CAST(o_custkey AS VARCHAR) || '}'), '$.a')
+                AS BIGINT) AS roundtrip_a
+    FROM orders WHERE o_orderkey % 200 = 0
+    """,
+    doc="JSON generation + parse round-trip: to_json over a struct and an "
+    "array (compact `{\"k\":v}` form — byte-identical across engines for "
+    "integer/string payloads; floats excluded by design), and from_json "
+    "pulling a typed field back out. Pure projection at scan speed; the "
+    "serialization shape used by every JSON-lines sink.",
+    tags=("scalar", "json"),
+)
+def scalar_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 200 == 0)
+    payload = F.concat(F.lit('{"a":'), F.col("o_custkey").cast("string"), F.lit("}"))
+    schema = StructType([StructField("a", LongType())])
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("pri"),
+            )
+        ).alias("obj_json"),
+        F.to_json(F.array(F.col("o_orderkey"), F.col("o_custkey"))).alias("arr_json"),
+        F.from_json(payload, schema).getField("a").alias("roundtrip_a"),
+    )

@@ -160,3 +160,26 @@ def test_textsplits_python_datasource_matches_read_text(spark):
     assert files == {f for f in os.listdir(split_dir) if f.endswith(".txt")}
     assert df.where(F.col("line_no") == 0).count() == len(files)
     assert df.rdd.getNumPartitions() == len(files)
+
+
+def test_observation_metrics_piggyback_on_action(spark):
+    """df.observe(Observation, ...) collects aggregate metrics DURING the
+    main action — no second scan. The operational counterpart of the
+    reference's per-worker println counters (ListenerReducer.java:111)."""
+    from pyspark.sql import Observation
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    obs = Observation("scan_stats")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_sum"),
+    )
+    n = observed.where(F.col("l_quantity") > 0).count()
+    got = obs.get
+    assert got["rows_seen"] == li.count()
+    assert n <= got["rows_seen"]
+    assert float(got["qty_sum"]) > 0
