@@ -260,3 +260,76 @@ def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_str.alias("kept_str"),
         F.element_at(zipped, "v").cast("double").alias("zipped_sum"),
     )
+
+
+@register(
+    "pipeline_curation_end_to_end",
+    # The full curation chain in ONE query, oracled end-to-end: quality
+    # gate -> exact-dedup keep -> deterministic split -> accounting.
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_tokens
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, lang, text, n_tokens FROM feats WHERE n_tokens >= 10
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_tokens
+      FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    split AS (
+      SELECT lang, n_tokens,
+             CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT lang, n_tokens,
+                   (CAST(('0x' || substring(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) % 10 AS b
+            FROM kept)
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM split
+    GROUP BY split, lang
+    """,
+    doc="The curation pipeline COMPOSED end-to-end in one plan: token-count "
+    "quality gate (scan-stage projection) -> exact-dedup keep (one shuffle "
+    "on md5(text); min-doc_id canonical via row_number) -> deterministic "
+    "hash split (stateless row map, pipeline_train_split's policy) -> per "
+    "(split, lang) token accounting. One payload shuffle total: the gates "
+    "and split assignment ride the scan, dedup is (hash, id, n_tokens) "
+    "rows, and the final aggregation is partial->final over a tiny key "
+    "domain. This is the shape a 100 TB curation run actually executes — "
+    "each stage is individually declared (text_token_count, dedup_exact, "
+    "pipeline_train_split) and the composition costs no extra pass.",
+    tags=("pipeline", "dedup", "text"),
+)
+def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.functions.portable import portable_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id", "lang", "text", F.size(tokens_ws("text")).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") >= 10)
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    kept = (
+        feats.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    b = (portable_hash64(F.col("doc_id").cast("string"), seed=42) % 100) % 10
+    split = (
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split")
+    )
+    return (
+        kept.select(split, "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
