@@ -102,3 +102,44 @@ def test_q2_argmax_join_back_no_window_over_fact(spark):
     part."""
     plan = _plan(_specs()["q2_min_cost_supplier"].build(spark, SF_SMOKE), "simple")
     assert "Window" not in plan
+
+
+def test_q1_hierarchical_agg_matches_all_decimal_path(spark):
+    """q1 runs as int64-partials + DECIMAL merge (SCALE.md 'Exactness vs
+    speed'); its 8 aggregate outputs must be BIT-identical to the naive
+    all-DECIMAL formulation at any partitioning."""
+    from slr207_mapreduce_spark.functions.portable import davg, dec, dsum
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in all_queries()["q1_pricing_summary"].build(spark, SF_CORRECT).collect()
+    }
+
+    l = load_table(spark, "lineitem", SF_CORRECT).where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    ref_rows = (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .collect()
+    )
+    assert len(ref_rows) == len(got)
+    for ref in ref_rows:
+        g = got[(ref["l_returnflag"], ref["l_linestatus"])]
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+                  "avg_qty", "avg_price", "avg_disc", "count_order"):
+            assert g[c] == ref[c], f"{c}: hierarchical {g[c]!r} != decimal {ref[c]!r}"
