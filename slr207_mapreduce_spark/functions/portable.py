@@ -9,7 +9,17 @@ Two problem classes the oracle harness must survive (SURVEY.md §7.3(2)):
    bit-identical IEEE value. (Testdata doubles carry <=2 decimal digits, so
    DECIMAL(12,2) casts are exact and unambiguous.)
 
-2. **Engine-specific hash functions.** Spark's xxhash64/hash and DuckDB's
+2. **Large-decimal -> double casts.** Spark's DECIMAL->DOUBLE cast is
+   correctly rounded (BigDecimal); DuckDB's is a TWO-step rounding
+   (int128 -> double, then x 10^-scale), which drifts 1 ulp when the
+   UNSCALED value exceeds 2^53. Rule: any checked decimal whose unscaled
+   magnitude can pass 2^53 (scale-4+ product sums) must be FLOOR'd to an
+   integer before the double cast on BOTH sides — floor is exact and
+   identical in both engines (DuckDB scale-down CASTs truncate while
+   Spark's round HALF_UP, so floor, not cast, is the portable bridge).
+   See agg_exact_moments.
+
+3. **Engine-specific hash functions.** Spark's xxhash64/hash and DuckDB's
    hash() are different algorithms, so any operator whose OUTPUT includes
    hash values (minhash signatures, simhash, fingerprints) must use a hash
    both engines compute identically: md5 (both expose it as a hex string),

@@ -186,14 +186,19 @@ _MOMENT_MATH = """
 
 @register(
     "agg_skew_kurt_exact",
+    # DECIMAL(8,2) base, NOT 38,6: the power chain multiplies precisions
+    # (Spark: p1+p2+1 per step), so an (8,2) operand keeps q^4 at (35,8) —
+    # inside the 38-digit cap, hence EXACT. A wide base like (38,6) blows
+    # past 38 digits at q*q and triggers precision-loss rounding that Spark
+    # and DuckDB perform differently (≈1e-14 drift, caught at sf0.001).
     oracle=f"""
     WITH sums AS (
       SELECT l_linestatus,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m1,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s4
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s4
       FROM lineitem
       GROUP BY l_linestatus
     )
@@ -212,7 +217,7 @@ _MOMENT_MATH = """
 )
 def agg_skew_kurt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    q = dec("l_quantity", 38, 6)
+    q = dec("l_quantity", 8, 2)  # (8,2): keeps q^4 exact — see oracle note
     sums = li.groupBy("l_linestatus").agg(
         F.count("*").cast("double").alias("n"),
         (F.sum(q).cast("double") / F.count("*").cast("double")).alias("m1"),

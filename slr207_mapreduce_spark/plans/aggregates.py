@@ -258,10 +258,10 @@ def agg_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(l_quantity) AS DOUBLE) AS sx,
              CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) AS syy,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) AS sxy
       FROM lineitem
       GROUP BY l_returnflag
     )
@@ -294,8 +294,15 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("double").alias("sx"),
         F.sum(F.col("l_quantity") * F.col("l_quantity")).cast("double").alias("sxx"),
         F.sum(p).cast("double").alias("sy"),
-        F.sum(p * p).cast("double").alias("syy"),
-        F.sum(q * p).cast("double").alias("sxy"),
+        # FLOOR before the double cast: these two sums carry scale-4
+        # unscaled values past 2^53, where DuckDB's decimal->double is a
+        # TWO-step rounding (int128->double, then *1e-4) while Spark's
+        # BigDecimal cast is correctly rounded — a 1-ulp cross-engine drift
+        # (observed at sf0.001). Flooring to an exact integer first makes
+        # the conversion single-rounded and identical in both engines; the
+        # <=1-unit truncation is ~1e-13 relative, applied identically.
+        F.floor(F.sum(p * p)).cast("double").alias("syy"),
+        F.floor(F.sum(q * p)).cast("double").alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
