@@ -138,3 +138,34 @@ def scalar_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.array(F.col("o_orderkey"), F.col("o_custkey"))).alias("arr_json"),
         F.from_json(payload, schema).getField("a").alias("roundtrip_a"),
     )
+
+
+@register(
+    "stat_crosstab",
+    # Column names contain spaces/dashes — quoted aliases on the oracle side
+    # must match Spark's crosstab output exactly (value strings as names).
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="df.stat.crosstab: the contingency-table helper (pair frequencies "
+    "pivoted to a matrix). Plans to one groupBy over both keys + a pivot "
+    "— a single shuffle; the oracle is the equivalent FILTER-pivot. The "
+    "df.stat family's deterministic member — freqItems/sampleBy are "
+    "sketch/random-based and live outside the exact gate (the seeded "
+    "hash samplers in pipeline_queries are this engine's deterministic "
+    "sampling path).",
+    tags=("agg", "stat"),
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    # crosstab counts come back as long already; column order normalized by
+    # the harness (name-sorted), so only names must match the oracle.
+    return ct

@@ -109,3 +109,26 @@ def test_scaling_tables_not_broadcast(spark):
             assert var not in ("o", "l", "c"), (
                 f"{mod.__name__} broadcasts scaling table variable '{var}'"
             )
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """hint('shuffle_hash') / hint('merge') / broadcast() select the
+    corresponding physical join — the explicit strategy-override surface
+    for when AQE's choice is wrong for a known workload."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, "orders", SF_SMOKE)
+    li = load_table(spark, "lineitem", SF_SMOKE)
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    sh = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in plan(sh)
+    sm = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in plan(sm)
+    bc = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in plan(bc)
