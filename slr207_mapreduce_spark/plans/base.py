@@ -86,6 +86,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_r2,
         pipeline_r2,
         warehouse_r2,
+        analytics_r2,
     )
 
     return dict(REGISTRY)
