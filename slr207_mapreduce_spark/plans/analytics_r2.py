@@ -1,4 +1,7 @@
-"""Analytic widening, round 3 of the capability closure.
+"""Analytic widening, round 3 of the capability closure (SURVEY.md §2.1;
+reference primitives: O8 shuffle WorkerSender.java:223-230, O9 reduce
+ListenerReducer.java:123-139, O11 ordered scan
+ValueThenKeyComparator.java:7-14).
 
 - window_share_of_total: ratio-to-report (percent-of-total and
   percent-of-group via unpartitioned/partitioned window sums) — the BI

@@ -1,4 +1,4 @@
-"""Event-analytics widening, round 2.
+"""Event-analytics widening, round 2 (SURVEY.md §2.1).
 
 - events_session_window_batch: Spark's NATIVE session_window() operator
   (the streaming sessionizer run in batch mode) — complements

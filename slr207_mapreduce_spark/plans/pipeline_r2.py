@@ -1,5 +1,10 @@
 """Training-data pipeline widening, round 2 (BASELINE.json north-star).
 
+All are capability-closure derivations of the reference's MapReduce
+primitives (SURVEY.md §2.1): per-record map = WorkerSender.java:216-230
+(O5-O7), keyed reduce = ListenerReducer.java:123-139 (O9); the iterative
+clustering additionally chains O8 shuffle rounds.
+
 - dedup_semantic_clusters: embedding-space near-dup PAIRS → duplicate
   GROUPS via connected components — the semantic-dedup counterpart of
   dedup_clusters (which clusters MinHash-LSH lexical candidates). Same

@@ -88,3 +88,55 @@ def text_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_tokens",
         )
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS w
+      FROM documents
+    ),
+    freqs AS (
+      SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> w[i] || w[i+1])) AS pair, f
+      FROM freqs
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+    doc="BPE tokenizer training, merge step 1: adjacent-character pair "
+    "counts weighted by word frequency — argmax(pair) is the first BPE "
+    "merge. EXACTLY the reference's word count (O5 tokenize -> O9 count, "
+    "WorkerSender.java:216 / ListenerReducer.java:123-139) composed with "
+    "a second explode+reduce over the DISTINCT-word table: the heavy "
+    "corpus pass collapses to unique words first (Zipf: ~sqrt-ish "
+    "compression), so the per-character explosion runs on the vocabulary, "
+    "not the corpus — at 100 TB that ordering is the difference between "
+    "exploding 1e12 tokens and 1e7 vocabulary entries. Top-20 via "
+    "TakeOrderedAndProject with the O11 ordering discipline.",
+    tags=("text", "pipeline"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(F.explode(tokens_ws("text")).alias("w")).where(F.length("w") >= 2)
+    freqs = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    # substr with a COLUMN start index needs the expr form (F.substring
+    # only accepts int positions).
+    pairs = freqs.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> concat(substr(w, i, 1), substr(w, i + 1, 1)))")
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

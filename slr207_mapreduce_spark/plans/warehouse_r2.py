@@ -1,5 +1,11 @@
 """Warehouse-modeling surface, round 2.
 
+Capability closure of the reference's shuffle+sorted-scan primitives
+(SURVEY.md §2.1): windows = O8 hash shuffle (WorkerSender.java:223-230) +
+O11 per-group ordered scan (ValueThenKeyComparator.java:7-14); the JSON
+and alias queries generalize the per-record map O5-O6
+(WorkerSender.java:129-148,216).
+
 - scd2_user_status_history: slowly-changing-dimension type-2 history built
   from an event log — change detection via lag(), validity intervals via
   lead(). The event-sourced MERGE/SCD2 pattern every warehouse needs,
