@@ -140,3 +140,102 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS term
+      FROM documents WHERE doc_id < 120
+    ),
+    postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS posting_list,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM postings
+    GROUP BY term
+    HAVING COUNT(*) >= 3
+    """,
+    doc="Inverted index build: (term, doc, tf) postings from one "
+    "explode+count (the reference's word count keyed by (term, doc) — "
+    "O5+O9), then per-term document-frequency and a SORTED posting list "
+    "(serialized; sort makes the aggregation order-independent). The "
+    "foundation of text retrieval; at 100 TB the posting lists are "
+    "written bucketed by term so lookups partition-prune. df >= 3 keeps "
+    "the checked output compact.",
+    tags=("text",),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 120)
+    toks = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    postings = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "posting_list"
+            ),
+            F.sum("tf").alias("total_tf"),
+        )
+        .where(F.col("df") >= 3)
+    )
+
+
+@register(
+    "text_doc_similarity_sparse",
+    # Pairwise doc similarity THROUGH the inverted index: docs meet only on
+    # shared terms, so the join is Σ_term df(term)^2 pairs, never N^2.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS term
+      FROM documents WHERE doc_id < 120
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot_tf,
+           CAST(COUNT(*) AS BIGINT) AS shared_terms
+    FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY dot_tf DESC, doc_a ASC, doc_b ASC
+    LIMIT 25
+    """,
+    doc="Sparse document similarity via the inverted index: tf vectors "
+    "meet through a self-join ON TERM (the classic MapReduce pairwise-"
+    "similarity construction — cost Σ df² over terms, never N² over "
+    "docs), integer tf dot products (exact, map-side combinable), top-25 "
+    "pairs. The lexical counterpart of the dense-embedding ANN family; "
+    "at 100 TB the high-df stopword terms dominate Σ df² and get pruned "
+    "first (df-cap), exactly like dropping degenerate LSH buckets.",
+    tags=("text", "similarity"),
+)
+def text_doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 120)
+    toks = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"), F.col("term"), F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("term").alias("term_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    return (
+        a.join(b, (F.col("term") == F.col("term_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot_tf"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+        .orderBy(F.desc("dot_tf"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(25)
+    )
