@@ -285,3 +285,42 @@ def test_transform_with_state_event_type_counts(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_session_window_stream_matches_batch_query(spark, batch_dir):
+    """The streaming sessionizer's FINAL state (complete mode over a
+    micro-batch replay) must equal the declared batch query
+    events_session_window_batch on (user, start, end, count) — the
+    batch/stream symmetry the native session_window operator promises."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream
+
+    stream = read_events_stream(spark, batch_dir, max_files_per_trigger=1)
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sess_final")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.table("t_sess_final").collect()
+    }
+    batch = all_queries()["events_session_window_batch"].build(spark, SF_SMOKE)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want
