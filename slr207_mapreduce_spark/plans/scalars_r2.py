@@ -184,3 +184,46 @@ def asof_tolerance_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         F.when(in_window, F.col("event_id_right")).alias("view_id_30m"),
     )
+
+
+@register(
+    "scalar_array_set_ops",
+    # Spark's array_intersect/union/except dedup but keep encounter order —
+    # sort before serializing so the contract is order-free on both sides.
+    # DuckDB lacks list_union/list_except, so the oracle derives them from
+    # filter/contains/concat/distinct — independent construction.
+    oracle="""
+    WITH arrs AS (
+      SELECT l_orderkey, l_linenumber,
+             range(1, l_linenumber + 1) AS a,
+             range(greatest(l_linenumber - 1, 1), l_linenumber + 3) AS b
+      FROM lineitem WHERE l_orderkey % 150 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ',') AS inter_str,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_str,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS except_str,
+           len(list_filter(a, x -> list_contains(b, x))) > 0 AS overlaps
+    FROM arrs
+    """,
+    doc="Array set algebra: array_intersect / array_union / array_except / "
+    "arrays_overlap on two derived integer sequences — deduping set "
+    "semantics, sorted before serialization so the check is order-free. "
+    "JVM-side codegen'd expressions at scan speed; the set-valued column "
+    "toolkit for multimodal/tag columns.",
+    tags=("scalar", "array"),
+)
+def scalar_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 150 == 0)
+    a = F.sequence(F.lit(1), F.col("l_linenumber"))
+    b = F.sequence(
+        F.greatest(F.col("l_linenumber") - 1, F.lit(1)), F.col("l_linenumber") + 2
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("inter_str"),
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("union_str"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("except_str"),
+        F.arrays_overlap(a, b).alias("overlaps"),
+    )
