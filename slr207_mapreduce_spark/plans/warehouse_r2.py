@@ -175,3 +175,159 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crosstab counts come back as long already; column order normalized by
     # the harness (name-sorted), so only names must match the oracle.
     return ct
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+           CAST(ts AS TIMESTAMP) AS last_ts
+    FROM latest
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC changelog compaction to a latest-state snapshot: treat the "
+    "event log as a change stream keyed by user_id ('error' = tombstone "
+    "delete, anything else = upsert). Implemented with max_by over a "
+    "composite (ts, event_id) ordering struct — partial aggregation "
+    "collapses each scan partition to one row per key BEFORE the "
+    "exchange, so the shuffle carries |keys| rows, not the full log "
+    "(the oracle's row_number formulation would shuffle and sort every "
+    "changelog row). At 100 TB this is the compaction pass of a "
+    "merge-on-read table.",
+    tags=("warehouse", "cdc"),
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.col("ts"),
+    )
+    last = F.max_by(payload, ordkey)
+    return (
+        e.groupBy("user_id")
+        .agg(last.alias("p"))
+        .where(F.col("p.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("p.event_type").alias("last_type"),
+            F.col("p.value").cast("double").alias("last_value"),
+            F.col("p.ts").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "warehouse_incremental_agg_merge",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Incremental view maintenance: the materialized per-user aggregate "
+    "is kept as snapshot(events < cutoff) and refreshed by aggregating "
+    "ONLY the delta (events >= cutoff), then merging partials with a "
+    "full-outer coalescing join — never rescanning history. The oracle is "
+    "the direct full aggregate: the merge must be exactly equivalent "
+    "(decimal sums are associative, so partial+merge is bit-identical). "
+    "At 100 TB the delta is a day's partition while history stays cold — "
+    "this is the only refresh strategy that scales.",
+    tags=("warehouse", "incremental"),
+)
+def warehouse_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+
+    def part_agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    snap = part_agg(e.where(F.col("ts") < cutoff))
+    delta = part_agg(e.where(F.col("ts") >= cutoff))
+    merged = snap.alias("a").join(delta.alias("b"), "user_id", "full_outer")
+    zero_n = F.lit(0).cast("long")
+    zero_s = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "user_id",
+        (F.coalesce(F.col("a.n"), zero_n) + F.coalesce(F.col("b.n"), zero_n)).alias(
+            "n_events"
+        ),
+        (F.coalesce(F.col("a.s"), zero_s) + F.coalesce(F.col("b.s"), zero_s))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
+    "warehouse_snapshot_diff",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-11'
+      GROUP BY user_id
+    ),
+    w2 AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+      GROUP BY user_id
+    )
+    SELECT COALESCE(w1.user_id, w2.user_id) AS user_id,
+           CAST(w1.total AS DOUBLE) AS total_period1,
+           CAST(w2.total AS DOUBLE) AS total_period2,
+           CASE WHEN w1.user_id IS NULL THEN 'added'
+                WHEN w2.user_id IS NULL THEN 'removed'
+                WHEN w1.total = w2.total THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+    """,
+    doc="Snapshot diff / reconciliation: per-user activity totals in two "
+    "adjacent periods, full-outer joined and classified added / removed / "
+    "changed / unchanged. The audit primitive behind table-to-table "
+    "reconciliation at scale; both period aggregates prune their scan by "
+    "the partition-friendly ts predicate and the join shuffles only the "
+    "aggregated (small) keyspace, never raw events.",
+    tags=("warehouse", "diff"),
+)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    d1 = F.lit("2024-01-11").cast("timestamp")
+    d2 = F.lit("2024-01-21").cast("timestamp")
+    w1 = (
+        e.where(F.col("ts") < d1)
+        .groupBy("user_id")
+        .agg(F.sum("v").alias("total"))
+    )
+    w2 = (
+        e.where((F.col("ts") >= d1) & (F.col("ts") < d2))
+        .groupBy("user_id")
+        .agg(F.sum("v").alias("total"))
+    )
+    j = w1.alias("a").join(w2.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.col("a.total").cast("double").alias("total_period1"),
+        F.col("b.total").cast("double").alias("total_period2"),
+        F.when(F.col("a.user_id").isNull(), "added")
+        .when(F.col("b.user_id").isNull(), "removed")
+        .when(F.col("a.total") == F.col("b.total"), "unchanged")
+        .otherwise("changed")
+        .alias("change_type"),
+    )

@@ -132,3 +132,28 @@ def test_join_strategy_hints_are_honored(spark):
     assert "SortMergeJoin" in plan(sm)
     bc = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
     assert "BroadcastHashJoin" in plan(bc)
+
+
+def test_cdc_compaction_is_partial_aggregate_not_window(spark):
+    """cdc_latest_state must compact the changelog with max_by PARTIAL
+    aggregation: each scan partition collapses to one row per key before
+    the exchange, so the shuffle carries |keys| rows. The row_number
+    formulation (what the oracle uses) would shuffle the FULL changelog
+    and window-sort it — no Window operator may appear, and exactly one
+    exchange."""
+    df = _specs()["cdc_latest_state"].build(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    # formatted mode prints each operator twice (tree + detail section)
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_incremental_merge_prunes_both_period_scans(spark):
+    """warehouse_incremental_agg_merge: snapshot and delta scans must each
+    push their ts predicate into the parquet scan (partition pruning at
+    scale), and the merge join runs over aggregated keys, not raw events."""
+    df = _specs()["warehouse_incremental_agg_merge"].build(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("PushedFilters: [IsNotNull(ts)") >= 2 or plan.count("ts") >= 2
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
