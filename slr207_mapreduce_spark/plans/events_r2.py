@@ -173,3 +173,88 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.count_if(F.abs(F.col("value") - mean) > 2.0 * sd).alias("n_outliers"),
     )
+
+
+@register(
+    "events_promo_overlap_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                    LAG(ts) OVER w, ts) > 1800
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             ts
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, sid
+    ),
+    promos AS (
+      SELECT i AS promo_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (i * 5) DAY AS p_start,
+             TIMESTAMP '2024-01-01' + INTERVAL (i * 5 + 2) DAY AS p_end
+      FROM range(6) t(i)
+    )
+    SELECT p.promo_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM promos p
+    JOIN sessions s
+      ON s.s_start <= p.p_end AND s.s_end >= p.p_start
+    GROUP BY p.promo_id
+    """,
+    doc="Interval-overlap join: user sessions (30-min-gap islands, same "
+    "boundaries as events_sessionization) overlap-joined against promo "
+    "windows with the half-open interval test s_start<=p_end AND "
+    "s_end>=p_start. The promo side is tiny → Spark plans a BROADCAST "
+    "nested-loop, which IS the optimal physical strategy for "
+    "small-interval-set x big-fact; for large x large the binning "
+    "decomposition in operators/asof.py (bucket both sides by "
+    "day, equi-join the bucket key, post-filter) bounds the blow-up to "
+    "per-bin products, the same strategy Spark's range-join hints use.",
+    tags=("events", "interval", "join"),
+)
+def events_promo_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.unix_seconds(F.col("ts")) - F.unix_seconds(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        e.select(
+            "user_id",
+            "ts",
+            F.sum(is_new).over(wsum).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    promos = (
+        spark.range(6)
+        .select(
+            F.col("id").alias("promo_id"),
+            (F.lit("2024-01-01").cast("timestamp") + F.make_interval(days=F.col("id") * 5)).alias("p_start"),
+            (F.lit("2024-01-01").cast("timestamp") + F.make_interval(days=F.col("id") * 5 + 2)).alias("p_end"),
+        )
+    )
+    j = sessions.join(
+        F.broadcast(promos),
+        (F.col("s_start") <= F.col("p_end")) & (F.col("s_end") >= F.col("p_start")),
+    )
+    return j.groupBy("promo_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

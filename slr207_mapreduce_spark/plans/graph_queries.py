@@ -83,3 +83,109 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
     return pagerank_fp(edges, iters=5)
+
+
+_COPURCHASE_EDGES_SQL = """
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH edges AS ({_COPURCHASE_EDGES_SQL})
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM edges e1
+                 JOIN edges e2 ON e2.a = e1.b
+                 JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+             AS n_triangles
+    """,
+    doc="Triangle counting on the co-purchase graph (parts sharing an "
+    "order, canonical a<b edges): the standard two-join formulation — "
+    "wedges (e1,e2) closed by an edge-existence probe (e3). Counting "
+    "ONLY ordered triangles a<b<c counts each triangle exactly once "
+    "with no /6 correction and keeps every join equi-keyed (shuffle "
+    "hash). At 100 TB the wedge join is the hot spot and is bounded by "
+    "sum(deg^2); the canonical orientation cuts that to the "
+    "low-degree-first wedge count, the same trick GraphX/cover-based "
+    "exact counters use. Clustering-coefficient-style analytics over "
+    "training corpora (doc-link graphs) reduce to this same plan.",
+    tags=("graph", "triangles"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    wedges = e.alias("e1").join(e.alias("e2"), F.col("e2.a") == F.col("e1.b")).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tri = (
+        wedges.join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return n_edges.crossJoin(tri)
+
+
+@register(
+    "graph_degree_hubs",
+    oracle=f"""
+    WITH edges AS ({_COPURCHASE_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM edges
+        UNION ALL
+        SELECT b AS node FROM edges
+      ) GROUP BY node
+    )
+    SELECT node, degree FROM deg
+    ORDER BY degree DESC, node ASC
+    LIMIT 15
+    """,
+    doc="Degree centrality / hub detection on the co-purchase graph: "
+    "undirected degree = count over the unioned endpoint list (each "
+    "canonical a<b edge contributes one to each endpoint), top-15 with "
+    "deterministic (degree desc, node asc) tie-break. One shuffle after "
+    "a map-side-combinable count; top-K is TakeOrderedAndProject, never "
+    "a global sort.",
+    tags=("graph", "degree"),
+)
+def graph_degree_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+    )
+    nodes = e.select(F.col("a").alias("node")).unionAll(e.select(F.col("b").alias("node")))
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("node"))
+        .limit(15)
+    )

