@@ -227,3 +227,141 @@ def agg_skew_kurt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums.createOrReplaceTempView("agg_skew_power_sums")
     return spark.sql(_MOMENT_MATH.replace("FROM sums", "FROM agg_skew_power_sums"))
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity ASC, l_orderkey ASC,
+                                         l_linenumber ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN l_quantity END) AS p25,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN l_quantity END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN l_quantity END) AS p90
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+    doc="Exact DISCRETE percentiles (the value AT rank ceil(p*n), never "
+    "interpolated — what percentile_disc computes): deterministic "
+    "total order via (value, orderkey, linenumber) tie-break, rank "
+    "filter, then a pivot-style conditional MAX. Complements "
+    "agg_exact_percentiles (continuous/interpolated). Same formulation "
+    "both engines, so the check is cross-engine exact even though "
+    "quantity is a double. One window sort per group — at 100 TB swap "
+    "in the two-pass count+rank-range plan or approx_percentile.",
+    tags=("agg", "percentile"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.asc("l_quantity"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    wall = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def at(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("l_quantity"),
+            )
+        )
+
+    return ranked.groupBy("l_returnflag").agg(
+        at(0.25).alias("p25"), at(0.50).alias("p50"), at(0.90).alias("p90")
+    )
+
+
+@register(
+    "window_count_distinct_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(DISTINCT o_orderpriority) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_priorities_so_far
+    FROM orders
+    WHERE o_custkey % 20 = 0
+    """,
+    doc="COUNT(DISTINCT) OVER a running frame — Spark's window operator "
+    "rejects DISTINCT aggregates, so the engine expresses it as "
+    "size(collect_set() OVER frame): semantically identical (set "
+    "cardinality per frame) and still a single window pass. The "
+    "per-frame set is bounded by the distinct-value domain (5 "
+    "priorities), so state stays O(domain), not O(frame) — the right "
+    "mental model for running-distinct at 100 TB; for unbounded domains "
+    "switch to the HLL sketch column (agg_hll_mergeable_sketches).",
+    tags=("window", "distinct"),
+)
+def window_count_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") % 20 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("long")
+        .alias("distinct_priorities_so_far"),
+    )
+
+
+@register(
+    "agg_count_min_frequency",
+    oracle=None,  # sketch estimates have no DuckDB counterpart; CMS
+    # guarantees (est >= true, est <= true + eps*N at confidence, and
+    # partial-sketch merge == single-pass build) are pinned in
+    # tests/test_llm_ops.py::test_count_min_sketch_guarantees_and_merge.
+    doc="Frequency estimation with a Count-Min sketch: "
+    "count_min_sketch(l_partkey, eps=1e-4, conf=0.99, seed=42) aggregates "
+    "distributively (mergeable partials, one tiny binary per group), the "
+    "driver deserializes via the public CountMinSketch.readFrom API and "
+    "probes the top-10 hot parts. Output: true count vs estimate vs "
+    "overshoot per probe key. The sketch is O(1/eps * ln(1/delta)) bytes "
+    "regardless of input size — the only way frequency tables fit the "
+    "driver at 100 TB; exact probe-side counts here exist only to "
+    "exhibit the error envelope.",
+    tags=("agg", "sketch"),
+)
+def agg_count_min_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey")
+    sk_bytes = bytes(
+        li.select(
+            F.expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").alias("s")
+        ).collect()[0].s
+    )
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(sk_bytes)
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("l_partkey"))
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (int(r.l_partkey), int(r.true_cnt), int(cms.estimateCount(int(r.l_partkey))))
+        for r in top
+    ]
+    out = spark.createDataFrame(
+        [(k, t, e, e - t) for k, t, e in rows],
+        "l_partkey bigint, true_cnt bigint, est_cnt bigint, overshoot bigint",
+    )
+    return out

@@ -211,3 +211,39 @@ def test_pq_adc_recall_and_code_compression(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["cos_sim"] == exact_scores[key]
+
+
+def test_count_min_sketch_guarantees_and_merge(spark):
+    """CMS contract: (1) never underestimates; (2) overshoot bounded by
+    eps*N at the sketch's confidence (eps=1e-4 -> bound ~6 at sf0.01);
+    (3) per-group partial sketches merged via the public mergeInPlace API
+    give the SAME table as a single-pass global build (same seed -> same
+    hash family), which is what makes the aggregation distributable."""
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_CORRECT
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    out = all_queries()["agg_count_min_frequency"].build(spark, SF_CORRECT).collect()
+    assert len(out) == 10
+    n_total = load_table(spark, "lineitem", SF_CORRECT).count()
+    for r in out:
+        assert r.overshoot >= 0, "CMS must never underestimate"
+        assert r.overshoot <= 0.0001 * n_total + 1
+
+    li = load_table(spark, "lineitem", SF_CORRECT).select("l_partkey", "l_returnflag")
+    CMS = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    parts = li.groupBy("l_returnflag").agg(
+        F.expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").alias("s")
+    ).collect()
+    merged = None
+    for r in parts:
+        sk = CMS.readFrom(bytes(r.s))
+        merged = sk if merged is None else merged.mergeInPlace(sk)
+    globally = CMS.readFrom(bytes(
+        li.select(F.expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").alias("s"))
+        .collect()[0].s
+    ))
+    probe = out[0].l_partkey
+    assert merged.totalCount() == globally.totalCount()
+    assert merged.estimateCount(int(probe)) == globally.estimateCount(int(probe))
