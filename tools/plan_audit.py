@@ -53,6 +53,11 @@ def main() -> int:
         "pipeline_repetition_filter",
         "events_session_window_batch",
         "text_profile_by_source",
+        "cdc_latest_state",
+        "warehouse_incremental_agg_merge",
+        "graph_triangle_count",
+        "text_keyword_tfidf_topk",
+        "events_promo_overlap_join",
     ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
