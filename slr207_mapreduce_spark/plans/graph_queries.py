@@ -189,3 +189,72 @@ def graph_degree_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("degree"), F.asc("node"))
         .limit(15)
     )
+
+
+@register(
+    "dedup_cluster_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({minhash_lsh_sql(6, 2, 3)})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, reach.r
+      FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) = 1)
+             AS is_canonical
+    FROM labeled
+    """,
+    doc="The near-dedup KEEP decision: LSH pairs -> connected components "
+    "-> every document labeled with its duplicate cluster (singletons = "
+    "their own id via a left join) -> ONE canonical survivor per cluster "
+    "by the keep-longest heuristic (n_chars desc, doc_id asc tie-break) "
+    "via max_by. Downstream corpora filter on is_canonical. This closes "
+    "the dedup lifecycle: candidate PAIRS (dedup_minhash_lsh) -> GROUPS "
+    "(dedup_clusters) -> per-doc retention verdict. The canonical choice "
+    "is a broadcast-joinable (cluster_id, keeper) map — cluster count "
+    "<< doc count at any scale.",
+    tags=("dedup", "graph"),
+)
+def dedup_cluster_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidates(d, num_hashes=6, band_size=2, shingle_n=3)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(comp, comp.node == F.col("doc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    keeper = labeled.groupBy("cluster_id").agg(
+        F.max_by("doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))).alias(
+            "keep_doc"
+        )
+    )
+    return labeled.join(F.broadcast(keeper), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("keep_doc")).alias("is_canonical"),
+    )
