@@ -92,3 +92,62 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return resize_stub(with_blob_column(d), target=224)
+
+
+@register(
+    "multimodal_blob_dedup",
+    oracle="""
+    WITH ingested AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- deterministic re-upload: every 7th blob arrives again under a new id
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    blobs AS (
+      SELECT doc_id, sha256(text) AS content_hash,
+             CAST(length(text) AS BIGINT) AS n_bytes
+      FROM ingested
+    ),
+    grps AS (
+      SELECT content_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MIN(doc_id) AS canonical_doc,
+             MIN(n_bytes) AS n_bytes
+      FROM blobs GROUP BY content_hash
+    )
+    SELECT content_hash, n_copies, canonical_doc, n_bytes
+    FROM grps WHERE n_copies > 1
+    """,
+    doc="Content-addressed blob dedup — the first pass of every media "
+    "pipeline: sha2-256 over the raw payload BYTES (not the text), "
+    "group by digest, keep the min-id copy as canonical. The digest is "
+    "computed JVM-side at scan speed; the shuffle carries (hash, id) "
+    "pairs only, never payloads — which is what makes this viable when "
+    "the payload column is multi-MB images. The corpus fixture has no "
+    "byte-identical docs, so the query models the actual dedup trigger: "
+    "a deterministic re-ingestion (every 7th blob re-uploaded under a "
+    "new id) that the digest grouping must catch. Near-dup (not "
+    "byte-identical) media needs a structural fingerprint in the codec "
+    "slot; the banded self-join that follows is dedup_simhash_pairs' "
+    "shape unchanged.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    reup = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    blobs = with_blob_column(d.unionAll(reup)).select(
+        "doc_id",
+        F.sha2(F.col("payload"), 256).alias("content_hash"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return (
+        blobs.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

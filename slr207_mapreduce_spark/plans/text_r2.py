@@ -306,3 +306,73 @@ def text_keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "score_e9", "rank")
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> length(t) > 0) AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    pair_c AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM bigrams GROUP BY w1, w2
+    ),
+    uni_c AS (
+      SELECT w1, CAST(SUM(c_pair) AS BIGINT) AS c_w1 FROM pair_c GROUP BY w1
+    )
+    SELECT p.w1, p.w2, p.c_pair, u.c_w1,
+           CAST(FLOOR(1000000000.0 * p.c_pair / u.c_w1) AS BIGINT) AS prob_e9
+    FROM pair_c p JOIN uni_c u USING (w1)
+    ORDER BY p.c_pair DESC, p.w1 ASC, p.w2 ASC
+    LIMIT 50
+    """,
+    doc="Count-based bigram language model estimation: in-document "
+    "adjacent-token pairs (never across doc boundaries), conditional "
+    "probability P(w2|w1) = c(w1,w2)/c(w1) in 1e9 fixed point — the "
+    "n-gram statistics stage of LM data work (KenLM-style counting). "
+    "The unigram denominators come from re-aggregating the pair counts "
+    "(no second corpus pass), and at corpus scale both aggs partial-"
+    "combine map-side; top-50 is TakeOrderedAndProject. Same zip-"
+    "the-array-with-its-tail formulation both engines.",
+    tags=("text", "ngram"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    ws = tokens_ws("text")
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair_c = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pair")
+    )
+    uni_c = pair_c.groupBy("w1").agg(F.sum("c_pair").cast("long").alias("c_w1"))
+    return (
+        pair_c.join(uni_c, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_w1",
+            F.floor(F.lit(1000000000.0) * F.col("c_pair") / F.col("c_w1"))
+            .cast("long")
+            .alias("prob_e9"),
+        )
+        .orderBy(F.desc("c_pair"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
