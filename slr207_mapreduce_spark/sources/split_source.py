@@ -80,3 +80,67 @@ class TextSplitsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(TextSplitsDataSource)
+
+
+class TextSplitsStreamReader:
+    """Streaming flavor of the split-directory ingestion: the reference's
+    client feeds workers a FIXED split list once (SimpleClient.java:249-270);
+    a streaming corpus drop-box generalizes that to files arriving over
+    time. Offsets are positions in the sorted file listing ({"files_done":
+    n}), so each microbatch reads exactly the newly-landed split files and
+    restart-from-checkpoint resumes at a file boundary. Split files are
+    immutable once written (the reference's assumption too), which is what
+    makes the sorted-position offset exactly-once.
+
+    Driver-side reads (SimpleDataSourceStreamReader) fit the split-file
+    cardinality here; a high-rate source would use DataSourceStreamReader
+    with planned partitions instead."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("textsplits source requires .option('path', <dir>)")
+
+    def _files(self):
+        return sorted(
+            f
+            for f in os.listdir(self.dir)
+            if f.endswith(".txt") and os.path.isfile(os.path.join(self.dir, f))
+        )
+
+    def initialOffset(self):
+        return {"files_done": 0}
+
+    def _read_files(self, names):
+        # Materialized list, not a generator: the simple stream reader
+        # prefetches on the driver and ships records by pickle.
+        out = []
+        for name in names:
+            with open(
+                os.path.join(self.dir, name), encoding="utf-8", errors="replace"
+            ) as fh:
+                out.extend(
+                    (name, i, line.rstrip("\n")) for i, line in enumerate(fh)
+                )
+        return out
+
+    def read(self, start):
+        files = self._files()
+        done = start["files_done"]
+        batch = files[done:]
+        # iter(list): the runner needs a real (and picklable) iterator.
+        return iter(self._read_files(batch)), {"files_done": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        return iter(self._read_files(files[start["files_done"] : end["files_done"]]))
+
+    def commit(self, end):
+        pass
+
+
+def _stream_reader(self, schema):
+    return TextSplitsStreamReader(self.options)
+
+
+TextSplitsDataSource.simpleStreamReader = _stream_reader

@@ -183,3 +183,53 @@ def test_observation_metrics_piggyback_on_action(spark):
     assert got["rows_seen"] == li.count()
     assert n <= got["rows_seen"]
     assert float(got["qty_sum"]) > 0
+
+
+def test_textsplits_streaming_source_picks_up_new_files(spark, tmp_path):
+    """The textsplits source also streams: files landing in the split
+    directory become the next microbatch (offset = sorted-position in the
+    listing), so the reference's static split ingestion generalizes to a
+    corpus drop-box. Batch 1 sees the initial files; a file added later
+    arrives exactly once in a subsequent batch."""
+    import shutil
+
+    from slr207_mapreduce_spark.sources import split_source
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "split0.txt").write_text("alpha\nbeta\n")
+    (src / "split1.txt").write_text("gamma\n")
+
+    split_source.register(spark)
+    stream = (
+        spark.readStream.format("textsplits").option("path", str(src)).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("splits_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM splits_stream").collect()
+        assert sorted(r.value for r in first) == ["alpha", "beta", "gamma"]
+
+        (src / "split2.txt").write_text("delta\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM splits_stream").collect()
+        assert sorted(r.value for r in rows) == ["alpha", "beta", "delta", "gamma"]
+        assert {r.split_file for r in rows} == {
+            "split0.txt",
+            "split1.txt",
+            "split2.txt",
+        }
+        # line_no provenance survives the streaming path
+        assert {(r.split_file, r.line_no) for r in rows if r.split_file == "split0.txt"} == {
+            ("split0.txt", 0),
+            ("split0.txt", 1),
+        }
+    finally:
+        q.stop()
