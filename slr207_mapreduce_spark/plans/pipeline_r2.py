@@ -338,3 +338,108 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_phonetic_blocking",
+    oracle=None,  # DuckDB has no soundex; Spark's soundex is pinned against
+    # an independent pure-Python Russell-soundex implementation over every
+    # blocking key in tests/test_pipeline_queries.py::
+    # test_soundex_matches_independent_python_implementation, and the pair
+    # semantics are recomputed in pandas there.
+    doc="Phonetic record linkage: the distinct part-name vocabulary blocked by "
+    "soundex() — names that SOUND alike meet in the same block even when "
+    "they differ in spelling beyond small edit distance (the failure "
+    "mode of pipeline_fuzzy_name_pairs' first-char blocking). The query "
+    "returns every in-block candidate pair with its edit distance — the "
+    "verify threshold is downstream policy. Blocking is an equi-join on "
+    "the 4-char code, so candidate generation stays shuffle-hash-"
+    "joinable at any scale; soundex is a codegen'd JVM expression.",
+    tags=("pipeline", "text", "join"),
+)
+def pipeline_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        load_table(spark, "part", sf_dir)
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+    coded = words.select("w", F.soundex("w").alias("code"))
+    a = coded.select(F.col("w").alias("word_a"), "code")
+    b = coded.select(F.col("w").alias("word_b"), "code")
+    return (
+        a.join(b, ["code"])
+        .where(F.col("word_a") < F.col("word_b"))
+        .select(
+            "code",
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").cast("long").alias("edit_dist"),
+        )
+        .orderBy("code", "word_a", "word_b")
+    )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> length(t) > 0)) AS n_tok
+      FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_tok) AS BIGINT) AS total_ws_tokens,
+             CAST(COUNT(*) FILTER (WHERE n_chars < 100) AS BIGINT) AS short_docs
+      FROM base
+    ),
+    by_lang AS (
+      SELECT lang, COUNT(*) AS c FROM base GROUP BY lang
+      ORDER BY c DESC, lang ASC LIMIT 1
+    )
+    SELECT corpus.*, by_lang.lang AS top_lang,
+           CAST(by_lang.c AS BIGINT) AS top_lang_docs
+    FROM corpus CROSS JOIN by_lang
+    """,
+    doc="Dataset-card statistics in one pass: the headline numbers a "
+    "corpus release documents (doc/source/lang counts, char and "
+    "whitespace-token totals, short-doc count, dominant language) fused "
+    "into a single scan + global aggregate, with the dominant-language "
+    "argmax as a deterministic top-1 side aggregate. At 100 TB this is "
+    "the only affordable shape for card generation: every metric shares "
+    "the one scan, the global agg reduces map-side to a handful of "
+    "counters per partition, and nothing wide ever shuffles.",
+    tags=("pipeline", "stats"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.text import tokens_ws
+
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens_ws("text")).alias("n_tok"),
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("total_ws_tokens"),
+        F.count_if(F.col("n_chars") < 100).cast("long").alias("short_docs"),
+    )
+    by_lang = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_lang_docs"))
+    )
+    return corpus.crossJoin(by_lang)

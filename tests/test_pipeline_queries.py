@@ -129,3 +129,97 @@ def test_retention_cohort_offsets(spark):
     )
     day0 = sum(r["n_active_users"] for r in out if r["day_offset"] == 0)
     assert day0 == n_users
+
+
+def _soundex_py(w: str) -> str:
+    """Independent Russell soundex (the classic algorithm, public domain):
+    first letter + 3 digits, consecutive-duplicate codes collapsed, H/W
+    transparent between identical codes, vowels reset the run."""
+    codes = {
+        **dict.fromkeys("BFPV", "1"),
+        **dict.fromkeys("CGJKQSXZ", "2"),
+        **dict.fromkeys("DT", "3"),
+        "L": "4",
+        **dict.fromkeys("MN", "5"),
+        "R": "6",
+    }
+    w = "".join(ch for ch in w.upper() if ch.isalpha())
+    if not w:
+        return ""
+    out = w[0]
+    prev = codes.get(w[0], "")
+    for ch in w[1:]:
+        code = codes.get(ch, "")
+        if ch in "HW":
+            continue  # transparent: does not reset the previous code
+        if code and code != prev:
+            out += code
+            if len(out) == 4:
+                break
+        prev = code
+    return (out + "000")[:4]
+
+
+def test_soundex_matches_independent_python_implementation(spark):
+    """Spark's soundex() vs a from-scratch Russell soundex over every
+    distinct part-name head word — the exactness gate for the phonetic
+    blocking key (DuckDB has no soundex, so the query is rows-only)."""
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_CORRECT
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    words = (
+        load_table(spark, "part", SF_CORRECT)
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+    got = {r.w: r.code for r in words.select("w", F.soundex("w").alias("code")).collect()}
+    # the synthetic part fixture has a small adjective+noun vocabulary;
+    # every word of it must still code identically
+    assert len(got) >= 10
+    for w, code in got.items():
+        assert code == _soundex_py(w), f"soundex({w!r}): spark={code} py={_soundex_py(w)}"
+
+
+def test_phonetic_blocking_pairs_recomputed_in_pandas(spark):
+    """The blocked-pair relation itself, recomputed naively (all pairs of
+    same-soundex words) with a from-scratch edit-distance DP — pins the
+    join semantics end to end."""
+    from tests.conftest import SF_CORRECT
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = all_queries()["pipeline_phonetic_blocking"].build(spark, SF_CORRECT).collect()
+    got = {(r.code, r.word_a, r.word_b, r.edit_dist) for r in out}
+
+    import collections
+
+    import pyspark.sql.functions as F
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    words = (
+        load_table(spark, "part", SF_CORRECT)
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+        .collect()
+    )
+    blocks = collections.defaultdict(list)
+    for r in words:
+        blocks[_soundex_py(r.w)].append(r.w)
+    want = set()
+    for code, ws in blocks.items():
+        ws.sort()
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                want.add((code, ws[i], ws[j], lev(ws[i], ws[j])))
+    assert got == want and len(want) > 0
