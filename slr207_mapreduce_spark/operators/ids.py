@@ -1,0 +1,71 @@
+"""Stable sequential-ID assignment without a single-partition sort.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses the
+whole dataset onto ONE task — the classic driver-shaped bottleneck that
+cannot work at 100 TB. This operator produces the identical dense rank
+0..N-1 with the two-pass zipWithIndex technique the RDD API uses,
+expressed on DataFrames:
+
+1. range-repartition + sort-within-partitions by the (total) ordering key
+   — a distributed sort, every task bounded;
+2. count rows per partition (small job over partition ids);
+3. cumulative-sum those counts on the driver (one row per partition) into
+   per-partition offsets;
+4. mapInPandas adds offset + within-partition ordinal, streaming Arrow
+   batches with a running counter — no per-partition materialization.
+
+The assigned id equals the global rank in the total order REGARDLESS of
+where range-partition boundaries land, because offsets are computed from
+actual partition sizes — which is what makes the result deterministic and
+oracle-checkable while remaining fully parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    order_by: list[str],
+    id_col: str = "seq_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0..N-1 ids in the total order of ``order_by`` (must be a
+    unique key for the ids to be deterministic)."""
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    cols = [F.asc(c) for c in order_by]
+    sorted_df = (
+        df.repartitionByRange(int(n), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]  # Row.__pid would trip Row's dunder guard
+        for r in sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    out_schema = sorted_df.drop("__pid").schema.add(id_col, "long", False)
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns="__pid")
+            pdf[id_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return sorted_df.mapInPandas(add_ids, schema=out_schema)

@@ -443,3 +443,29 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_lang_docs"))
     )
     return corpus.crossJoin(by_lang)
+
+
+@register(
+    "pipeline_assign_ids",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source ASC, doc_id ASC) - 1
+                AS BIGINT) AS seq_id
+    FROM documents
+    """,
+    doc="Stable dense id assignment (0..N-1 in (source, doc_id) order) "
+    "via operators/ids.py::assign_sequential_ids — the two-pass "
+    "zipWithIndex shape: distributed range-sort, per-partition counts, "
+    "driver-side prefix-sum of ONE ROW PER PARTITION, then an Arrow-"
+    "streamed ordinal pass. Identical output to the oracle's global "
+    "row_number, which Spark would execute on a SINGLE task (the "
+    "anti-pattern this operator exists to avoid); here every stage is "
+    "parallel and the driver holds only the partition-size vector. The "
+    "id-minting step every training-corpus build needs.",
+    tags=("pipeline", "ids"),
+)
+def pipeline_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.ids import assign_sequential_ids
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return assign_sequential_ids(d, order_by=["source", "doc_id"])

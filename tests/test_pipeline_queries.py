@@ -223,3 +223,23 @@ def test_phonetic_blocking_pairs_recomputed_in_pandas(spark):
             for j in range(i + 1, len(ws)):
                 want.add((code, ws[i], ws[j], lev(ws[i], ws[j])))
     assert got == want and len(want) > 0
+
+
+def test_assign_ids_dense_unique_and_partition_invariant(spark):
+    """The two-pass id assigner mints exactly 0..N-1 (dense, unique) and
+    the ids equal the global rank regardless of partition count — the
+    property that lets a 1000-executor run reproduce the oracle."""
+    from tests.conftest import SF_CORRECT
+    from slr207_mapreduce_spark.operators.ids import assign_sequential_ids
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", SF_CORRECT).select("doc_id", "source")
+    n = d.count()
+    for parts in (3, 17):
+        out = assign_sequential_ids(d, order_by=["source", "doc_id"], num_partitions=parts)
+        rows = out.collect()
+        ids = sorted(r.seq_id for r in rows)
+        assert ids == list(range(n))
+        by_key = {(r.source, r.doc_id): r.seq_id for r in rows}
+        ordered = sorted(by_key)
+        assert [by_key[k] for k in ordered] == list(range(n))
