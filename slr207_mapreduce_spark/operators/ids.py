@@ -69,3 +69,51 @@ def assign_sequential_ids(
             yield pdf
 
     return sorted_df.mapInPandas(add_ids, schema=out_schema)
+
+
+def with_running_total(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "running_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` in the total order of
+    ``order_by`` — ``SUM() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    minus the current row, without the single-task global window: the same
+    two-pass shape as :func:`assign_sequential_ids` with per-partition
+    SUMS (not counts) prefix-summed on the driver."""
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    cols = [F.asc(c) for c in order_by]
+    sorted_df = (
+        df.repartitionByRange(int(n), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in sorted_df.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    out_schema = sorted_df.drop("__pid").schema.add(out_col, "long", False)
+
+    def add_prefix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns="__pid")
+            csum = pdf[value_col].cumsum()
+            pdf[out_col] = base + seen + csum - pdf[value_col]
+            seen += int(csum.iloc[-1])
+            yield pdf
+
+    return sorted_df.mapInPandas(add_prefix, schema=out_schema)

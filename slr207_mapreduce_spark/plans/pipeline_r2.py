@@ -469,3 +469,55 @@ def pipeline_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     return assign_sequential_ids(d, order_by=["source", "doc_id"])
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> length(t) > 0)) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_before
+      FROM toks
+    )
+    SELECT doc_id, n_tok, tok_before,
+           tok_before // 2048 AS pack_id,
+           tok_before % 2048 AS pack_offset
+    FROM pre
+    """,
+    doc="Training-sequence packing (contiguous-fill): documents are laid "
+    "end-to-end in doc_id order into fixed 2048-token packs; each doc "
+    "gets its pack id and intra-pack offset from the EXCLUSIVE token "
+    "prefix sum (docs crossing a boundary split across packs, the "
+    "streaming-packer semantics). The prefix sum is the scale problem: "
+    "the oracle's global-ORDER-BY window runs on one task, while "
+    "operators/ids.py::with_running_total computes the identical "
+    "numbers with a distributed range-sort, per-partition sums, a "
+    "driver-side prefix over one value per partition, and an Arrow "
+    "cumsum pass — every stage parallel.",
+    tags=("pipeline", "packing"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.ids import with_running_total
+    from slr207_mapreduce_spark.operators.text import tokens_ws
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(tokens_ws("text")).cast("long").alias("n_tok")
+    )
+    pre = with_running_total(
+        d, order_by=["doc_id"], value_col="n_tok", out_col="tok_before"
+    )
+    return pre.select(
+        "doc_id",
+        "n_tok",
+        "tok_before",
+        F.expr("tok_before div 2048").alias("pack_id"),  # integer div, no double round-trip
+        (F.col("tok_before") % 2048).alias("pack_offset"),
+    )

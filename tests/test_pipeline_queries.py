@@ -243,3 +243,28 @@ def test_assign_ids_dense_unique_and_partition_invariant(spark):
         by_key = {(r.source, r.doc_id): r.seq_id for r in rows}
         ordered = sorted(by_key)
         assert [by_key[k] for k in ordered] == list(range(n))
+
+
+def test_running_total_partition_invariant(spark):
+    """with_running_total equals the single-task global-window prefix sum
+    at any partition count."""
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_CORRECT
+    from slr207_mapreduce_spark.operators.ids import with_running_total
+    from slr207_mapreduce_spark.operators.text import tokens_ws
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", SF_CORRECT).select(
+        "doc_id", F.size(tokens_ws("text")).cast("long").alias("n_tok")
+    )
+    rows = sorted(d.collect(), key=lambda r: r.doc_id)
+    want, acc = {}, 0
+    for r in rows:
+        want[r.doc_id] = acc
+        acc += r.n_tok
+    for parts in (2, 13):
+        out = with_running_total(
+            d, order_by=["doc_id"], value_col="n_tok",
+            out_col="tok_before", num_partitions=parts,
+        ).collect()
+        assert {r.doc_id: r.tok_before for r in out} == want
