@@ -227,13 +227,22 @@ def events_gap_filled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_percentile over event values (p50/p90/p99) — the fixed-"
     "memory quantile path for fact-scale data (exact percentile needs a "
     "global sort). Engine sketches differ from DuckDB's → rows-only; "
-    "tests/test_llm_ops.py bounds the error against exact quantiles.",
+    "tests/test_llm_ops.py bounds the error against exact quantiles. The "
+    "sketch returns one array but the output unpacks it to scalar columns "
+    "so every emitted cell stays hashable for the driver's comparator.",
     tags=("events", "approx"),
 )
 def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99")
+    return (
+        e.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
     )
 
 

@@ -46,11 +46,15 @@ def _pin_utc(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one canonical table as a DataFrame (parquet scan, pushdown-ready).
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's reader rejects; read nanos as long (legacy conf) and truncate to
-    microseconds with integer division (ns values ~1.7e18 exceed double's
-    exact range — float division would corrupt the low digits). The DuckDB
-    oracle casts TIMESTAMP_NS → TIMESTAMP (µs) which truncates identically.
+    The ``events`` table's ``ts`` has shipped in two physical forms:
+    parquet TIMESTAMP(NANOS) (read as long via the legacy conf, truncated to
+    µs with integer division — ns values ~1.7e18 exceed double's exact
+    range) and plain TIMESTAMP(MICROS) without a timezone flag, which
+    Spark 4 infers as TIMESTAMP_NTZ (parquet.inferTimestampNTZ). Every
+    time-arithmetic builder (unix_micros, window(), watermarks) needs the
+    session-zone TIMESTAMP type, so both forms are normalized to LTZ here;
+    with the session pinned to UTC the NTZ→LTZ cast is value-identical to
+    DuckDB's naive-timestamp reading.
     """
     _pin_utc(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
@@ -58,11 +62,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

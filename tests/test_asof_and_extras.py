@@ -77,7 +77,7 @@ def test_approx_percentile_error_bounded(spark):
     from slr207_mapreduce_spark.sources.tables import load_table
 
     got = {
-        r["event_type"]: r["p50_p90_p99"]
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
         for r in all_queries()["events_approx_percentiles"]
         .build(spark, SF_SMOKE)
         .collect()
