@@ -87,6 +87,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_r2,
         warehouse_r2,
         analytics_r2,
+        pipeline_r3,
     )
 
     return dict(REGISTRY)

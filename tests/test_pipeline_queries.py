@@ -268,3 +268,57 @@ def test_running_total_partition_invariant(spark):
             out_col="tok_before", num_partitions=parts,
         ).collect()
         assert {r.doc_id: r.tok_before for r in out} == want
+
+
+def test_chunk_documents_overlap_boundaries(spark):
+    """Boundary math on synthetic docs whose token counts straddle the
+    256-window / 192-stride edges (the sf corpora are all single-chunk,
+    so the oracle gate never exercises multi-chunk fan-out)."""
+    from slr207_mapreduce_spark.plans.pipeline_r3 import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        pipeline_chunk_documents,
+    )
+    import tempfile, os
+
+    cases = {  # n_tok -> expected chunk count
+        0: 1, 1: 1, CHUNK_TOKENS: 1, CHUNK_TOKENS + 1: 2,
+        CHUNK_TOKENS + CHUNK_STRIDE: 2, CHUNK_TOKENS + CHUNK_STRIDE + 1: 3,
+        1000: 1 + -(-(1000 - CHUNK_TOKENS) // CHUNK_STRIDE),
+    }
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)), "en", "synt", n)
+        for i, n in enumerate(cases)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = pipeline_chunk_documents(spark, td).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(cases):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert len(chunks) == cases[n], (n, len(chunks))
+        # full coverage: last chunk reaches the end; overlap = window-stride
+        assert chunks[-1].chunk_start + chunks[-1].n_chunk_tok == n or n == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start - a.chunk_start == CHUNK_STRIDE
+            assert a.n_chunk_tok == CHUNK_TOKENS  # only the last may be short
+        # chunk text is the real token slice
+        if n:
+            assert (chunks[0].chunk_text + " ").startswith("t0 ")
+
+
+def test_global_shuffle_deterministic_and_dense(spark):
+    from tests.conftest import SF_CORRECT
+
+    spec = _specs()["pipeline_global_shuffle"]
+    a = spec.build(spark, SF_CORRECT).collect()
+    b = spec.build(spark, SF_CORRECT).collect()
+    assert sorted(r.seq_id for r in a) == list(range(len(a)))
+    assert {(r.doc_id, r.seq_id) for r in a} == {(r.doc_id, r.seq_id) for r in b}
+    # the permutation actually permutes (not identity order)
+    by_seq = [r.doc_id for r in sorted(a, key=lambda r: r.seq_id)]
+    assert by_seq != sorted(by_seq)
