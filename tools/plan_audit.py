@@ -58,6 +58,8 @@ def main() -> int:
         "graph_triangle_count",
         "text_keyword_tfidf_topk",
         "events_promo_overlap_join",
+        "pipeline_chunk_documents",
+        "pipeline_global_shuffle",
     ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
