@@ -21,6 +21,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_ids(sc) -> set[int]:
+    """Ids of currently persisted RDDs (includes localCheckpoint blocks)."""
+    return {
+        e.getKey() for e in sc._jsc.getPersistentRDDs().entrySet().toArray()
+    }
+
+
+def _release_ids(sc, ids: set[int]) -> None:
+    """RDD-level unpersist for the given ids.
+
+    ``DataFrame.unpersist()`` goes through the CacheManager and does NOT
+    free ``localCheckpoint`` blocks (those are pinned at the RDD layer), so
+    superseded per-round checkpoints would otherwise live for the whole
+    SESSION — and the driver runs its entire query set in one session.
+    The leak compounds across queries until unrelated later plans fail
+    under storage-memory pressure (observed at sf0.1). Only ids this
+    operator itself created are ever passed here, so concurrent queries
+    in the same session are untouched.
+    """
+    if not ids:
+        return
+    for e in sc._jsc.getPersistentRDDs().entrySet().toArray():
+        if e.getKey() in ids:
+            e.getValue().unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -29,6 +55,8 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``;
     cluster_id = min node id reachable (deterministic canonical label)."""
+    sc = edges.sparkSession.sparkContext
+    seen = _persistent_ids(sc)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -38,11 +66,13 @@ def connected_components(
         # expensive) upstream edge pipeline twice per round
         .localCheckpoint(eager=True)
     )
+    sym_ids = _persistent_ids(sc) - seen
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_ids: set[int] = set()
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -50,6 +80,7 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("label").alias("nmin"))
         )
+        before = _persistent_ids(sc)
         new_labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
@@ -60,12 +91,18 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
+        new_ids = _persistent_ids(sc) - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the superseded round is no longer referenced once `changed` is
+        # computed; the CURRENT round's blocks must stay (lineage is
+        # truncated — the blocks ARE the data)
+        _release_ids(sc, prev_ids)
+        prev_ids = new_ids
         labels = new_labels
         if changed == 0:
             converged = True
@@ -77,6 +114,10 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter); raise max_iter"
         )
+    # labels is checkpointed: it no longer reads the edge list, so the
+    # symmetrized edges' blocks can be released before handing the result
+    # on. Only the final labels frame stays pinned — it IS the result.
+    _release_ids(sc, sym_ids)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -106,6 +147,8 @@ def pagerank_fp(
 
     Returns (node, rank_fp) — rank_fp summing to ~base over all nodes.
     """
+    sc = edges.sparkSession.sparkContext
+    seen = _persistent_ids(sc)
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         sym.select(F.col("src").alias("node"))
@@ -116,9 +159,11 @@ def pagerank_fp(
     n = nodes.count()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     graph = sym.join(deg, "src").localCheckpoint(eager=True)
+    base_ids = _persistent_ids(sc) - seen  # nodes + graph blocks
 
     teleport = (15 * base) // (100 * n)
     ranks = nodes.withColumn("rank_fp", F.lit(base // n).cast("long"))
+    prev_ids: set[int] = set()
     for _ in range(iters):
         contrib = (
             graph.join(ranks, graph.src == ranks.node)
@@ -129,6 +174,7 @@ def pagerank_fp(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        before = _persistent_ids(sc)
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
@@ -139,6 +185,14 @@ def pagerank_fp(
             )
             .localCheckpoint(eager=True)
         )
+        new_ids = _persistent_ids(sc) - before
+        # release the superseded round (see _release_ids: leaked checkpoint
+        # blocks outlive the query and starve later plans in the session)
+        _release_ids(sc, prev_ids)
+        prev_ids = new_ids
+    # final ranks are checkpointed → they no longer read nodes/graph blocks;
+    # only the result frame itself stays pinned
+    _release_ids(sc, base_ids)
     return ranks
 
 

@@ -48,3 +48,22 @@ def test_dedup_clusters_consistent_with_pairs(spark):
     # every cluster label is a member of its own cluster
     for node, cid in clusters.items():
         assert clusters[cid] == cid
+
+
+def test_iterative_ops_release_round_checkpoints(spark):
+    """localCheckpoint blocks are RDD-level pins that DataFrame.unpersist
+    cannot free; if per-round checkpoints leak, a long single-session run
+    (the driver's) accumulates them until unrelated plans fail. Each
+    iterative query may keep ONLY its final result frame pinned."""
+    from tests.conftest import SF_CORRECT
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    specs = all_queries()
+    sc = spark.sparkContext
+    for name in ("dedup_clusters", "graph_pagerank"):
+        before = sc._jsc.getPersistentRDDs().size()
+        specs[name].build(spark, SF_CORRECT).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        after = sc._jsc.getPersistentRDDs().size()
+        assert after - before <= 2, (name, before, after)
