@@ -21,11 +21,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _persistent_ids(sc) -> set[int]:
-    """Ids of currently persisted RDDs (includes localCheckpoint blocks)."""
-    return {
-        e.getKey() for e in sc._jsc.getPersistentRDDs().entrySet().toArray()
-    }
+def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint`` the frame and return (frame, {pinned RDD id}).
+
+    The returned Dataset's analyzed plan is a ``LogicalRDD`` wrapping
+    EXACTLY the RDD that ``localCheckpoint`` persisted, so the id comes
+    straight off the frame — no diffing of the session-global persistent-RDD
+    map, which under concurrent queries would capture (and later free)
+    blocks some OTHER query pinned in the same window.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        return ck, {ck._jdf.queryExecution().analyzed().rdd().id()}
+    except Exception:
+        # unexpected plan shape: keep the block pinned rather than risk
+        # releasing someone else's (bounded leak beats wrong unpersist)
+        return ck, set()
 
 
 def _release_ids(sc, ids: set[int]) -> None:
@@ -36,15 +47,38 @@ def _release_ids(sc, ids: set[int]) -> None:
     superseded per-round checkpoints would otherwise live for the whole
     SESSION — and the driver runs its entire query set in one session.
     The leak compounds across queries until unrelated later plans fail
-    under storage-memory pressure (observed at sf0.1). Only ids this
-    operator itself created are ever passed here, so concurrent queries
-    in the same session are untouched.
+    under storage-memory pressure (observed at sf0.1). Ids passed here are
+    derived from each checkpointed frame itself (see ``_ckpt``), never from
+    a global diff, so concurrent queries' blocks are untouched.
     """
     if not ids:
         return
     for e in sc._jsc.getPersistentRDDs().entrySet().toArray():
         if e.getKey() in ids:
             e.getValue().unpersist(False)
+
+
+def release_result(df: DataFrame) -> None:
+    """Free the localCheckpoint blocks pinned by a frame RETURNED from an
+    iterative operator here, after the caller's terminal action.
+
+    Each invocation of an iterative query keeps its final result checkpoint
+    pinned for the session (the blocks ARE the data — lineage is truncated).
+    Callers that invoke such queries many times in one long-lived session
+    should call this once the result has been consumed; the frame must not
+    be used afterwards. Releases every ``LogicalRDD`` leaf under the frame
+    (the result may be a projection over the checkpointed frame).
+    """
+    ids: set[int] = set()
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                ids.add(leaf.rdd().id())
+    except Exception:
+        return
+    _release_ids(df.sparkSession.sparkContext, ids)
 
 
 def connected_components(
@@ -56,17 +90,14 @@ def connected_components(
     """(node, cluster_id) for every node appearing in ``edges``;
     cluster_id = min node id reachable (deterministic canonical label)."""
     sc = edges.sparkSession.sparkContext
-    seen = _persistent_ids(sc)
-    sym = (
+    # materialize once: the loop re-evaluates sym every round, and the
+    # symmetrizing union would otherwise recompute the (possibly very
+    # expensive) upstream edge pipeline twice per round
+    sym, sym_ids = _ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        # materialize once: the loop re-evaluates sym every round, and the
-        # symmetrizing union would otherwise recompute the (possibly very
-        # expensive) upstream edge pipeline twice per round
-        .localCheckpoint(eager=True)
     )
-    sym_ids = _persistent_ids(sc) - seen
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -74,50 +105,52 @@ def connected_components(
     )
     prev_ids: set[int] = set()
     converged = False
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        before = _persistent_ids(sc)
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.a == labels.node)
+                .groupBy(F.col("b").alias("node2"))
+                .agg(F.min("label").alias("nmin"))
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
-        )
-        new_ids = _persistent_ids(sc) - before
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the superseded round is no longer referenced once `changed` is
-        # computed; the CURRENT round's blocks must stay (lineage is
-        # truncated — the blocks ARE the data)
-        _release_ids(sc, prev_ids)
-        prev_ids = new_ids
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # partially-propagated labels would silently split components —
-        # loud failure beats wrong clusters
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter); raise max_iter"
-        )
-    # labels is checkpointed: it no longer reads the edge list, so the
-    # symmetrized edges' blocks can be released before handing the result
-    # on. Only the final labels frame stays pinned — it IS the result.
-    _release_ids(sc, sym_ids)
+            new_labels, new_ids = _ckpt(  # truncate lineage per round
+                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            # the superseded round is no longer referenced once `changed` is
+            # computed; the CURRENT round's blocks must stay (lineage is
+            # truncated — the blocks ARE the data)
+            _release_ids(sc, prev_ids)
+            prev_ids = new_ids
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # partially-propagated labels would silently split components —
+            # loud failure beats wrong clusters
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(graph diameter exceeds max_iter); raise max_iter"
+            )
+    finally:
+        # sym is never part of the result; on error also free the last
+        # round's blocks so the failure path doesn't leak for the session
+        _release_ids(sc, sym_ids)
+        if not converged:
+            _release_ids(sc, prev_ids)
+    # Only the final labels frame stays pinned — it IS the result
+    # (callers may free it after their terminal action via release_result).
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -148,51 +181,58 @@ def pagerank_fp(
     Returns (node, rank_fp) — rank_fp summing to ~base over all nodes.
     """
     sc = edges.sparkSession.sparkContext
-    seen = _persistent_ids(sc)
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
+    # both loop-invariant frames are pinned: nodes joins into every round's
+    # rank update, graph into every round's contribution sum — unpinned,
+    # each would re-derive its distinct-union/join over the edge scan every
+    # iteration (iters full rescans of the upstream pipeline)
+    nodes, nodes_ids = _ckpt(
         sym.select(F.col("src").alias("node"))
         .union(sym.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
-    graph = sym.join(deg, "src").localCheckpoint(eager=True)
-    base_ids = _persistent_ids(sc) - seen  # nodes + graph blocks
+    graph, graph_ids = _ckpt(sym.join(deg, "src"))
+    base_ids = nodes_ids | graph_ids
 
     teleport = (15 * base) // (100 * n)
     ranks = nodes.withColumn("rank_fp", F.lit(base // n).cast("long"))
     prev_ids: set[int] = set()
-    for _ in range(iters):
-        contrib = (
-            graph.join(ranks, graph.src == ranks.node)
-            # `div`, NOT `/`: Spark's `/` on longs is DOUBLE division, whose
-            # round-to-nearest can exceed the true floor quotient; `div` is
-            # exact integer division, matching DuckDB's `//` bit-for-bit.
-            .select("dst", F.expr("rank_fp div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        before = _persistent_ids(sc)
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({teleport} AS BIGINT) + (85 * coalesce(inflow, 0)) div 100"
-                ).alias("rank_fp"),
+    try:
+        for _ in range(iters):
+            contrib = (
+                graph.join(ranks, graph.src == ranks.node)
+                # `div`, NOT `/`: Spark's `/` on longs is DOUBLE division,
+                # whose round-to-nearest can exceed the true floor quotient;
+                # `div` is exact integer division, matching DuckDB's `//`
+                # bit-for-bit.
+                .select("dst", F.expr("rank_fp div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow"))
             )
-            .localCheckpoint(eager=True)
-        )
-        new_ids = _persistent_ids(sc) - before
-        # release the superseded round (see _release_ids: leaked checkpoint
-        # blocks outlive the query and starve later plans in the session)
+            new_ranks, new_ids = _ckpt(
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    F.expr(
+                        f"CAST({teleport} AS BIGINT) + (85 * coalesce(inflow, 0)) div 100"
+                    ).alias("rank_fp"),
+                )
+            )
+            # release the superseded round (see _release_ids: leaked
+            # checkpoint blocks outlive the query and starve later plans)
+            _release_ids(sc, prev_ids)
+            prev_ids = new_ids
+            ranks = new_ranks
+    except BaseException:
         _release_ids(sc, prev_ids)
-        prev_ids = new_ids
-    # final ranks are checkpointed → they no longer read nodes/graph blocks;
-    # only the result frame itself stays pinned
-    _release_ids(sc, base_ids)
+        raise
+    finally:
+        # final ranks are checkpointed → they no longer read nodes/graph
+        # blocks; only the result frame itself stays pinned (callers may
+        # free it after their terminal action via release_result)
+        _release_ids(sc, base_ids)
     return ranks
 
 

@@ -67,3 +67,48 @@ def test_iterative_ops_release_round_checkpoints(spark):
         ).save()
         after = sc._jsc.getPersistentRDDs().size()
         assert after - before <= 2, (name, before, after)
+
+
+def test_release_result_frees_final_checkpoint(spark):
+    """The one pin an iterative op leaves behind (its result frame) is
+    releasable by the caller via the public hook, so repeated invocations
+    in a long-lived session need not accumulate blocks."""
+    from slr207_mapreduce_spark.operators.graph import (
+        connected_components,
+        release_result,
+    )
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    before = sc._jsc.getPersistentRDDs().size()
+    result = connected_components(edges)
+    result.write.mode("overwrite").format("noop").save()
+    release_result(result)
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before == 0, (before, after)
+
+
+def test_release_never_touches_unrelated_pins(spark):
+    """Checkpoint ids are derived from each frame's own LogicalRDD, never
+    from diffing the session-global persistent-RDD map — so blocks pinned
+    by OTHER work in the same session survive an iterative op's cleanup."""
+    from slr207_mapreduce_spark.operators.graph import (
+        connected_components,
+        release_result,
+    )
+
+    sc = spark.sparkContext
+    bystander = spark.range(100).selectExpr("id", "id * 3 AS v").localCheckpoint()
+    bystander_count = bystander.count()
+    edges = spark.createDataFrame([(1, 2), (2, 3), (20, 21)], ["src", "dst"])
+    result = connected_components(edges)
+    result.write.mode("overwrite").format("noop").save()
+    release_result(result)
+    # the bystander's checkpoint block must still be pinned and readable
+    ids = {
+        e.getKey()
+        for e in sc._jsc.getPersistentRDDs().entrySet().toArray()
+    }
+    assert bystander._jdf.queryExecution().analyzed().rdd().id() in ids
+    assert bystander.count() == bystander_count
+    release_result(bystander)
