@@ -76,36 +76,70 @@ def _dtype_kind(dtype) -> str:
     return s
 
 
-def _unhashable_cols(pdf: pd.DataFrame) -> list[str]:
-    """Columns containing list/ndarray/dict cells.
+def comparator_unsafe_cols(pdf: pd.DataFrame) -> dict[str, str]:
+    """column -> reason, for anything the driver's comparator could choke on.
 
     The driver canonicalizes with a raw ``DataFrame.sort_values`` over the
-    untouched cells, which raises ``TypeError: unhashable type`` on any
-    list-like cell — so an oracled query emitting array/map columns fails the
-    driver gate even when values are identical. Flag them here so the local
-    gate stays strictly stronger (ADVICE r01: serialize such columns with
-    array_join/array_to_string, or drop the oracle)."""
+    untouched cells and value-hashes them, so beyond the known
+    ``unhashable type: list`` crash (CORRECTNESS_r01: agg_collect_sorted)
+    several cell shapes are unsafe even when values match the oracle:
+
+    - list/ndarray/dict/set cells: unhashable -> sort_values TypeError
+    - struct cells (pyspark Row / tuple): Spark yields Row, DuckDB yields
+      dict — never comparable cross-engine, and dicts are unhashable
+    - bytes/bytearray/memoryview: DuckDB round-trips BLOBs differently and
+      a bytes-vs-str hash can never match
+    - decimal.Decimal: hashes/compares differently from the float the
+      oracle side typically produces (exactness must be achieved WITH
+      decimal arithmetic but OUTPUT as double — functions/portable.py)
+    - mixed-type object columns (e.g. str and float cells in one column):
+      Python 3 comparisons across types raise inside sort_values
+
+    Every oracled query must emit scalar, single-typed cells; this keeps the
+    local gate strictly stronger than the driver's."""
+    import decimal
+
     import numpy as np
 
-    bad = []
+    unsafe = {}
     for c in pdf.columns:
         s = pdf[c]
-        if s.dtype == object and s.map(
-            lambda v: isinstance(v, (list, np.ndarray, dict, set))
-        ).any():
-            bad.append(c)
-    return bad
+        if s.dtype != object:
+            continue
+        types = set()
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, (list, np.ndarray, dict, set)):
+                unsafe[c] = f"unhashable {type(v).__name__} cell"
+                break
+            if isinstance(v, tuple):  # includes pyspark.sql.Row
+                unsafe[c] = f"struct cell ({type(v).__name__})"
+                break
+            if isinstance(v, (bytes, bytearray, memoryview)):
+                unsafe[c] = "binary cell"
+                break
+            if isinstance(v, decimal.Decimal):
+                unsafe[c] = "Decimal cell (emit double via portable helpers)"
+                break
+            types.add(type(v).__name__)
+        else:
+            # numeric mixes (int/float/bool) sort and compare fine; any
+            # other cross-type mix raises inside sort_values
+            if len(types) > 1 and not types <= {"int", "float", "bool"}:
+                unsafe[c] = f"mixed-type cells {sorted(types)}"
+    return unsafe
 
 
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     for side, pdf in (("spark", spark_pdf), ("duck", duck_pdf)):
-        bad = _unhashable_cols(pdf)
+        bad = comparator_unsafe_cols(pdf)
         if bad:
             problems.append(
-                f"{side} output has list/array/map cells in {bad} — the driver's "
-                "sort_values canonicalization crashes on these; serialize to "
-                "scalar (array_join / array_to_string) or set oracle=None"
+                f"{side} output not comparator-safe: {bad} — the driver's "
+                "raw sort_values/value-hash canonicalization chokes on these; "
+                "serialize to scalar (array_join / array_to_string / cast)"
             )
     if problems:
         return problems
@@ -166,7 +200,14 @@ def main() -> int:
             failed.append(name)
             continue
         if spec.oracle is None:
-            print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, no oracle) [{time.time()-t0:.1f}s]")
+            # the driver still materializes rows-only outputs — keep them
+            # comparator-safe too so its canonicalization can't crash
+            bad = comparator_unsafe_cols(spark_pdf)
+            if bad:
+                print(f"FAIL {name}: rows-only output not comparator-safe: {bad}")
+                failed.append(name)
+            else:
+                print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             duck_pdf = con.execute(spec.oracle).df()
