@@ -32,14 +32,15 @@ from pyspark.sql import functions as F
 
 def assign_sequential_ids(
     df: DataFrame,
-    order_by: list[str],
+    order_by: list,
     id_col: str = "seq_id",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Dense 0..N-1 ids in the total order of ``order_by`` (must be a
-    unique key for the ids to be deterministic)."""
+    unique key for the ids to be deterministic). Entries may be column
+    names (ascending) or Column sort expressions (e.g. ``F.desc(...)``)."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    cols = [F.asc(c) for c in order_by]
+    cols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
     sorted_df = (
         df.repartitionByRange(int(n), *cols)
         .sortWithinPartitions(*cols)

@@ -187,17 +187,45 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
     FROM customer
     """,
-    doc="NTILE(4) global quartiles by account balance (single-partition "
-    "window — fine for bounded outputs, not a fact-table pattern).",
+    doc="NTILE(4) global quartiles by account balance, WITHOUT the "
+    "single-partition window ntile() itself would plan: the global rank "
+    "comes from the distributed two-pass zipWithIndex operator "
+    "(operators/ids.py), and NTILE's bucket arithmetic — first N%k buckets "
+    "get ceil(N/k) rows, the rest floor(N/k) — is an exact integer "
+    "expression over (rank, N). Every stage is parallel; N joins in as a "
+    "broadcast 1-row aggregate.",
     tags=("window",),
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
-        "c_custkey",
-        F.col("c_acctbal").cast("double").alias("c_acctbal"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+    from slr207_mapreduce_spark.operators.ids import assign_sequential_ids
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    ranked = assign_sequential_ids(
+        c, order_by=[F.desc("c_acctbal"), F.asc("c_custkey")], id_col="__rk"
+    )
+    n_row = c.agg(F.count(F.lit(1)).alias("__n"))
+    # NTILE(k): q=N div k rows per small bucket, the first r=N%k buckets
+    # take one extra. rank < r*(q+1) → bucket rank div (q+1), else
+    # r + (rank - r*(q+1)) div q. The ELSE branch is unreachable when q=0
+    # (its guard needs rank >= N), so the div-by-zero case never evaluates.
+    return (
+        ranked.join(F.broadcast(n_row))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (
+                F.expr(
+                    "CASE WHEN __rk < (__n % 4) * (__n div 4 + 1) "
+                    "THEN __rk div (__n div 4 + 1) "
+                    "ELSE (__n % 4) + (__rk - (__n % 4) * (__n div 4 + 1)) div (__n div 4) END"
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("quartile"),
+        )
     )
 
 
