@@ -80,7 +80,11 @@ def explain_shuffles(df: DataFrame) -> int:
     budget a reviewer should check before running anything at scale.
     BroadcastExchange is excluded: broadcasting a dim is the cheap
     alternative to a shuffle, not a shuffle."""
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "simple"
-    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
     return plan.count("Exchange") - plan.count("BroadcastExchange")

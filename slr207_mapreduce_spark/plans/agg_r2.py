@@ -324,44 +324,81 @@ def window_count_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-Min geometry: width = ceil(e / eps) for eps = 1e-4, depth =
+# ceil(ln(1/delta)) for delta = 0.01 — the same parameterization Spark's
+# count_min_sketch(eps, confidence) uses.
+CMS_WIDTH = 27183
+CMS_DEPTH = 5
+
+
+def _cms_buckets(key: str):
+    """depth sort-independent (row, bucket) coordinates for a key: row d
+    hashes with seed d, bucket = pmod(xxhash64(key, d), width)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col(key), F.lit(d)), F.lit(CMS_WIDTH)).alias("b"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_table(df: DataFrame, key: str) -> DataFrame:
+    """Count-Min sketch AS a DataFrame: the (d, b, cnt) count table.
+
+    Each input row increments one bucket per hash row; the table is
+    bounded by depth*width rows REGARDLESS of input size, and merging
+    partial sketches is just union + re-sum of counts (counts are
+    distributive) — no opaque binary, no driver round-trip, no private
+    API. Estimation = min over the key's depth buckets (colliding keys
+    only ever ADD counts, hence est >= true)."""
+    return (
+        df.select(F.explode(_cms_buckets(key)).alias("db"))
+        .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 @register(
     "agg_count_min_frequency",
     oracle=None,  # sketch estimates have no DuckDB counterpart; CMS
     # guarantees (est >= true, est <= true + eps*N at confidence, and
-    # partial-sketch merge == single-pass build) are pinned in
+    # partial-table merge == single-pass build) are pinned in
     # tests/test_llm_ops.py::test_count_min_sketch_guarantees_and_merge.
-    doc="Frequency estimation with a Count-Min sketch: "
-    "count_min_sketch(l_partkey, eps=1e-4, conf=0.99, seed=42) aggregates "
-    "distributively (mergeable partials, one tiny binary per group), the "
-    "driver deserializes via the public CountMinSketch.readFrom API and "
-    "probes the top-10 hot parts. Output: true count vs estimate vs "
-    "overshoot per probe key. The sketch is O(1/eps * ln(1/delta)) bytes "
-    "regardless of input size — the only way frequency tables fit the "
-    "driver at 100 TB; exact probe-side counts here exist only to "
-    "exhibit the error envelope.",
+    doc="Frequency estimation with a Count-Min sketch built natively in "
+    "DataFrame land: the sketch is a (depth, bucket, count) table "
+    "(cms_table — bounded by depth*width rows regardless of input size, "
+    "mergeable by union + re-sum), probed by joining the top-10 hot "
+    "parts' bucket coordinates against it and taking min(count) per key. "
+    "Output: true count vs estimate vs overshoot per probe key. One "
+    "distributed plan end-to-end — no sketch binary through the driver, "
+    "no private JVM handles; the probe join broadcasts the 50-row probe "
+    "side. Exact probe-side counts exist only to exhibit the error "
+    "envelope.",
     tags=("agg", "sketch"),
 )
 def agg_count_min_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select("l_partkey")
-    sk_bytes = bytes(
-        li.select(
-            F.expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").alias("s")
-        ).collect()[0].s
-    )
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(sk_bytes)
+    sketch = cms_table(li, "l_partkey")
     top = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
         .orderBy(F.desc("true_cnt"), F.asc("l_partkey"))
         .limit(10)
-        .collect()
     )
-    rows = [
-        (int(r.l_partkey), int(r.true_cnt), int(cms.estimateCount(int(r.l_partkey))))
-        for r in top
-    ]
-    out = spark.createDataFrame(
-        [(k, t, e, e - t) for k, t, e in rows],
-        "l_partkey bigint, true_cnt bigint, est_cnt bigint, overshoot bigint",
+    probes = top.select(
+        "l_partkey", "true_cnt", F.explode(_cms_buckets("l_partkey")).alias("db")
+    ).select("l_partkey", "true_cnt", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    return (
+        sketch.join(F.broadcast(probes), ["d", "b"])
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "l_partkey",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overshoot"),
+        )
     )
-    return out

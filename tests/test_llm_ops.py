@@ -216,11 +216,13 @@ def test_pq_adc_recall_and_code_compression(spark):
 def test_count_min_sketch_guarantees_and_merge(spark):
     """CMS contract: (1) never underestimates; (2) overshoot bounded by
     eps*N at the sketch's confidence (eps=1e-4 -> bound ~6 at sf0.01);
-    (3) per-group partial sketches merged via the public mergeInPlace API
-    give the SAME table as a single-pass global build (same seed -> same
-    hash family), which is what makes the aggregation distributable."""
+    (3) per-group partial count tables merged by union + re-sum give the
+    SAME table as a single-pass global build (same hash family), which is
+    what makes the aggregation distributable — all checked in DataFrame
+    land, no JVM sketch binaries."""
     import pyspark.sql.functions as F
     from tests.conftest import SF_CORRECT
+    from slr207_mapreduce_spark.plans.agg_r2 import cms_table
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.sources.tables import load_table
 
@@ -232,18 +234,19 @@ def test_count_min_sketch_guarantees_and_merge(spark):
         assert r.overshoot <= 0.0001 * n_total + 1
 
     li = load_table(spark, "lineitem", SF_CORRECT).select("l_partkey", "l_returnflag")
-    CMS = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
-    parts = li.groupBy("l_returnflag").agg(
-        F.expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").alias("s")
-    ).collect()
-    merged = None
-    for r in parts:
-        sk = CMS.readFrom(bytes(r.s))
-        merged = sk if merged is None else merged.mergeInPlace(sk)
-    globally = CMS.readFrom(bytes(
-        li.select(F.expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").alias("s"))
-        .collect()[0].s
-    ))
-    probe = out[0].l_partkey
-    assert merged.totalCount() == globally.totalCount()
-    assert merged.estimateCount(int(probe)) == globally.estimateCount(int(probe))
+    flags = [r.l_returnflag for r in li.select("l_returnflag").distinct().collect()]
+    partials = [
+        cms_table(li.where(F.col("l_returnflag") == flag), "l_partkey")
+        for flag in flags
+    ]
+    merged = (
+        partials[0]
+        .unionAll(partials[1])
+        .unionAll(partials[2])
+        .groupBy("d", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    globally = cms_table(li, "l_partkey")
+    assert len(flags) == 3
+    assert merged.exceptAll(globally).count() == 0
+    assert globally.exceptAll(merged).count() == 0
