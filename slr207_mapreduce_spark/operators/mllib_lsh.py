@@ -7,6 +7,10 @@ operators/dedup.py / operators/similarity.py. Model hashes are seeded but
 use Spark-internal hash families a SQL oracle can't reproduce, so queries
 built on these are rows-only checked; tests validate them against the
 exact operators instead (tests/test_mllib_lsh.py).
+
+The kNN wrapper chooses its own execution shape by |Q|: one distributed
+``approxSimilarityJoin`` for anything beyond a small threshold, the
+per-key ``approxNearestNeighbors`` API only in the tiny-|Q| regime.
 """
 
 from __future__ import annotations
@@ -63,15 +67,25 @@ def knn_random_projection_ml(
     bucket_length: float = 2.0,
     num_hash_tables: int = 4,
     seed: int = 42,
+    radius: float = 2.0,
+    collect_threshold: int = 32,
 ) -> DataFrame:
-    """ANN neighbors via BucketedRandomProjectionLSH (euclidean) —
-    approxNearestNeighbors per query vector.
+    """ANN neighbors via BucketedRandomProjectionLSH (euclidean).
 
-    NOTE: approxNearestNeighbors is a single-key API, so this loops over a
-    COLLECTED query set — correct only for small |Q| (the broadcast-side
-    regime). For large query sets use ``model.approxSimilarityJoin`` (a
-    distributed join) or the native multi-table LSH in
-    operators/similarity.py, which has no driver-side loop at all."""
+    The wrapper picks the execution shape itself — callers never get a
+    driver-side loop by accident:
+
+    - ``|Q| <= collect_threshold``: per-key ``approxNearestNeighbors``
+      (exact top-k semantics per query; one small job per vector — the
+      broadcast-side regime where that is cheapest).
+    - larger ``|Q|``: ONE distributed ``approxSimilarityJoin`` within
+      ``radius``, then top-k per query via a partitioned rank window. The
+      join shuffles on LSH bucket keys only; no query vector ever passes
+      through the driver. ``radius`` bounds the candidate set — for
+      unit-normalized embeddings the default 2.0 covers the full range,
+      so the only approximation is the LSH bucketing itself (same as the
+      per-key path).
+    """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -86,6 +100,32 @@ def knn_random_projection_ml(
         seed=seed,
     )
     model = brp.fit(corpus)
+
+    if queries.limit(collect_threshold + 1).count() > collect_threshold:
+        from pyspark.sql import Window
+
+        qfeat = queries.select(
+            F.col("vec_id").alias("query_id"),
+            array_to_vector(F.col("embedding")).alias("features"),
+        )
+        joined = model.approxSimilarityJoin(
+            qfeat, corpus, radius, distCol="euclidean_dist"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("euclidean_dist"), F.asc("neighbor_id")
+        )
+        return (
+            joined.select(
+                F.col("datasetA.query_id").alias("query_id"),
+                F.col("datasetB.vec_id").alias("neighbor_id"),
+                F.col("euclidean_dist"),
+            )
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+
     from pyspark.ml.linalg import Vectors
 
     out = []
