@@ -58,6 +58,23 @@ def _release_ids(sc, ids: set[int]) -> None:
             e.getValue().unpersist(False)
 
 
+def result_checkpoint_ids(df: DataFrame) -> set[int]:
+    """Ids of every ``LogicalRDD`` leaf under ``df``'s analyzed plan — the
+    localCheckpoint blocks the frame pins.  Empty set on any unexpected plan
+    shape (the release path then degrades to the documented bounded leak
+    instead of freeing someone else's blocks)."""
+    ids: set[int] = set()
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                ids.add(leaf.rdd().id())
+    except Exception:
+        return set()
+    return ids
+
+
 def release_result(df: DataFrame) -> None:
     """Free the localCheckpoint blocks pinned by a frame RETURNED from an
     iterative operator here, after the caller's terminal action.
@@ -69,16 +86,7 @@ def release_result(df: DataFrame) -> None:
     be used afterwards. Releases every ``LogicalRDD`` leaf under the frame
     (the result may be a projection over the checkpointed frame).
     """
-    ids: set[int] = set()
-    try:
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            if leaf.getClass().getName().endswith("LogicalRDD"):
-                ids.add(leaf.rdd().id())
-    except Exception:
-        return
-    _release_ids(df.sparkSession.sparkContext, ids)
+    _release_ids(df.sparkSession.sparkContext, result_checkpoint_ids(df))
 
 
 def connected_components(

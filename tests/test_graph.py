@@ -69,23 +69,35 @@ def test_iterative_ops_release_round_checkpoints(spark):
         assert after - before <= 2, (name, before, after)
 
 
+def _pinned_rdd_ids(sc) -> set[int]:
+    return {e.getKey() for e in sc._jsc.getPersistentRDDs().entrySet().toArray()}
+
+
 def test_release_result_frees_final_checkpoint(spark):
     """The one pin an iterative op leaves behind (its result frame) is
     releasable by the caller via the public hook, so repeated invocations
-    in a long-lived session need not accumulate blocks."""
+    in a long-lived session need not accumulate blocks.
+
+    Asserts on the RESULT FRAME'S OWN LogicalRDD ids (the machinery
+    release_result walks), not on the session-global persistent-RDD count —
+    the global count is perturbed by other tests in the shared session and
+    by the async ContextCleaner, which made the strict-equality form of this
+    test order-dependent (red in full-suite runs, green alone)."""
     from slr207_mapreduce_spark.operators.graph import (
         connected_components,
         release_result,
+        result_checkpoint_ids,
     )
 
     sc = spark.sparkContext
     edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
-    before = sc._jsc.getPersistentRDDs().size()
     result = connected_components(edges)
     result.write.mode("overwrite").format("noop").save()
+    ids = result_checkpoint_ids(result)
+    assert ids, "result frame should pin at least one localCheckpoint block"
+    assert ids <= _pinned_rdd_ids(sc), "result blocks must be pinned pre-release"
     release_result(result)
-    after = sc._jsc.getPersistentRDDs().size()
-    assert after - before == 0, (before, after)
+    assert not (ids & _pinned_rdd_ids(sc)), "result blocks must be freed"
 
 
 def test_release_never_touches_unrelated_pins(spark):
@@ -111,4 +123,62 @@ def test_release_never_touches_unrelated_pins(spark):
     }
     assert bystander._jdf.queryExecution().analyzed().rdd().id() in ids
     assert bystander.count() == bystander_count
+    release_result(bystander)
+
+
+def test_private_api_surface_shape(spark):
+    """graph.py's checkpoint release rides private handles
+    (``_jdf.queryExecution().analyzed().collectLeaves()`` /
+    ``_jsc.getPersistentRDDs()``) because Spark has no public
+    localCheckpoint-release API. Pin the exact shapes we touch so a Spark
+    upgrade that changes them fails HERE, loudly, instead of silently
+    degrading every iterative op (VERDICT r3, next-round item #9)."""
+    df = spark.range(3).localCheckpoint(eager=True)
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        leaves = analyzed.collectLeaves()
+        assert leaves.size() >= 1
+        leaf = leaves.apply(0)
+        assert leaf.getClass().getName().endswith("LogicalRDD")
+        rdd_id = leaf.rdd().id()
+        assert isinstance(rdd_id, int)
+        entries = spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray()
+        ids = {e.getKey() for e in entries}
+        assert rdd_id in ids
+        for e in entries:
+            if e.getKey() == rdd_id:
+                e.getValue().unpersist(False)
+    finally:
+        del df
+
+
+def test_missing_private_api_degrades_to_bounded_leak(spark):
+    """If the private surface disappears (Spark upgrade / Connect), the
+    release machinery must degrade to the documented bounded leak — keep
+    blocks pinned — never crash and never free unowned blocks."""
+    from slr207_mapreduce_spark.operators.graph import (
+        release_result,
+        result_checkpoint_ids,
+    )
+
+    class _Broken:
+        """Duck-typed frame whose private handle raises (simulates a
+        changed/absent _jdf surface)."""
+
+        sparkSession = spark
+
+        @property
+        def _jdf(self):
+            raise AttributeError("queryExecution surface changed")
+
+    broken = _Broken()
+    assert result_checkpoint_ids(broken) == set()
+    release_result(broken)  # must not raise
+
+    # and a real bystander checkpoint survives the degraded path
+    bystander = spark.range(10).localCheckpoint(eager=True)
+    before = result_checkpoint_ids(bystander)
+    assert before
+    release_result(broken)
+    assert before <= _pinned_rdd_ids(spark.sparkContext)
     release_result(bystander)

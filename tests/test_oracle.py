@@ -33,3 +33,30 @@ def test_query_matches_oracle(spark, duck, qname):
     duck_pdf = duck.execute(spec.oracle).df()
     problems = compare(spark_pdf, duck_pdf)
     assert not problems, f"{qname}: {problems[:5]}"
+
+
+def test_driver_sample_rotation():
+    """Round-4 contract: the driver adjudicates the FIRST 50 registry
+    entries.  Pin that the rotation list is exactly the first-50 window,
+    that every entry has an oracle (hash verdicts, not `no_oracle` rows),
+    and that >=40 names were never in the r01-r03 sample (VERDICT.md round 3,
+    next-round item #1)."""
+    import json
+    import os
+
+    from slr207_mapreduce_spark.plans.base import DRIVER_SAMPLE_FIRST
+
+    specs = _specs()
+    first50 = list(specs)[:50]
+    assert list(DRIVER_SAMPLE_FIRST) == first50
+    assert all(specs[n].oracle is not None for n in first50)
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    prior = set()
+    for rnd in ("r01", "r02", "r03"):
+        path = os.path.join(repo, f"CORRECTNESS_{rnd}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                prior |= set(json.load(f))
+    if prior:
+        assert sum(1 for n in first50 if n not in prior) >= 40
