@@ -57,14 +57,22 @@ def main() -> int:
         specs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    load_before = os.getloadavg()
+
     for name in BENCH_QUERIES:
         run(name)
 
-    # min of two timed runs: the min is the standard low-noise estimator of
-    # steady-state cost (anything above it is scheduler/GC jitter).
+    # min of three timed runs: the min is the standard low-noise estimator
+    # of steady-state cost (anything above it is scheduler/GC jitter). The
+    # median rides along so a loaded machine is auditable from the artifact:
+    # a large median/min spread + high loadavg = env noise, not a regression
+    # (BENCH_r03 recorded a 24% phantom regression exactly this way).
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(min(run(name), run(name)), 3)
+        runs = sorted(run(name) for _ in range(3))
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[1], 3)
 
     out = {
         "metric": "headline-query wall time, local[%s], sf=%s" % (cpus, sf),
@@ -72,6 +80,11 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
+        "runs_per_query": 3,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     return 0

@@ -69,10 +69,16 @@ def doc_shingles(
     ``distinct=True`` gives set semantics (required for exact Jaccard — a
     full shuffle). MinHash callers pass ``distinct=False``: min over the
     multiset equals min over the set, so the dedup shuffle is pure waste
-    there."""
+    there.
+
+    The narrow-scan rebalance hash-partitions on ``id_col`` (not
+    round-robin): both downstream consumers key on doc id — the MinHash
+    signature groupBy and the exact-Jaccard distinct — so they inherit this
+    partitioning and run with ZERO additional exchange (doc ids are
+    high-cardinality, so key skew is a non-issue)."""
     from slr207_mapreduce_spark.operators.skew import parallelize_narrow_scan
 
-    docs = parallelize_narrow_scan(docs)
+    docs = parallelize_narrow_scan(docs, by=id_col)
     refs = ", ".join(f"t[i+{j}-1]" for j in range(n))
     shingle = (
         f"CASE WHEN size(t) < {n} THEN array() "
@@ -98,7 +104,12 @@ def minhash_signatures(
     Hash family s is lane (s mod 2) of md5 digest pair (s div 2)
     (functions/portable.py::portable_hash64_lane), so k hashes cost
     ceil(k/2) md5 evaluations; the digests are projected once below so the
-    per-min lane extraction is a cheap substring, not a re-hash."""
+    per-min lane extraction is a cheap substring, not a re-hash.
+
+    The min is taken over the 15-char HEX lanes as strings (fixed-width
+    lowercase hex → lexicographic order IS numeric order) and the hex→long
+    ``conv`` runs once per DOC after the aggregation, not once per
+    (doc, shingle) row — same bits, k fewer integer parses per input row."""
     npairs = (num_hashes + 1) // 2
     digests = doc_sh.select(
         F.col(id_col),
@@ -110,11 +121,17 @@ def minhash_signatures(
     aggs = []
     for s in range(num_hashes):
         p, lane = divmod(s, 2)
-        lane_val = F.conv(
-            F.substring(F.col(f"d{p}"), 1 + 16 * lane, 15), 16, 10
-        ).cast("long")
-        aggs.append(F.min(lane_val).alias(f"h{s}"))
-    return digests.groupBy(id_col).agg(*aggs)
+        aggs.append(
+            F.min(F.substring(F.col(f"d{p}"), 1 + 16 * lane, 15)).alias(f"x{s}")
+        )
+    agg = digests.groupBy(id_col).agg(*aggs)
+    return agg.select(
+        F.col(id_col),
+        *[
+            F.conv(F.col(f"x{s}"), 16, 10).cast("long").alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
 
 
 def lsh_bands(
@@ -191,19 +208,41 @@ def minhash_lsh_candidates(
         "y -> struct(x AS a, y AS b))))"
     )
     pairs = buckets.where(F.size("ds") > 1).select(
-        F.explode(F.expr(pair_expr)).alias("p")
+        F.col("band"), F.explode(F.expr(pair_expr)).alias("p")
     )
+    # Emit each pair from its FIRST matching band only, instead of a global
+    # `.distinct()`: a pair can surface in several bands (same doc appears
+    # once per band, so never twice within one), and the carried signatures
+    # let the pair row itself recompute any earlier band's bucket key. The
+    # predicate is md5-key equality — EXACTLY the bucket-join predicate the
+    # candidates (and the oracle) are defined by, so the kept set is
+    # bit-identical to DISTINCT over all bands. This replaces a full shuffle
+    # of the candidate-pair set (billions of rows at 100 TB — LSH's whole
+    # output) with a per-row filter costing ≤ (num_bands-1) md5 pairs on
+    # only the candidate rows.
+    num_bands = num_hashes // band_size
+
+    def _bkey_of(side: str, b: int) -> Column:
+        cols = [
+            F.col(f"p.{side}.h{b * band_size + j}").cast("string")
+            for j in range(band_size)
+        ]
+        return F.md5(F.concat_ws("_", *cols))
+
+    earlier_match = None
+    for b in range(num_bands - 1):
+        clause = (F.col("band") > b) & (_bkey_of("a", b) == _bkey_of("b", b))
+        earlier_match = clause if earlier_match is None else (earlier_match | clause)
+    if earlier_match is not None:
+        pairs = pairs.where(~earlier_match)
     agree = sum(
         F.when(F.col(f"p.a.h{s}") == F.col(f"p.b.h{s}"), 1).otherwise(0)
         for s in range(num_hashes)
     )
-    return (
-        pairs.select(
-            F.col("p.a.id").alias("doc_a"),
-            F.col("p.b.id").alias("doc_b"),
-            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
-        )
-        .distinct()
+    return pairs.select(
+        F.col("p.a.id").alias("doc_a"),
+        F.col("p.b.id").alias("doc_b"),
+        (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
     )
 
 
@@ -324,7 +363,14 @@ SIMHASH_BITS = 16
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over distinct whitespace tokens: bit i of the
-    signature is the sign of the per-bit vote sum across token hashes."""
+    signature is the sign of the per-bit vote sum across token hashes.
+
+    The scan is rebalanced by ``id_col`` so the token distinct AND the vote
+    groupBy both inherit the partitioning — the whole signature computes in
+    one stage after the initial rebalance."""
+    from slr207_mapreduce_spark.operators.skew import parallelize_narrow_scan
+
+    docs = parallelize_narrow_scan(docs, by=id_col)
     toks = (
         docs.select(F.col(id_col), F.explode(F.split("text", " ")).alias("tok"))
         .where(F.length("tok") > 0)
