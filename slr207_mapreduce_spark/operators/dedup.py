@@ -47,12 +47,28 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
-def shingles_sql(text_col: str = "text", n: int = 3) -> str:
-    """DuckDB rendering of :func:`shingles` (1-based list_slice, same n)."""
-    toks = f"string_split({text_col}, ' ')"
+def shingle_tokens_cte_sql(text_col: str = "text", src: str = "documents") -> str:
+    """The split-once CTE body every shingle oracle must scan from:
+    ``(SELECT doc_id, string_split(text, ' ') AS __t FROM documents)``.
+
+    Splitting inside the shingle lambda re-evaluates ``string_split`` per
+    lambda ELEMENT in DuckDB — O(tokens²) per document, a multi-minute hang
+    on a single 100k-token doc (caught by tests/test_longdoc.py)."""
+    return f"SELECT doc_id, string_split({text_col}, ' ') AS __t FROM {src}"
+
+
+def shingles_sql(tok_col: str = "__t", n: int = 3) -> str:
+    """DuckDB rendering of :func:`shingles` over an ALREADY-SPLIT token-list
+    column (see :func:`shingle_tokens_cte_sql`; 1-based indexing, same n).
+
+    Shingles are built by direct element indexing ``t[i] || ' ' || t[i+1]``,
+    not ``array_to_string(list_slice(...))`` — list_slice inside a lambda
+    costs O(list) per element in DuckDB (the other half of the O(tokens²)
+    blowup; 0.2 s vs >120 s on the long-doc corpus)."""
+    joined = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(n))
     return (
-        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+        f"list_transform(range(1, greatest(len({tok_col}) - {n - 1}, 0) + 1), "
+        f"i -> {joined})"
     )
 
 
@@ -267,9 +283,10 @@ def minhash_lsh_sql(
         f"CASE WHEN ma.h{s} = mb.h{s} THEN 1 ELSE 0 END" for s in range(num_hashes)
     )
     return f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, unnest({shingles_sql('text', shingle_n)}) AS s
-      FROM documents
+    WITH __tk AS ({shingle_tokens_cte_sql()}),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('__t', shingle_n)}) AS s
+      FROM __tk
     ),
     mh AS (
       SELECT doc_id,
@@ -335,9 +352,10 @@ def ngram_jaccard_pairs(
 
 def ngram_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
     return f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, unnest({shingles_sql('text', shingle_n)}) AS s
-      FROM documents
+    WITH __tk AS ({shingle_tokens_cte_sql()}),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('__t', shingle_n)}) AS s
+      FROM __tk
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (

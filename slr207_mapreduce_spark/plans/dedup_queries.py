@@ -54,12 +54,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from slr207_mapreduce_spark.functions.portable import portable_hash64_lane_sql
-from slr207_mapreduce_spark.operators.dedup import shingles_sql
+from slr207_mapreduce_spark.operators.dedup import shingle_tokens_cte_sql, shingles_sql
 
 _MINHASH_SIG_SQL = f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, unnest({shingles_sql('text', 3)}) AS s
-      FROM documents
+    WITH __tk AS ({shingle_tokens_cte_sql()}),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('__t', 3)}) AS s
+      FROM __tk
     )
     SELECT doc_id,
            {", ".join(f"MIN({portable_hash64_lane_sql('s', *divmod(s, 2))}) AS h{s}" for s in range(6))}

@@ -120,13 +120,22 @@ def pipeline_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", "source", t.alias("t")).where(F.size("t") >= 3)
 
     def grams(n: int):
-        # sequence(1, size - n + 1) index positions; join n consecutive tokens
-        return F.transform(
-            F.sequence(F.lit(1), F.size("t") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
-            ),
-        )
+        # zip_with over n shifted slices of the token array — NOT an
+        # index-lambda (transform over sequence() with element_at(t, i+j)).
+        # The index form references `t` as a FREE variable inside the
+        # lambda; when a downstream filter is pushed through the projection,
+        # alias substitution inlines the full tokenize expression there and
+        # interpreted HOF eval recomputes filter(split(text)) PER ELEMENT —
+        # O(tokens²) per doc, a multi-minute hang on one 100k-token doc
+        # (tests/test_longdoc.py). zip_with lambdas touch only their own
+        # element variables, so even a fully-inlined tokenizer is evaluated
+        # once per slice argument — O(n·tokens) worst case.
+        ln = F.greatest(F.size("t") - (n - 1), F.lit(0))
+        slices = [F.slice(F.col("t"), j + 1, ln) for j in range(n)]
+        out = slices[-1]
+        for s in reversed(slices[:-1]):
+            out = F.zip_with(s, out, lambda a, b: F.concat(a, F.lit(" "), b))
+        return out
 
     g = toks.select(
         "doc_id",

@@ -39,6 +39,14 @@ CHUNK_STRIDE = 192  # 64-token overlap between consecutive chunks
 
 @register(
     "pipeline_chunk_documents",
+    # Token-explode formulation, NOT a per-chunk list_slice: slicing the
+    # full token list inside the chunk lateral re-copies the list per chunk
+    # row in DuckDB (O(chunks x tokens) per doc — 60 s on one 100k-token
+    # doc, tests/test_longdoc.py). Here each token is zipped with its
+    # 1-based position (parallel unnest), assigned to the <= 2 overlapping
+    # chunks that contain it by integer range arithmetic, and re-joined to
+    # the chunk spine (LEFT, so a 0-token doc keeps its single empty
+    # chunk) — O(tokens) total.
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
@@ -47,23 +55,45 @@ CHUNK_STRIDE = 192  # 64-token overlap between consecutive chunks
       FROM documents
     ),
     sized AS (
-      SELECT doc_id, t, len(t) AS n_tok,
+      SELECT doc_id, len(t) AS n_tok,
              CASE WHEN len(t) <= {CHUNK_TOKENS} THEN 1
                   ELSE 1 + (len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
                            // {CHUNK_STRIDE}
-             END AS n_chunks
+             END AS n_chunks,
+             t
       FROM toks
+    ),
+    spine AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx
+      FROM sized, UNNEST(range(0, n_chunks)) AS u(i)
+    ),
+    posed AS (
+      SELECT doc_id, n_chunks,
+             unnest(t) AS tok,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM sized
+    ),
+    assigned AS (
+      SELECT doc_id, tok, pos, CAST(i AS BIGINT) AS chunk_idx
+      FROM posed,
+           UNNEST(range(greatest((pos - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                                   // {CHUNK_STRIDE}, 0),
+                        least((pos - 1) // {CHUNK_STRIDE}, n_chunks - 1) + 1))
+             AS c(i)
+    ),
+    filled AS (
+      SELECT doc_id, chunk_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_chunk_tok,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM assigned GROUP BY doc_id, chunk_idx
     )
-    SELECT doc_id,
-           CAST(i AS BIGINT) AS chunk_idx,
-           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
-           CAST(len(list_slice(t, i * {CHUNK_STRIDE} + 1,
-                               i * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
-                AS BIGINT) AS n_chunk_tok,
-           array_to_string(list_slice(t, i * {CHUNK_STRIDE} + 1,
-                                      i * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
-                           ' ') AS chunk_text
-    FROM sized, UNNEST(range(0, n_chunks)) AS u(i)
+    SELECT s.doc_id,
+           s.chunk_idx,
+           s.chunk_idx * {CHUNK_STRIDE} AS chunk_start,
+           COALESCE(f.n_chunk_tok, 0) AS n_chunk_tok,
+           COALESCE(f.chunk_text, '') AS chunk_text
+    FROM spine s
+    LEFT JOIN filled f ON s.doc_id = f.doc_id AND s.chunk_idx = f.chunk_idx
     """,
     doc=f"Overlapping context-window chunking: {CHUNK_TOKENS}-token windows "
     f"at stride {CHUNK_STRIDE} (consecutive chunks share "

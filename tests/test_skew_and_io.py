@@ -136,3 +136,38 @@ def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
         filtered._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan
+
+
+def test_bucketed_inverted_index_prunes_buckets(spark):
+    """The docstring claim that posting lists 'written bucketed by term ...
+    lookups partition-prune' proven once end-to-end (VERDICT r3 item #6):
+    write the inverted index bucketed by term, read back with a term
+    equality predicate, and pin the plan's bucket pruning — a term lookup
+    at 100 TB must open 1/N of the files, not scan the index."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.sinks import write_table
+
+    idx = all_queries()["text_inverted_index"].build(spark, SF_SMOKE)
+    n_buckets = 8
+    write_table(idx, "", bucket_by=(n_buckets, ["term"]), table_name="b_inv_idx")
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key)
+    try:
+        # the planner silently falls back to a plain file scan when nothing
+        # downstream exploits the bucketing ("Bucketed: false (disabled by
+        # query planner)") — bucket PRUNING rides the bucketed scan, so pin
+        # it on for the lookup path under test
+        spark.conf.set(auto_key, "false")
+        some_term = idx.orderBy("term").first()["term"]
+        back = spark.table("b_inv_idx").where(F.col("term") == some_term)
+        plan = back._sc._jvm.PythonSQLUtils.explainString(
+            back._jdf.queryExecution(), "formatted"
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        got = back.collect()
+        want = [r for r in idx.collect() if r["term"] == some_term]
+        assert len(got) == len(want) == 1
+        assert got[0]["posting_list"] == want[0]["posting_list"]
+    finally:
+        spark.conf.set(auto_key, prev_auto)
+        spark.sql("DROP TABLE IF EXISTS b_inv_idx")
