@@ -175,11 +175,59 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _check_one(spec, spark, sf_dir: str) -> tuple[str, str]:
+    """(status_line, verdict) for one spec; verdict in {pass, ok?, fail}.
+
+    Thread-safe by construction: SparkSession job submission is thread-safe
+    (concurrent actions just become concurrent Spark jobs), and DuckDB gets
+    a fresh in-process connection per call (view setup over parquet is
+    ~ms; sharing one connection across threads is NOT safe)."""
+    name = spec.name
+    t0 = time.time()
+    try:
+        spark_pdf = spec.build(spark, sf_dir).toPandas()
+    except Exception as e:
+        return f"FAIL {name}: spark error: {e}", "fail"
+    if spec.oracle is None:
+        # the driver still materializes rows-only outputs — keep them
+        # comparator-safe too so its canonicalization can't crash
+        bad = comparator_unsafe_cols(spark_pdf)
+        if bad:
+            return f"FAIL {name}: rows-only output not comparator-safe: {bad}", "fail"
+        return (
+            f"ok?  {name}: rows-only ({len(spark_pdf)} rows, no oracle) "
+            f"[{time.time()-t0:.1f}s]",
+            "ok?",
+        )
+    con = duck_con(sf_dir)
+    try:
+        duck_pdf = con.execute(spec.oracle).df()
+    except Exception as e:
+        return f"FAIL {name}: duckdb error: {e}", "fail"
+    finally:
+        con.close()
+    problems = compare(spark_pdf, duck_pdf)
+    if problems:
+        return f"FAIL {name}: " + "; ".join(problems[:4]), "fail"
+    return f"PASS {name} ({len(spark_pdf)} rows) [{time.time()-t0:.1f}s]", "pass"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--workers",
+        type=int,
+        default=int(os.environ.get("CHECK_WORKERS", "6")),
+        help="concurrent query checks (1 = serial). The gate is dominated by "
+        "per-query driver/planning latency, not CPU, so overlapping queries "
+        "in threads against the one shared SparkSession cuts wall-clock "
+        "~3-4x; Spark schedules the concurrent jobs across its cores.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    from concurrent.futures import ThreadPoolExecutor
 
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
@@ -187,40 +235,22 @@ def main() -> int:
     specs = all_queries()
     names = args.names or sorted(specs)
     spark = get_session(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
-    con = duck_con(args.sf)
 
     failed = []
-    for name in names:
-        spec = specs[name]
-        t0 = time.time()
-        try:
-            spark_pdf = spec.build(spark, args.sf).toPandas()
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
-            failed.append(name)
-            continue
-        if spec.oracle is None:
-            # the driver still materializes rows-only outputs — keep them
-            # comparator-safe too so its canonicalization can't crash
-            bad = comparator_unsafe_cols(spark_pdf)
-            if bad:
-                print(f"FAIL {name}: rows-only output not comparator-safe: {bad}")
-                failed.append(name)
-            else:
-                print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, no oracle) [{time.time()-t0:.1f}s]")
-            continue
-        try:
-            duck_pdf = con.execute(spec.oracle).df()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            failed.append(name)
-            continue
-        problems = compare(spark_pdf, duck_pdf)
-        if problems:
-            print(f"FAIL {name}: " + "; ".join(problems[:4]))
-            failed.append(name)
-        else:
-            print(f"PASS {name} ({len(spark_pdf)} rows) [{time.time()-t0:.1f}s]")
+    if args.workers <= 1:
+        results = (_check_one(specs[n], spark, args.sf) for n in names)
+        for line, verdict in results:
+            print(line, flush=True)
+            if verdict == "fail":
+                failed.append(line)
+    else:
+        with ThreadPoolExecutor(max_workers=args.workers) as pool:
+            futs = [pool.submit(_check_one, specs[n], spark, args.sf) for n in names]
+            for fut in futs:  # original order, but execution overlaps
+                line, verdict = fut.result()
+                print(line, flush=True)
+                if verdict == "fail":
+                    failed.append(line)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0
 
