@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from slr207_mapreduce_spark.functions.portable import dec
+from slr207_mapreduce_spark.functions.portable import dec, portable_hash64_lane_sql
 from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
 
@@ -333,16 +333,30 @@ CMS_DEPTH = 5
 
 def _cms_buckets(key: str):
     """depth sort-independent (row, bucket) coordinates for a key: row d
-    hashes with seed d, bucket = pmod(xxhash64(key, d), width)."""
+    hashes with the md5-PORTABLE family (lane d%2 of digest pair d//2 —
+    functions/portable.py), bucket = hash % width. The portable family
+    (rather than xxhash64) makes the entire sketch table reproducible
+    bit-for-bit in the DuckDB oracle; lane packing keeps it at
+    ceil(depth/2) md5 evaluations per input row. The 60-bit lane value is
+    non-negative, so plain % is already the positive modulus."""
+    from slr207_mapreduce_spark.functions.portable import portable_hash64_lane
+
+    key_str = F.col(key).cast("string")
     return F.array(
         *[
             F.struct(
                 F.lit(d).alias("d"),
-                F.pmod(F.xxhash64(F.col(key), F.lit(d)), F.lit(CMS_WIDTH)).alias("b"),
+                (portable_hash64_lane(key_str, d // 2, d % 2) % CMS_WIDTH).alias("b"),
             )
             for d in range(CMS_DEPTH)
         ]
     )
+
+
+def _cms_bucket_sql(key_expr: str, d: int) -> str:
+    """DuckDB rendering of one `_cms_buckets` coordinate."""
+    lane = portable_hash64_lane_sql(f"CAST({key_expr} AS VARCHAR)", d // 2, d % 2)
+    return f"({lane}) % {CMS_WIDTH}"
 
 
 def cms_table(df: DataFrame, key: str) -> DataFrame:
@@ -361,12 +375,46 @@ def cms_table(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+_CMS_ORACLE = f"""
+    WITH src AS (SELECT l_partkey FROM lineitem),
+    coords AS (
+      SELECT l_partkey, CAST(u.d AS INTEGER) AS d,
+             CASE u.d
+               {" ".join(f"WHEN {d} THEN {_cms_bucket_sql('l_partkey', d)}" for d in range(CMS_DEPTH))}
+             END AS b
+      FROM src, UNNEST(range(0, {CMS_DEPTH})) AS u(d)
+    ),
+    sketch AS (
+      SELECT d, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM coords GROUP BY d, b
+    ),
+    top AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM src GROUP BY l_partkey
+      ORDER BY true_cnt DESC, l_partkey ASC LIMIT 10
+    ),
+    probes AS (
+      SELECT t.l_partkey, t.true_cnt, CAST(u.d AS INTEGER) AS d,
+             CASE u.d
+               {" ".join(f"WHEN {d} THEN {_cms_bucket_sql('t.l_partkey', d)}" for d in range(CMS_DEPTH))}
+             END AS b
+      FROM top t, UNNEST(range(0, {CMS_DEPTH})) AS u(d)
+    )
+    SELECT p.l_partkey, p.true_cnt,
+           MIN(s.cnt) AS est_cnt,
+           MIN(s.cnt) - p.true_cnt AS overshoot
+    FROM probes p JOIN sketch s ON p.d = s.d AND p.b = s.b
+    GROUP BY p.l_partkey, p.true_cnt
+    """
+
+
 @register(
     "agg_count_min_frequency",
-    oracle=None,  # sketch estimates have no DuckDB counterpart; CMS
-    # guarantees (est >= true, est <= true + eps*N at confidence, and
-    # partial-table merge == single-pass build) are pinned in
-    # tests/test_llm_ops.py::test_count_min_sketch_guarantees_and_merge.
+    # Full oracle since round 4: the sketch's md5-portable hash family makes
+    # the (d, b, cnt) table — and therefore the probe estimates —
+    # bit-reproducible in DuckDB. CMS guarantees (est >= true, est <= true
+    # + eps*N at confidence, partial-table merge == single-pass build) stay
+    # pinned in tests/test_llm_ops.py::test_count_min_sketch_guarantees_and_merge.
+    oracle=_CMS_ORACLE,
     doc="Frequency estimation with a Count-Min sketch built natively in "
     "DataFrame land: the sketch is a (depth, bucket, count) table "
     "(cms_table — bounded by depth*width rows regardless of input size, "

@@ -349,13 +349,67 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB has no soundex() builtin, so the oracle spells out the algorithm
+# Spark implements (verified against Spark on the canonical vectors:
+# Ashcraft->A261, Tymczak->T522, Pfister->P236, Honeyman->H555, white->W300):
+#  1. map letters to codes with '9' marking H/W (which are TRANSPARENT —
+#     same codes separated by h/w collapse) and '0' marking vowels+Y
+#     (which BREAK adjacency);
+#  2. delete the '9's, collapse adjacent equal codes;
+#  3. drop the first letter's own code run (unless the word starts with
+#     H/W, whose code never entered the string), delete the '0's, pad to
+#     three digits behind the retained first letter.
+# Adjacent-collapse uses an index lambda (RE2 has no backreferences for a
+# regex collapse); words are <= ~15 chars so the O(len^2) inlining hazard
+# (tests/test_longdoc.py) is bounded.
+_SOUNDEX_ORACLE = """
+    WITH words AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+      ) WHERE length(w) > 0
+    ),
+    mapped AS (
+      SELECT w, upper(w) AS u,
+             replace(translate(upper(w),
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               '01230129022455012623019202'),
+                     '9', '') AS m2
+      FROM words
+    ),
+    collapsed AS (
+      SELECT w, u,
+             array_to_string(
+               list_transform(range(1, length(m2) + 1),
+                 i -> CASE WHEN i = 1
+                             OR substring(m2, CAST(i AS INTEGER), 1)
+                                <> substring(m2, CAST(i - 1 AS INTEGER), 1)
+                           THEN substring(m2, CAST(i AS INTEGER), 1)
+                           ELSE '' END),
+               '') AS c
+      FROM mapped
+    ),
+    coded AS (
+      SELECT w,
+             substring(u, 1, 1) ||
+             substring(
+               replace(CASE WHEN substring(u, 1, 1) IN ('H', 'W')
+                            THEN c ELSE substring(c, 2) END, '0', '')
+               || '000', 1, 3) AS code
+      FROM collapsed
+    )
+    SELECT a.code, a.w AS word_a, b.w AS word_b,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS edit_dist
+    FROM coded a JOIN coded b ON a.code = b.code AND a.w < b.w
+    """
+
+
 @register(
     "pipeline_phonetic_blocking",
-    oracle=None,  # DuckDB has no soundex; Spark's soundex is pinned against
-    # an independent pure-Python Russell-soundex implementation over every
+    # Full oracle since round 4 (SQL soundex above); Spark's soundex stays
+    # independently pinned against a pure-Python Russell-soundex over every
     # blocking key in tests/test_pipeline_queries.py::
-    # test_soundex_matches_independent_python_implementation, and the pair
-    # semantics are recomputed in pandas there.
+    # test_soundex_matches_independent_python_implementation.
+    oracle=_SOUNDEX_ORACLE,
     doc="Phonetic record linkage: the distinct part-name vocabulary blocked by "
     "soundex() — names that SOUND alike meet in the same block even when "
     "they differ in spelling beyond small edit distance (the failure "

@@ -30,6 +30,24 @@ def test_mllib_minhash_candidates_are_similar_docs(spark):
             r["jaccard_distance"],
             true_j,
         )
+    # Quality bounds vs the exact operator (VERDICT r3 item #7), both ways:
+    # precision — every reported candidate clears the distance threshold
+    # against TRUE jaccard with only the hash-collision slack; recall —
+    # every truly-similar pair well inside the threshold is found (8 hash
+    # tables at jaccard >= 0.5 miss with prob (1 - j)^8 <= 0.4%, so a miss
+    # here is a bug, not bad luck).
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    for pair, true_j in exact.items():
+        if true_j >= 0.5:
+            assert pair in got_pairs, (pair, true_j, "missed by MLlib LSH")
+    for r in got:
+        true_j = exact.get((r["doc_a"], r["doc_b"]), 0.0)
+        assert true_j >= (1.0 - 0.6) - 0.05, (
+            "candidate below threshold by more than collision slack",
+            r["doc_a"],
+            r["doc_b"],
+            true_j,
+        )
 
 
 def test_mllib_brp_knn_beats_random(spark):

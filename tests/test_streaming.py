@@ -324,3 +324,66 @@ def test_session_window_stream_matches_batch_query(spark, batch_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_event_type_counts_update_logic_without_state_server():
+    """Protobuf-free unit test of the transformWithState processor
+    (VERDICT r3 item #7): EventTypeCounts.handleInputRows drives a
+    duck-typed MapState, so the accumulation/emission logic is exercised
+    even though the real state server (google.protobuf) is absent in this
+    container — only the Spark plumbing stays behind the skipif above."""
+    import pandas as pd
+
+    from slr207_mapreduce_spark.streaming.stateful import EventTypeCounts
+
+    class FakeMapState:
+        def __init__(self):
+            self.d = {}
+
+        def containsKey(self, k):
+            return k in self.d
+
+        def getValue(self, k):
+            return self.d[k]
+
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+        def iterator(self):
+            return iter(self.d.items())
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getMapState(self, name, key_schema, value_schema):
+            return self.states.setdefault(name, FakeMapState())
+
+    proc = EventTypeCounts()
+    proc.init(FakeHandle())
+
+    batch1 = pd.DataFrame({"event_type": ["click", "view", "click"]})
+    out1 = list(proc.handleInputRows((7,), [batch1], None))
+    assert len(out1) == 1
+    got1 = dict(zip(out1[0]["event_type"], out1[0]["n_events"]))
+    assert got1 == {"click": 2, "view": 1}
+    assert list(out1[0]["user_id"].unique()) == [7]
+
+    # state persists across invocations (micro-batches) and accumulates;
+    # emission is the FULL map, sorted by event_type
+    batch2 = pd.DataFrame({"event_type": ["view", "view", "purchase"]})
+    out2 = list(proc.handleInputRows((7,), [batch2], None))
+    got2 = dict(zip(out2[0]["event_type"], out2[0]["n_events"]))
+    assert got2 == {"click": 2, "view": 3, "purchase": 1}
+    assert list(out2[0]["event_type"]) == sorted(got2)
+
+    # multiple pandas chunks within one invocation fold into one update
+    out3 = list(
+        proc.handleInputRows(
+            (7,),
+            [pd.DataFrame({"event_type": ["click"]}),
+             pd.DataFrame({"event_type": ["click"]})],
+            None,
+        )
+    )
+    assert dict(zip(out3[0]["event_type"], out3[0]["n_events"]))["click"] == 4
