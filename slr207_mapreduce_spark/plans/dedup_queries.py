@@ -150,3 +150,47 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= 2)
     )
+
+
+_SUBSTR_SPAN_W = 32
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH __tk AS ({shingle_tokens_cte_sql()}),
+    sh AS (
+      SELECT doc_id, unnest({shingles_sql('__t', _SUBSTR_SPAN_W)}) AS s
+      FROM __tk
+    )
+    SELECT md5(s) AS span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM sh
+    GROUP BY md5(s)
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc=f"Exact-substring span dedup: every {_SUBSTR_SPAN_W}-token window "
+    "shared verbatim across documents, keyed by content hash — the "
+    "fixed-window formulation of exact-substring training-data dedup "
+    "(suffix-array ExactSubstr from the published dedup literature, "
+    "re-expressed as a scan fan-out + hash groupBy so the shuffle carries "
+    "(16-byte hash, doc_id) pairs, never text). Downstream policy cuts "
+    "the span from all but first_doc. The reference lineage is O5 fan-out "
+    "+ O8/O9 keyed reduce, same as wordcount with a 32-token 'word'.",
+    tags=("dedup", "substring"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sh = doc_shingles(d, "doc_id", _SUBSTR_SPAN_W, distinct=False)
+    return (
+        sh.select("doc_id", F.md5("sh").alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -107,6 +107,7 @@ LONGDOC_QUERIES = [
     "pipeline_assign_ids",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
+    "dedup_substring_spans",
     "dedup_exact",
     "text_token_count",
 ]
