@@ -163,6 +163,7 @@ def all_queries() -> dict[str, QuerySpec]:
         warehouse_r2,
         analytics_r2,
         pipeline_r3,
+        pipeline_r4,
     )
 
     ordered: dict[str, QuerySpec] = {}
