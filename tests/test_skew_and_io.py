@@ -171,3 +171,55 @@ def test_bucketed_inverted_index_prunes_buckets(spark):
     finally:
         spark.conf.set(auto_key, prev_auto)
         spark.sql("DROP TABLE IF EXISTS b_inv_idx")
+
+
+def test_bucketed_band_table_joins_without_corpus_shuffle(spark):
+    """The incremental-dedup scale contract (pipeline_r4): the corpus LSH
+    band table is precomputed and stored BUCKETED by (band, bkey), so a
+    new-batch probe join shuffles only the batch side — the corpus is
+    never reshuffled per ingest. Pin: exactly one Exchange in the join
+    plan, and the corpus scan runs bucketed."""
+    from slr207_mapreduce_spark.operators.dedup import (
+        doc_shingles,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from slr207_mapreduce_spark.operators.skew import explain_shuffles
+    from slr207_mapreduce_spark.sources.sinks import write_table
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    bands = lsh_bands(
+        minhash_signatures(doc_shingles(docs, distinct=False)), 6, 2, "doc_id"
+    )
+    write_table(
+        bands.where(F.col("doc_id") >= 50),
+        "",
+        bucket_by=(8, ["band", "bkey"]),
+        table_name="b_corpus_bands",
+    )
+    # materialize the probe batch as a plain (unbucketed) table, so the
+    # joined plan's exchange count isn't polluted by the batch pipeline's
+    # own internal rebalance — what's under test is the JOIN's shuffle
+    bands.where(F.col("doc_id") < 50).write.mode("overwrite").saveAsTable(
+        "b_batch_bands"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-requiring join path (broadcast would trivially
+        # avoid exchanges and prove nothing about the bucketing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_corpus_bands").join(
+            spark.table("b_batch_bands"), ["band", "bkey"]
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "Bucketed: true" in plan, plan
+        n_shuffles = explain_shuffles(j)
+        assert n_shuffles == 1, f"corpus side reshuffled ({n_shuffles} exchanges)"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_corpus_bands")
+        spark.sql("DROP TABLE IF EXISTS b_batch_bands")
