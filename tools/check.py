@@ -224,17 +224,35 @@ def main() -> int:
         "in threads against the one shared SparkSession cuts wall-clock "
         "~3-4x; Spark schedules the concurrent jobs across its cores.",
     )
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (no engine defaults) — replicates the "
+        "DRIVER's environment, which does not call our session factory; "
+        "catches any query that silently depends on get_session()-only "
+        "configs (AQE settings, shuffle partitions, Arrow, timezone)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     from concurrent.futures import ThreadPoolExecutor
 
     from slr207_mapreduce_spark.plans.base import all_queries
-    from slr207_mapreduce_spark.session import get_session
 
     specs = all_queries()
     names = args.names or sorted(specs)
-    spark = get_session(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-vanilla")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+            .getOrCreate()
+        )
+    else:
+        from slr207_mapreduce_spark.session import get_session
+
+        spark = get_session(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
 
     failed = []
     if args.workers <= 1:
