@@ -362,30 +362,33 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Adjacent-collapse uses an index lambda (RE2 has no backreferences for a
 # regex collapse); words are <= ~15 chars so the O(len^2) inlining hazard
 # (tests/test_longdoc.py) is bounded.
-_SOUNDEX_ORACLE = """
-    WITH words AS (
-      SELECT DISTINCT w FROM (
-        SELECT unnest(string_split(p_name, ' ')) AS w FROM part
-      ) WHERE length(w) > 0
-    ),
+def soundex_coded_cte_sql(words_relation: str = "words") -> str:
+    """CTE chain computing ``coded(w, code)`` — Russell soundex of column
+    ``w`` from ``{words_relation}`` — for DuckDB. Reused by the phonetic
+    oracle and property-tested against an independent Python soundex in
+    tests/test_pipeline_queries.py."""
+    return f"""
     mapped AS (
       SELECT w, upper(w) AS u,
              replace(translate(upper(w),
                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                                '01230129022455012623019202'),
                      '9', '') AS m2
-      FROM words
+      FROM {words_relation}
     ),
     collapsed AS (
+      -- COALESCE: DuckDB's array_to_string([]) is NULL, not '' — hit when
+      -- the word is nothing but H/W letters (empty m2; found by the
+      -- hypothesis sweep in test_pipeline_queries)
       SELECT w, u,
-             array_to_string(
+             COALESCE(array_to_string(
                list_transform(range(1, length(m2) + 1),
                  i -> CASE WHEN i = 1
                              OR substring(m2, CAST(i AS INTEGER), 1)
                                 <> substring(m2, CAST(i - 1 AS INTEGER), 1)
                            THEN substring(m2, CAST(i AS INTEGER), 1)
                            ELSE '' END),
-               '') AS c
+               ''), '') AS c
       FROM mapped
     ),
     coded AS (
@@ -396,7 +399,16 @@ _SOUNDEX_ORACLE = """
                             THEN c ELSE substring(c, 2) END, '0', '')
                || '000', 1, 3) AS code
       FROM collapsed
-    )
+    )"""
+
+
+_SOUNDEX_ORACLE = f"""
+    WITH words AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+      ) WHERE length(w) > 0
+    ),
+    {soundex_coded_cte_sql("words")}
     SELECT a.code, a.w AS word_a, b.w AS word_b,
            CAST(levenshtein(a.w, b.w) AS BIGINT) AS edit_dist
     FROM coded a JOIN coded b ON a.code = b.code AND a.w < b.w

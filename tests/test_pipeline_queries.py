@@ -322,3 +322,41 @@ def test_global_shuffle_deterministic_and_dense(spark):
     # the permutation actually permutes (not identity order)
     by_seq = [r.doc_id for r in sorted(a, key=lambda r: r.seq_id)]
     assert by_seq != sorted(by_seq)
+
+
+def test_soundex_sql_property_matches_python():
+    """Property test: the DuckDB SQL soundex powering the phonetic-blocking
+    oracle (pipeline_r2.soundex_coded_cte_sql) agrees with the independent
+    Python Russell soundex on arbitrary lowercase words — not just the
+    part-name vocabulary. Spark's soundex is pinned against the same Python
+    implementation above, so all three implementations agree transitively."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from slr207_mapreduce_spark.plans.pipeline_r2 import soundex_coded_cte_sql
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=15),
+            min_size=1,
+            max_size=20,
+            unique=True,
+        )
+    )
+    def prop(words):
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        sql = (
+            f"WITH words AS (SELECT unnest({arr}) AS w),"
+            f"{soundex_coded_cte_sql('words')}"
+            "SELECT w, code FROM coded"
+        )
+        got = dict(con.execute(sql).fetchall())
+        for w in words:
+            assert got[w] == _soundex_py(w), (w, got[w], _soundex_py(w))
+
+    prop()
+    con.close()
