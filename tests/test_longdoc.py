@@ -170,3 +170,65 @@ def test_longdoc_branches_actually_exercised(spark, longdoc_dir):
     pairs = qs["dedup_minhash_lsh"].build(spark, longdoc_dir)
     strong = pairs.where(F.col("est_jaccard") >= 0.5).count()
     assert strong >= 5  # the embedded near-duplicate long-doc pairs
+
+
+def test_chunk_oracle_property_matches_naive_python():
+    """The chunking oracle was rewritten from per-chunk list_slice to
+    position-arithmetic token assignment (O(tokens)); this sweep checks the
+    ORACLE itself against naive Python slicing on random token counts —
+    independent semantics, so Spark↔oracle agreement can't hide a shared
+    misunderstanding of the boundary arithmetic."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.plans.pipeline_r3 import CHUNK_STRIDE, CHUNK_TOKENS
+
+    oracle = all_queries()["pipeline_chunk_documents"].oracle
+
+    def naive(tokens):
+        n = len(tokens)
+        if n <= CHUNK_TOKENS:
+            n_chunks = 1
+        else:
+            n_chunks = 1 + -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE)
+        out = []
+        for i in range(n_chunks):
+            chunk = tokens[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]
+            out.append((i, i * CHUNK_STRIDE, len(chunk), " ".join(chunk)))
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=1200),  # token counts per doc
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def prop(counts):
+        docs = [
+            (i, " ".join(f"t{i}_{j}" for j in range(c))) for i, c in enumerate(counts)
+        ]
+        con = duckdb.connect()
+        try:
+            vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) "
+                "AS v(doc_id, text)"
+            )
+            got = {}
+            for doc_id, idx, start, ntok, text in con.execute(
+                "SELECT doc_id, chunk_idx, chunk_start, n_chunk_tok, chunk_text "
+                f"FROM ({oracle})"
+            ).fetchall():
+                got.setdefault(doc_id, []).append((idx, start, ntok, text))
+            for doc_id, t in docs:
+                tokens = [x for x in t.split(" ") if x]
+                want = naive(tokens)
+                assert sorted(got.get(doc_id, [])) == want, (doc_id, len(tokens))
+        finally:
+            con.close()
+
+    prop()
