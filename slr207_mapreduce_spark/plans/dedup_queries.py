@@ -194,3 +194,72 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "dedup_substring_span_positions",
+    oracle=f"""
+    WITH __tk AS ({shingle_tokens_cte_sql()}),
+    sh AS (
+      SELECT doc_id,
+             unnest({shingles_sql('__t', _SUBSTR_SPAN_W)}) AS s,
+             unnest(range(1, greatest(len(__t) - {_SUBSTR_SPAN_W - 1}, 0) + 1)) AS pos
+      FROM __tk
+    ),
+    dup_spans AS (
+      SELECT md5(s) AS span_hash, MIN(doc_id) AS first_doc
+      FROM sh GROUP BY md5(s)
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT h.doc_id,
+           CAST(h.pos AS BIGINT) AS token_pos,
+           d.span_hash,
+           h.doc_id = d.first_doc AS is_canonical
+    FROM (SELECT doc_id, pos, md5(s) AS span_hash FROM sh) h
+    JOIN dup_spans d USING (span_hash)
+    """,
+    doc=f"Positions of cross-document duplicated {_SUBSTR_SPAN_W}-token "
+    "spans — the removal-side companion of dedup_substring_spans: each row "
+    "locates one occurrence (1-based token offset) of a span shared by >=2 "
+    "docs, flagged is_canonical when it sits in the span's keeper doc. A "
+    "cut pass drops non-canonical occurrences. posexplode pairs each span "
+    "with its offset in the same fan-out; the span table joins back "
+    "hash-keyed, so the payload through both shuffles is (hash, id, pos).",
+    tags=("dedup", "substring"),
+)
+def dedup_substring_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.skew import parallelize_narrow_scan
+
+    d = parallelize_narrow_scan(
+        load_table(spark, "documents", sf_dir), by="doc_id"
+    )
+    n = _SUBSTR_SPAN_W
+    refs = ", ".join(f"t[i+{j}-1]" for j in range(n))
+    shingle = (
+        f"CASE WHEN size(t) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', {refs})) END"
+    )
+    occ = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.posexplode(F.expr(shingle)).alias("p0", "sh"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("token_pos"),
+            F.md5("sh").alias("span_hash"),
+        )
+    )
+    dup = (
+        occ.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("span_hash", "first_doc")
+    )
+    return occ.join(dup, "span_hash").select(
+        "doc_id",
+        "token_pos",
+        "span_hash",
+        (F.col("doc_id") == F.col("first_doc")).alias("is_canonical"),
+    )

@@ -108,6 +108,7 @@ LONGDOC_QUERIES = [
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_substring_spans",
+    "dedup_substring_span_positions",
     "dedup_exact",
     "text_token_count",
 ]
