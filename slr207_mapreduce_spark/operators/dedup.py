@@ -38,12 +38,20 @@ from slr207_mapreduce_spark.functions.portable import (
 def shingles(text_col: str = "text", n: int = 3) -> Column:
     """Array of word n-gram shingles of a whitespace-tokenized text column.
     Empty array when the doc has fewer than n tokens (Spark's sequence()
-    would otherwise run descending and fabricate shingles)."""
-    toks = f"split({text_col}, ' ')"
+    would otherwise run descending and fabricate shingles).
+
+    The tokenization is BOUND as a lambda variable via a 1-element outer
+    transform (``transform(array(split(..)), t -> ...)[0]``), not inlined
+    into the index lambda: an inlined ``split`` re-evaluates per element in
+    interpreted HOF eval — O(tokens²) per doc (the test_longdoc hazard
+    class). Shingle assembly indexes ``t`` directly rather than slicing
+    (slice allocates a sub-array per element)."""
+    refs = ", ".join(f"t[i + {j} - 1]" for j in range(n))
     return F.expr(
-        f"CASE WHEN size({toks}) < {n} THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> array_join(slice({toks}, i, {n}), ' ')) END"
+        f"transform(array(split({text_col}, ' ')), t -> "
+        f"CASE WHEN size(t) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', {refs})) END)[0]"
     )
 
 
