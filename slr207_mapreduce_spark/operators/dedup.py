@@ -381,6 +381,59 @@ def ngram_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
 
 
 # --------------------------------------------------------------------------
+# Content-defined chunking (Rabin/LBFS-style)
+# --------------------------------------------------------------------------
+
+CDC_SEED = 77
+CDC_MOD = 8  # boundary after tokens whose hash % CDC_MOD == 0 (~8-tok chunks)
+
+
+def cdc_chunk_table(
+    docs: DataFrame, id_col: str = "doc_id", seed: int = CDC_SEED, mod: int = CDC_MOD
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, chunk_hash) under content-defined
+    chunking: a chunk boundary falls after every token whose portable hash
+    ≡ 0 (mod ``mod``). Boundaries depend only on LOCAL content, so an
+    insertion shifts chunk frames instead of re-aligning every downstream
+    window — the classic LBFS/storage-dedup construction, and the
+    robustness the fixed 32-token windows of dedup_substring_spans lack.
+
+    Plan: one doc-keyed window computes the boundary prefix sum; the chunk
+    assembly groupBy keys on (doc_id, chunk_id) — a superset of the window
+    partitioning, so it inherits the exchange. Per-token cost is O(1)."""
+    from pyspark.sql import Window
+
+    tk = docs.select(
+        F.col(id_col), F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    flagged = tk.withColumn(
+        "bflag",
+        F.when(portable_hash64(F.col("tok"), seed) % mod == 0, 1).otherwise(0),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    framed = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("bflag").over(w), F.lit(0))
+    )
+    return (
+        framed.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

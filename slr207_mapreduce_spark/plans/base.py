@@ -164,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics_r2,
         pipeline_r3,
         pipeline_r4,
+        pipeline_r4b,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -111,6 +111,10 @@ LONGDOC_QUERIES = [
     "dedup_substring_span_positions",
     "dedup_exact",
     "text_token_count",
+    # round-4 batch 2: both are O(tokens) per doc and must stay that way
+    "dedup_cdc_chunks",
+    "text_lm_score",
+    "pipeline_bloom_membership",
 ]
 
 
