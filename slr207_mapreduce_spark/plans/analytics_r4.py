@@ -1,0 +1,299 @@
+"""Analysis widening, round 4 batch 3 — verification and scoring operators
+for the LLM-data-pipeline families.
+
+- dedup_minhash_estimator_error: the verification tier COMPOSED — every
+  MinHash-LSH candidate pair re-scored with its exact shingle Jaccard, so
+  the estimator's error is itself a queryable table (the "verify before
+  you delete" step of a production dedup, and the quality audit for the
+  6-hash signature).
+
+- text_trigram_novelty: per-doc novelty = fraction of the doc's distinct
+  trigrams found nowhere else in the corpus — the inverse of the
+  decontamination/memorization overlap check, useful for mixture curation
+  (high-novelty docs carry information the corpus lacks).
+
+- embedding_outlier_by_label: per-label centroid distance outliers — the
+  embedding-space mislabel/noise screen. Centroids from exact fixed-point
+  component sums (e12), distances as exact e12 integers, so verdicts are
+  bit-stable at any parallelism.
+
+- text_bpe_apply: greedy left-to-right application of a FIXED ordered BPE
+  merge list to every word (chars → merged subword units), counting units
+  before/after. The apply side of BPE tokenization (text_bpe_pair_counts
+  is the training side's first step). Pure string algebra — token
+  sequences are encoded as 2-space-separated char strings so non-
+  overlapping `replace(' x  y ', ' xy ')` IS the greedy merge — identical
+  semantics in Spark and DuckDB.
+
+Reference lineage: all four are map (O5/O6 projections) + hash-shuffle
+(O8) + reduce (O9) compositions, per SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.operators.dedup import (
+    doc_shingles,
+    minhash_lsh_candidates,
+    minhash_lsh_sql,
+    ngram_jaccard_pairs,
+    ngram_jaccard_sql,
+    shingle_tokens_cte_sql,
+    shingles_sql,
+)
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# MinHash estimator error (LSH candidates × exact Jaccard)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_estimator_error",
+    oracle=f"""
+    WITH cand AS ({minhash_lsh_sql(num_hashes=6, band_size=2, shingle_n=3)}),
+    exact AS ({ngram_jaccard_sql(threshold=0.0, shingle_n=3)})
+    SELECT c.doc_a, c.doc_b, c.est_jaccard,
+           COALESCE(e.jaccard, 0.0) AS exact_jaccard,
+           ABS(c.est_jaccard - COALESCE(e.jaccard, 0.0)) AS abs_err
+    FROM cand c
+    LEFT JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    """,
+    doc="The dedup verification tier as one query: every MinHash-LSH "
+    "candidate pair joined with its exact shingle-set Jaccard (computed "
+    "only for pairs that share a shingle; COALESCE 0 covers a pure hash "
+    "collision). abs_err audits the 6-hash estimator before any doc is "
+    "dropped. Cost: exact verification touches candidate pairs only — "
+    "never the corpus cross join. Both scores are single IEEE divisions "
+    "of exact integers, so the error column is bit-portable.",
+    tags=("dedup", "minhash", "verification"),
+)
+def dedup_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    cand = minhash_lsh_candidates(d, num_hashes=6, band_size=2, shingle_n=3)
+    exact = ngram_jaccard_pairs(d, threshold=0.0, shingle_n=3).withColumnRenamed(
+        "jaccard", "__exact"
+    )
+    return (
+        cand.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce(F.col("__exact"), F.lit(0.0)).alias("exact_jaccard"),
+            F.abs(
+                F.col("est_jaccard") - F.coalesce(F.col("__exact"), F.lit(0.0))
+            ).alias("abs_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Trigram novelty
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_trigram_novelty",
+    oracle=f"""
+    WITH __tk AS ({shingle_tokens_cte_sql()}),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('__t', 3)}) AS s
+      FROM __tk
+    ),
+    df AS (SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_trigrams,
+           CAST(COALESCE(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_novel,
+           CAST((1000000000 * COALESCE(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END), 0))
+                // COUNT(*) AS BIGINT) AS novelty_e9
+    FROM sh JOIN df ON df.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    doc="Per-doc novelty: the fraction of a doc's distinct trigrams that "
+    "appear in NO other document, in e9 fixed point. The inverse of the "
+    "decontamination overlap check — high-novelty docs carry content the "
+    "rest of the corpus lacks (mixture-curation signal). Plan: one "
+    "(doc, shingle) table feeds both the document-frequency aggregate and "
+    "the per-doc re-join — term-keyed shuffles only, Σ df work, never N².",
+    tags=("text", "novelty", "quality"),
+)
+def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sh = doc_shingles(d, n=3, distinct=True)
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.coalesce(novel, F.lit(0)).alias("n_novel"),
+            F.expr(
+                "(1000000000L * COALESCE(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END), 0))"
+                " DIV COUNT(1)"
+            ).alias("novelty_e9"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding centroid-distance outliers
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_outlier_by_label",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(floor(x * 1e12) AS BIGINT)) AS BIGINT) AS s_e12,
+             COUNT(*) AS n
+      FROM comp GROUP BY label, dim
+    ),
+    dev AS (
+      SELECT c.vec_id, c.label,
+             CAST(floor(
+               (c.x - CAST(t.s_e12 AS DOUBLE) / (CAST(t.n AS DOUBLE) * 1e12))
+               * (c.x - CAST(t.s_e12 AS DOUBLE) / (CAST(t.n AS DOUBLE) * 1e12))
+               * 1e12) AS BIGINT) AS d2_e12
+      FROM comp c JOIN cent t ON t.label = c.label AND t.dim = c.dim
+    ),
+    dist AS (
+      SELECT vec_id, label, CAST(SUM(d2_e12) AS BIGINT) AS dist2_e12
+      FROM dev GROUP BY vec_id, label
+    ),
+    ranked AS (
+      SELECT label, vec_id, dist2_e12,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY dist2_e12 DESC, vec_id ASC)
+                  AS BIGINT) AS rank
+      FROM dist
+    )
+    SELECT label, vec_id, dist2_e12, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="Embedding-space noise screen: top-3 vectors farthest from their "
+    "label centroid. Centroid components are exact e12 fixed-point sums "
+    "(the k-means-step aggregation of embedding_centroid_by_label); each "
+    "squared deviation is floored to e12 before summing, so distances are "
+    "exact integers — bit-stable verdicts at any parallelism. Plan: one "
+    "(label, dim) aggregate, a broadcast-sized centroid join back, a "
+    "per-vector integer sum, then a per-label top-3 window.",
+    tags=("similarity", "outlier", "quality"),
+)
+def embedding_outlier_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    comp = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "x0")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum(F.floor(F.col("x") * F.lit(1e12)).cast("long")).cast("long").alias("s_e12"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = F.col("x") - F.col("s_e12").cast("double") / (
+        F.col("n").cast("double") * F.lit(1e12)
+    )
+    dev = comp.join(F.broadcast(cent), ["label", "dim"]).select(
+        "vec_id", "label", F.floor(c * c * F.lit(1e12)).cast("long").alias("d2_e12")
+    )
+    dist = dev.groupBy("vec_id", "label").agg(
+        F.sum("d2_e12").cast("long").alias("dist2_e12")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2_e12").desc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("label", "vec_id", "dist2_e12", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge application
+# --------------------------------------------------------------------------
+
+# Fixed, ordered merge table (the apply-side contract: merges learned by a
+# prior training run are applied greedily left-to-right, in rank order).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("t", "a"),
+    ("a", "l"),
+    ("s", "c"),
+)
+
+
+def _merged_expr_spark(tok: str) -> str:
+    """Spark SQL: word -> ' c  h  a  r ' 2-space-separated char string,
+    then the ordered merges as non-overlapping replaces."""
+    s = f"concat(' ', rtrim(regexp_replace({tok}, '(.)', '$1  ')), ' ')"
+    for x, y in BPE_MERGES:
+        s = f"replace({s}, ' {x}  {y} ', ' {x}{y} ')"
+    return s
+
+
+def _merged_expr_duck(tok: str) -> str:
+    s = f"concat(' ', rtrim(regexp_replace({tok}, '(.)', '\\1  ', 'g')), ' ')"
+    for x, y in BPE_MERGES:
+        s = f"replace({s}, ' {x}  {y} ', ' {x}{y} ')"
+    return s
+
+
+@register(
+    "text_bpe_apply",
+    oracle=f"""
+    SELECT doc_id,
+           len(words) AS n_words,
+           COALESCE(CAST(list_sum(list_transform(words, t -> length(t))) AS BIGINT), 0)
+             AS n_char_units,
+           COALESCE(CAST(list_sum(list_transform(words,
+             t -> len(string_split(trim({_merged_expr_duck('t')}), '  '))))
+             AS BIGINT), 0) AS n_bpe_units
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+      FROM documents
+    )
+    """,
+    doc="BPE tokenizer APPLICATION: a fixed ordered merge list applied "
+    "greedily left-to-right to every word, counting subword units before "
+    "(chars) and after. Token sequences are encoded as 2-space-separated "
+    "strings so plain non-overlapping replace(' x  y ', ' xy ') IS the "
+    "greedy merge (each match donates one boundary space to its neighbor) "
+    "— string algebra with identical semantics in both engines, no UDF. "
+    "Complements text_bpe_pair_counts (the training side). Zero shuffles: "
+    "a pure scan-stage projection.",
+    tags=("text", "bpe", "tokenize"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> length(t) > 0)").alias("words"),
+    ).select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(words, 0L, (acc, t) -> acc + length(t))"
+        ).alias("n_char_units"),
+        F.expr(
+            "aggregate(words, 0L, (acc, t) -> acc + "
+            f"size(split(trim({_merged_expr_spark('t')}), '  ')))"
+        ).alias("n_bpe_units"),
+    )

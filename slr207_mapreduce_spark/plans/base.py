@@ -165,6 +165,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_r3,
         pipeline_r4,
         pipeline_r4b,
+        analytics_r4,
     )
 
     ordered: dict[str, QuerySpec] = {}

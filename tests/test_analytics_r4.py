@@ -1,0 +1,91 @@
+"""Property tests for plans/analytics_r4.py — invariants the oracle
+equality can't express: LSH lower-bound on agreement, BPE greedy-merge
+semantics, novelty extremes, outlier ranking shape."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    return all_queries()
+
+
+def _write_docs(d: str, docs: list[str]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["src0"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+
+def test_estimator_error_candidates_agree_on_a_band(spark, qs):
+    """Every LSH candidate shares at least one full band (2 of 6 hashes),
+    so est_jaccard >= 1/3 by construction; exact stays in [0, 1]."""
+    rows = qs["dedup_minhash_estimator_error"].build(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["est_jaccard"] >= 1 / 3 - 1e-12
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-12
+
+
+def test_bpe_apply_greedy_merge_semantics(spark, qs):
+    """Known words under the fixed merge list (t+h, th+e, t+a, a+l, s+c):
+    'the'->1 unit, 'tale'->3 (ta l e; the consumed 'a' blocks a+l),
+    'ththth'->3 (non-overlapping left-to-right), 'scale'->3 (sc al e)."""
+    expected = {"the": 1, "tale": 3, "ththth": 3, "scale": 3, "x": 1}
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, [" ".join(expected)])
+        row = qs["text_bpe_apply"].build(spark, d).collect()[0]
+    assert row["n_words"] == len(expected)
+    assert row["n_char_units"] == sum(len(w) for w in expected)
+    assert row["n_bpe_units"] == sum(expected.values())
+
+
+def test_trigram_novelty_extremes(spark, qs):
+    """A doc duplicated verbatim scores 0 novelty; a doc sharing no trigram
+    with anything scores exactly 1e9."""
+    dup = "alpha beta gamma delta epsilon zeta"
+    unique = "one two three four five six seven"
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, [dup, dup, unique])
+        rows = {
+            r["doc_id"]: r
+            for r in qs["text_trigram_novelty"].build(spark, d).collect()
+        }
+    assert rows[0]["novelty_e9"] == 0 and rows[1]["novelty_e9"] == 0
+    assert rows[2]["novelty_e9"] == 1_000_000_000
+    assert rows[2]["n_novel"] == rows[2]["n_trigrams"] == 5
+
+
+def test_embedding_outliers_rank_shape(spark, qs):
+    rows = qs["embedding_outlier_by_label"].build(spark, SF_CORRECT).collect()
+    assert rows
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert r["dist2_e12"] >= 0
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rs in by_label.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["dist2_e12"] for r in rs]
+        assert dists == sorted(dists, reverse=True)

@@ -115,6 +115,10 @@ LONGDOC_QUERIES = [
     "dedup_cdc_chunks",
     "text_lm_score",
     "pipeline_bloom_membership",
+    # round-4 batch 3: candidate-pair verification + scan-stage scoring
+    "dedup_minhash_estimator_error",
+    "text_trigram_novelty",
+    "text_bpe_apply",
 ]
 
 
