@@ -12,8 +12,22 @@ the physical scan strategy is Catalyst's business.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Per-session DataFrame handle cache. A DataFrame is an immutable logical
+# plan, so re-serving the same object for the same (session, file) is
+# semantically transparent — but it skips the parquet footer/schema read and
+# the py4j plan construction that a fresh spark.read.parquet pays (~20-50 ms
+# per table, ~40% of multi-table query BUILD latency; execution is
+# unaffected). Keyed weakly by session so a stopped session's handles die
+# with it. Note the scan's file listing is snapshotted at first load — the
+# right trade for immutable corpus directories (this repo's contract);
+# callers that overwrite a path in place should read it directly.
+_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
 
 # The driver-generated star schema + pipeline tables (TESTDATA.md).
 TABLES: tuple[str, ...] = (
@@ -59,6 +73,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     _pin_utc(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        cache = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # session type without weakref support
+        cache = None
+    if cache is not None and path in cache:
+        return cache[path]
+    df = _read_table(spark, name, path)
+    if cache is not None:
+        cache[path] = df
+    return df
+
+
+def _read_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
