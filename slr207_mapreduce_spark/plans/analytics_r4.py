@@ -225,6 +225,47 @@ def embedding_outlier_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-domain quality normalization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_quality_percentile_by_source",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS pct,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) >= 0.1
+             AS keep
+    FROM documents
+    """,
+    doc="Cross-domain quality normalization: each doc's quality percentile "
+    "WITHIN its source (percent_rank over a deterministic (score, doc_id) "
+    "order), plus the keep flag dropping each source's bottom decile. "
+    "Thresholding per-domain percentiles instead of raw scores is the "
+    "standard guard against a single high-scoring domain crowding out the "
+    "mixture. One shuffle on the source key; at 100 TB sources are "
+    "high-cardinality enough to spread, and a skewed mega-source switches "
+    "to the two-pass approx-quantile cutoff (pipeline_quality_quantile).",
+    tags=("pipeline", "quality", "window"),
+)
+def pipeline_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    pct = F.percent_rank().over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        pct.alias("pct"),
+        (pct >= 0.1).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE merge application
 # --------------------------------------------------------------------------
 
@@ -253,6 +294,131 @@ def _merged_expr_duck(tok: str) -> str:
     for x, y in BPE_MERGES:
         s = f"replace({s}, ' {x}  {y} ', ' {x}{y} ')"
     return s
+
+
+_TRAIN_ROUNDS = 5
+
+
+def _bpe_train_oracle(rounds: int = _TRAIN_ROUNDS) -> str:
+    """Unrolled DuckDB oracle for the iterative BPE trainer: each round is
+    a CTE trio (adjacent-pair counts over the current segmentation → argmax
+    best pair → merged segmentation), chained ``rounds`` times — the same
+    unrolled-iteration oracle technique as graph_pagerank."""
+    ctes = [
+        # distinct-word table with frequencies, char-split segmentation
+        """w AS (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) > 0 GROUP BY tok
+    )""",
+        """seg0 AS (
+      SELECT word, freq,
+             concat(' ', rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')), ' ')
+               AS enc
+      FROM w
+    )""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""u{r} AS (
+      SELECT freq, string_split(trim(enc), '  ') AS u FROM seg{r}
+    )"""
+        )
+        ctes.append(
+            f"""pc{r} AS (
+      SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, greatest(len(u), 1)),
+                                     i -> {{'l': u[i], 'r': u[i + 1]}})) AS p
+        FROM u{r}
+      ) GROUP BY p.l, p.r
+    )"""
+        )
+        ctes.append(
+            f"""best{r} AS (
+      SELECT l, r, cnt FROM pc{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""seg{r + 1} AS (
+      SELECT word, freq,
+             replace(enc,
+                     ' ' || (SELECT l FROM best{r}) || '  ' ||
+                       (SELECT r FROM best{r}) || ' ',
+                     ' ' || (SELECT l FROM best{r}) ||
+                       (SELECT r FROM best{r}) || ' ') AS enc
+      FROM seg{r}
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, l AS merge_left, r AS merge_right,"
+        f" cnt AS pair_count FROM best{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    doc="BPE tokenizer TRAINING: 5 merge rounds over the frequency-weighted "
+    "distinct-word table. Each round counts adjacent unit pairs of the "
+    "current segmentation (one groupBy over the Zipf-compressed "
+    "vocabulary, NOT the token stream), picks the argmax pair with a "
+    "deterministic (count desc, pair asc) tie-break — a 1-row collect, the "
+    "only driver traffic per round — and applies the merge as the "
+    "non-overlapping-replace string algebra of text_bpe_apply. The oracle "
+    "unrolls all 5 rounds as CTE trios (the graph_pagerank technique), so "
+    "the data-dependent iteration is still hash-checked end to end.",
+    tags=("text", "bpe", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    w = (
+        d.selectExpr("explode(split(text, ' ')) AS word")
+        .where("length(word) > 0")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seg = w.selectExpr(
+        "word",
+        "freq",
+        "concat(' ', rtrim(regexp_replace(word, '(.)', '$1  ')), ' ') AS enc",
+    )
+    # index list via filter (never `sequence(1, size-1)`: Spark's sequence
+    # runs DESCENDING when start > stop, fabricating a [1,0] pair for
+    # single-unit words — same hazard class as shingles())
+    pair_expr = (
+        "transform(filter(sequence(1, size(u)), i -> i < size(u)), "
+        "i -> struct(element_at(u, i) AS l, element_at(u, i + 1) AS r))"
+    )
+    merges = []
+    for r in range(_TRAIN_ROUNDS):
+        pc = (
+            seg.selectExpr("freq", "split(trim(enc), '  ') AS u")
+            .selectExpr("freq", f"explode({pair_expr}) AS p")
+            .selectExpr("freq", "p.l AS l", "p.r AS r")
+            .groupBy("l", "r")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = pc.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).first()
+        if best is None:  # vocabulary fully merged before the round budget
+            break
+        merges.append((r + 1, best["l"], best["r"], best["cnt"]))
+        pat, rep = f" {best['l']}  {best['r']} ", f" {best['l']}{best['r']} "
+        seg = seg.selectExpr(
+            "word",
+            "freq",
+            # literals are sanitized by construction (units are substrings
+            # of corpus words, split on whitespace — no quotes to escape)
+            f"replace(enc, '{pat}', '{rep}') AS enc",
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, merge_left string, merge_right string, pair_count bigint"
+    )
 
 
 @register(

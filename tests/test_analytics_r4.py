@@ -77,6 +77,48 @@ def test_trigram_novelty_extremes(spark, qs):
     assert rows[2]["n_novel"] == rows[2]["n_trigrams"] == 5
 
 
+def test_bpe_train_counts_non_increasing(spark, qs):
+    """BPE invariant: the best pair's count never increases round over
+    round (merges only consume occurrences; pairs born of a merge are
+    bounded by the merged pair's count)."""
+    rows = sorted(
+        qs["text_bpe_train_merges"].build(spark, SF_CORRECT).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert [r["merge_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c >= 1 for c in counts)
+
+
+def test_bpe_train_known_tiny_corpus(spark, qs):
+    """'aa aa ab' has exactly two learnable merges: (a,a)x2 then (a,b)x1 —
+    the trainer must stop early instead of fabricating a third."""
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, ["aa aa ab"])
+        rows = sorted(
+            qs["text_bpe_train_merges"].build(spark, d).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    assert [(r["merge_left"], r["merge_right"], r["pair_count"]) for r in rows] == [
+        ("a", "a", 2),
+        ("a", "b", 1),
+    ]
+
+
+def test_quality_percentile_decile_gate(spark, qs):
+    rows = qs["pipeline_quality_percentile_by_source"].build(spark, SF_CORRECT).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 <= r["pct"] <= 1.0
+        assert r["keep"] == (r["pct"] >= 0.1)
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        dropped = sum(1 for r in rs if not r["keep"])
+        assert 0 < dropped <= max(1, int(0.1 * len(rs)) + 1)
+
+
 def test_embedding_outliers_rank_shape(spark, qs):
     rows = qs["embedding_outlier_by_label"].build(spark, SF_CORRECT).collect()
     assert rows
