@@ -60,6 +60,14 @@ def main() -> int:
         "events_promo_overlap_join",
         "pipeline_chunk_documents",
         "pipeline_global_shuffle",
+        # Round-4 batch 2/3 operators.
+        "pipeline_bloom_membership",
+        "dedup_cdc_chunks",
+        "text_lm_score",
+        "text_trigram_novelty",
+        "embedding_outlier_by_label",
+        "text_bpe_apply",
+        "pipeline_quality_percentile_by_source",
     ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
