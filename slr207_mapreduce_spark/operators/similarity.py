@@ -33,6 +33,21 @@ def dot_f64(a: Column, b: Column) -> Column:
     )
 
 
+def dot_f64_expr(a: str, b: str) -> str:
+    """SQL-string rendering of :func:`dot_f64` — the same Catalyst tree
+    parsed JVM-side in one round trip (hot-path builders use this form;
+    Python-lambda HOF construction costs several py4j calls per lambda)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_f64_expr(a: str) -> str:
+    return f"sqrt({dot_f64_expr(a, a)})"
+
+
 def norm_f64(a: Column) -> Column:
     return F.sqrt(dot_f64(a, a))
 
@@ -70,26 +85,22 @@ def knn_bruteforce(
     """
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm_f64(F.col(vec_col)).alias("qnorm"),
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"{vec_col} AS qvec",
+        f"{norm_f64_expr(vec_col)} AS qnorm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        norm_f64(F.col(vec_col)).alias("cnorm"),
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{vec_col} AS cvec",
+        f"{norm_f64_expr(vec_col)} AS cnorm",
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_f64(F.col("qvec"), F.col("cvec"))
-                / (F.col("qnorm") * F.col("cnorm"))
-            ).alias("cos_sim"),
-        )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"{dot_f64_expr('qvec', 'cvec')} / (qnorm * cnorm) AS cos_sim",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
