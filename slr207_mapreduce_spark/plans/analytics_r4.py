@@ -225,6 +225,95 @@ def embedding_outlier_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Portable HyperLogLog (md5 hash family, integer-arithmetic estimate)
+# --------------------------------------------------------------------------
+
+_HLL_M = 256  # 2^8 buckets: first 2 hex digits of the digest
+_HLL_ALPHA_E6 = 718271  # alpha_256 = 0.7213/(1 + 1.079/256), e6 fixed point
+_HLL_K = _HLL_M * _HLL_M * (1 << 30)  # m^2 * 2^30 (exact int, 2^46)
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, r) HLL registers over ``col``: bucket = first 8 digest
+    bits, r = max over rows of the 1-based first-set-bit position of the
+    next 60 bits (0-valued lanes count as 61). max() is idempotent and
+    commutative, so registers build in one partial+final aggregation and
+    MERGE by max — the sketch's defining property (pinned in tests)."""
+    return (
+        df.selectExpr(f"md5(concat('hll|', CAST({col} AS STRING))) AS h")
+        .selectExpr(
+            "CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) AS bucket",
+            "CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT) AS x",
+        )
+        .selectExpr(
+            "bucket",
+            "CASE WHEN x = 0 THEN 61 ELSE 61 - length(bin(x)) END AS rho",
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT md5('hll|' || CAST(o_custkey AS VARCHAR)) AS h FROM orders
+    ),
+    lanes AS (
+      SELECT CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(h, 3, 15)) AS BIGINT) AS x
+      FROM h
+    ),
+    regs AS (
+      SELECT bucket,
+             MAX(CASE WHEN x = 0 THEN 61 ELSE 61 - length(bin(x)) END) AS r
+      FROM lanes GROUP BY bucket
+    ),
+    s AS (
+      SELECT CAST(SUM((CAST(1073741824 AS BIGINT) >> r)) AS BIGINT)
+               + ({_HLL_M} - COUNT(*)) * 1073741824 AS s_e30,
+             {_HLL_M} - COUNT(*) AS zero_buckets
+      FROM regs
+    )
+    SELECT (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_exact,
+           ({_HLL_ALPHA_E6} * ({_HLL_K} // greatest(s_e30, 1))) // 1000000
+             AS hll_raw_est,
+           zero_buckets
+    FROM s
+    """,
+    doc="HyperLogLog with a PORTABLE construction — the answer to 'sketches "
+    "are engine-specific': md5-derived buckets/lanes and an all-integer "
+    "raw estimate (alpha in e6 fixed point, 2^-r terms as 2^30 >> r, floor "
+    "divisions), so the sketch AND its estimate are bit-reproducible in "
+    "DuckDB and hash-checked — unlike approx_count_distinct, whose "
+    "internal HLL++ differs by engine (that query stays rows-only by "
+    "nature). Registers build in one partial+final max aggregation and "
+    "merge by max (mergeability pinned in tests); estimate quality "
+    "~1.04/sqrt(256) as standard. Output: exact count alongside the "
+    "estimate and the zero-register count (the linear-counting trigger).",
+    tags=("agg", "sketch", "approx"),
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    regs = hll_registers(o, "o_custkey")
+    summary = regs.agg(
+        F.expr(
+            f"CAST(SUM(shiftright(CAST(1073741824 AS BIGINT), CAST(r AS INT))) AS BIGINT)"
+            f" + ({_HLL_M} - COUNT(1)) * 1073741824"
+        ).alias("s_e30"),
+        F.expr(f"{_HLL_M} - COUNT(1)").alias("zero_buckets"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return exact.crossJoin(summary).selectExpr(
+        "n_exact",
+        f"({_HLL_ALPHA_E6} * ({_HLL_K} DIV greatest(s_e30, 1L))) DIV 1000000"
+        " AS hll_raw_est",
+        "zero_buckets",
+    )
+
+
+# --------------------------------------------------------------------------
 # Cross-domain quality normalization
 # --------------------------------------------------------------------------
 

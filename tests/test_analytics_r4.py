@@ -119,6 +119,38 @@ def test_quality_percentile_decile_gate(spark, qs):
         assert 0 < dropped <= max(1, int(0.1 * len(rs)) + 1)
 
 
+def test_hll_portable_estimate_quality(spark, qs):
+    """Raw HLL error is ~1.04/sqrt(m) = 6.5% stdev at m=256; a 25% bound
+    catches construction bugs (wrong rho, wrong bucket width) without
+    flaking on the sketch's inherent variance."""
+    row = qs["agg_hll_portable"].build(spark, SF_CORRECT).collect()[0]
+    assert row["n_exact"] > 0
+    rel_err = abs(row["hll_raw_est"] - row["n_exact"]) / row["n_exact"]
+    assert rel_err <= 0.25, f"HLL rel error {rel_err:.3f} (est {row['hll_raw_est']} vs {row['n_exact']})"
+    assert 0 <= row["zero_buckets"] <= 256
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The defining sketch property: per-part registers merged with max()
+    equal the registers built over the whole input."""
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.plans.analytics_r4 import hll_registers
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", SF_CORRECT)
+    whole = {r["bucket"]: r["r"] for r in hll_registers(o, "o_custkey").collect()}
+    parts = [
+        hll_registers(o.where(F.col("o_orderkey") % 3 == i), "o_custkey")
+        for i in range(3)
+    ]
+    merged_df = parts[0].unionAll(parts[1]).unionAll(parts[2]).groupBy(
+        "bucket"
+    ).agg(F.max("r").alias("r"))
+    merged = {r["bucket"]: r["r"] for r in merged_df.collect()}
+    assert merged == whole
+
+
 def test_embedding_outliers_rank_shape(spark, qs):
     rows = qs["embedding_outlier_by_label"].build(spark, SF_CORRECT).collect()
     assert rows
