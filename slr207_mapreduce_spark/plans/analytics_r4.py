@@ -225,6 +225,83 @@ def embedding_outlier_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Salted two-phase aggregation (skewed group keys)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_salted_skewed_groups",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-phase SALTED aggregation for pathologically skewed group keys "
+    "(the aggregation twin of join_salted): phase 1 groups by "
+    "(event_type, event_id % 16) so one hot key spreads over 16 reducers; "
+    "phase 2 re-aggregates the 16 partials per key. COUNT and DECIMAL SUM "
+    "are associative, so the result is bit-identical to the direct "
+    "groupBy — the oracle IS the unsalted query (salting must be "
+    "result-invariant). Note Spark's own partial aggregation already "
+    "handles MOST skew (map-side combine bounds reducer input by "
+    "#partitions x #keys); explicit salting is the escape hatch when "
+    "per-partition cardinality explodes that bound or AQE skew handling "
+    "is unavailable mid-pipeline.",
+    tags=("agg", "skew"),
+)
+def agg_salted_skewed_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    partial = (
+        e.selectExpr(
+            "event_type",
+            "pmod(event_id, 16) AS __salt",
+            "CAST(value AS DECIMAL(14,2)) AS v",
+        )
+        .groupBy("event_type", "__salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("v").alias("pv"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Generator completeness: explode_outer (null row for empty arrays)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_explode_outer",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)]
+                  ELSE arr END) AS long_tok
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> length(t) >= 8) AS arr
+      FROM documents
+    )
+    """,
+    doc="explode_outer: documents keep a row (NULL token) even when the "
+    "generator input is empty — the outer-generator semantics a plain "
+    "explode silently drops (here ~most docs have no 8+-char token, so "
+    "inner explode would lose them). DuckDB oracle models the outer "
+    "behavior as a [NULL] fallback list.",
+    tags=("scalar", "generator"),
+)
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.selectExpr(
+        "doc_id", "filter(split(text, ' '), t -> length(t) >= 8) AS arr"
+    ).select("doc_id", F.explode_outer("arr").alias("long_tok"))
+
+
+# --------------------------------------------------------------------------
 # Portable HyperLogLog (md5 hash family, integer-arithmetic estimate)
 # --------------------------------------------------------------------------
 

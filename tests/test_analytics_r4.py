@@ -119,6 +119,15 @@ def test_quality_percentile_decile_gate(spark, qs):
         assert 0 < dropped <= max(1, int(0.1 * len(rs)) + 1)
 
 
+def test_salted_agg_plans_two_exchanges(spark, qs):
+    """The salt must actually reach the physical plan: one exchange on
+    (event_type, __salt), one on event_type alone."""
+    df = qs["agg_salted_skewed_groups"].build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().toString()
+    assert "__salt" in plan
+    assert plan.count("hashpartitioning(event_type") >= 2
+
+
 def test_hll_portable_estimate_quality(spark, qs):
     """Raw HLL error is ~1.04/sqrt(m) = 6.5% stdev at m=256; a 25% bound
     catches construction bugs (wrong rho, wrong bucket width) without
