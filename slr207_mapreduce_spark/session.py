@@ -30,6 +30,14 @@ SCALE_DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # Scan-split floor: Spark's split size is min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes/parallelism)), so the 4 MB default
+    # open-cost floor caps a 10 MB table at ~3 scan tasks — a 1-file input
+    # runs its scan+partial-agg stage nearly serial while 29 cores idle.
+    # 512 KB reflects local/SSD + cloud-parquet open cost and lets small
+    # inputs split down to per-core work; at 100 TB totalBytes/parallelism
+    # >> open cost, so large-scale split planning is unchanged.
+    "spark.sql.files.openCostInBytes": "524288",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.parquet.compression.codec": "zstd",
