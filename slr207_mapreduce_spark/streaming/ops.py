@@ -154,6 +154,49 @@ def stream_stream_view_purchase_join(
     ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
 
 
+def stream_stream_left_outer_attribution(
+    events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits — matched view
+    rows as they arrive (the inner part), and a NULL-view row once the
+    watermark closes a purchase's attribution window with no match.
+
+    The outer side is what makes conversion-rate math possible on the
+    stream (unmatched purchases ARE the signal); it is also the shape with
+    the strictest engine requirements — watermarks on BOTH sides plus a
+    time-range join condition, otherwise Spark cannot decide when an
+    unmatched row is safe to emit and rejects the query. Null emission
+    happens only when the watermark passes the window end, so rows near
+    the end of a bounded replay stay buffered — the semantics tests pin
+    exactly the inner-equality + genuinely-unmatched-nulls contract.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    return purchases.join(
+        views,
+        (purchases.user_id == views.v_user)
+        & (views.view_ts <= purchases.purchase_ts)
+        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
+        "leftOuter",
+    ).select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

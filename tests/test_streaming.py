@@ -208,6 +208,46 @@ def test_stream_stream_join_matches_batch(spark, batch_dir):
     assert got_set == want_set and len(want_set) > 0
 
 
+def test_stream_stream_left_outer_join_semantics(spark, batch_dir):
+    """Outer attribution join under micro-batch replay: (a) the inner part
+    equals the batch join exactly; (b) null-view rows appear (the outer
+    behavior a bounded inner join never shows); (c) every null-view row is
+    a purchase with genuinely no qualifying view in batch. Rows whose
+    window the final watermark hasn't closed stay buffered, so the null
+    set is a subset of the batch anti-join — never more."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_left_outer_attribution,
+        stream_stream_view_purchase_join,
+    )
+
+    stream = read_events_stream(spark, batch_dir, max_files_per_trigger=1)
+    got = run_to_memory(
+        stream_stream_left_outer_attribution(stream, "1 hour", "1 minute"),
+        "t_ssj_outer",
+    ).collect()
+    got_inner = {(r["purchase_id"], r["view_id"]) for r in got if r["view_id"] is not None}
+    got_null = {r["purchase_id"] for r in got if r["view_id"] is None}
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    want_inner = {
+        (r["purchase_id"], r["view_id"])
+        for r in stream_stream_view_purchase_join(ev, "1 hour", "1 minute").collect()
+    }
+    matched_purchases = {p for p, _ in want_inner}
+    all_purchases = {
+        r["event_id"] for r in ev.where("event_type = 'purchase'").collect()
+    }
+    batch_unmatched = all_purchases - matched_purchases
+
+    assert got_inner == want_inner and len(want_inner) > 0
+    assert got_null, "outer join emitted no null-view rows"
+    assert got_null <= batch_unmatched
+    assert got_null.isdisjoint(matched_purchases)
+
+
 def test_stateful_running_totals(spark, tmp_path):
     from slr207_mapreduce_spark.sources.tables import load_table
     from slr207_mapreduce_spark.streaming.ops import read_events_stream
