@@ -33,8 +33,16 @@ UDF-last principle as everywhere else in this engine.
 from __future__ import annotations
 
 import os
+import uuid
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _SplitFilePartition(InputPartition):
@@ -66,6 +74,63 @@ class TextSplitsReader(DataSourceReader):
                 yield (name, i, line.rstrip("\n"))
 
 
+@dataclass
+class _SplitCommit(WriterCommitMessage):
+    tmp_name: str
+    final_name: str
+    lines: int
+
+
+class TextSplitsWriter(DataSourceWriter):
+    """Writer half of the split-directory contract — the reference's O2
+    (SimpleClient.java:100-149 cuts the corpus into ``split{i}.txt``), done
+    with a real commit protocol instead of in-place writes: each task
+    writes ``.inprogress-*`` temp files (invisible to the reader, which
+    lists ``*.txt`` only), and the DRIVER's commit() renames them into
+    place — so a retried/speculative task leaves garbage temps, never a
+    torn or doubled split. abort() removes the temps. Requires storage all
+    tasks can reach (local dir / NFS / fuse mount) — the same assumption
+    the reference's rsync deployment made.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("textsplits sink requires .option('path', <dir>)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = f".inprogress-{pid}-{uuid.uuid4().hex}"
+        os.makedirs(self.dir, exist_ok=True)
+        n = 0
+        with open(os.path.join(self.dir, tmp), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write((row.value if row.value is not None else "") + "\n")
+                n += 1
+        return _SplitCommit(tmp_name=tmp, final_name=f"split{pid}.txt", lines=n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if f.endswith(".txt"):
+                    os.remove(os.path.join(self.dir, f))
+        for m in messages:
+            os.replace(
+                os.path.join(self.dir, m.tmp_name),
+                os.path.join(self.dir, m.final_name),
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.dir, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
 class TextSplitsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -76,6 +141,14 @@ class TextSplitsDataSource(DataSource):
 
     def reader(self, schema) -> TextSplitsReader:
         return TextSplitsReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> TextSplitsWriter:
+        names = [f.name for f in schema.fields]
+        if "value" not in names:
+            raise ValueError(
+                f"textsplits sink requires a 'value' string column, got {names}"
+            )
+        return TextSplitsWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

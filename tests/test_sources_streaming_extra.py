@@ -162,6 +162,31 @@ def test_textsplits_python_datasource_matches_read_text(spark):
     assert df.rdd.getNumPartitions() == len(files)
 
 
+def test_textsplits_writer_roundtrip_and_commit_protocol(spark, tmp_path):
+    """Writer half of the split contract (reference O2,
+    SimpleClient.java:100-149): N partitions -> split{0..N-1}.txt via
+    temp-file + driver-rename commit. Round-trip through the reader must
+    preserve the line multiset; no .inprogress temps survive commit."""
+    from slr207_mapreduce_spark.sources import split_source
+
+    split_source.register(spark)
+    out = str(tmp_path / "splits_out")
+    lines = [f"line {i} body {i * i}" for i in range(97)]
+    df = spark.createDataFrame([(l,) for l in lines], "value string").repartition(4)
+    df.write.format("textsplits").option("path", out).mode("overwrite").save()
+
+    names = sorted(os.listdir(out))
+    assert names == [f"split{i}.txt" for i in range(4)]
+    back = spark.read.format("textsplits").option("path", out).load()
+    assert sorted(r["value"] for r in back.collect()) == sorted(lines)
+
+    # overwrite replaces prior splits entirely (fewer partitions => fewer files)
+    df2 = spark.createDataFrame([("only",)], "value string").repartition(1)
+    df2.write.format("textsplits").option("path", out).mode("overwrite").save()
+    assert sorted(os.listdir(out)) == ["split0.txt"]
+    assert [r["value"] for r in spark.read.format("textsplits").option("path", out).load().collect()] == ["only"]
+
+
 def test_observation_metrics_piggyback_on_action(spark):
     """df.observe(Observation, ...) collects aggregate metrics DURING the
     main action — no second scan. The operational counterpart of the
