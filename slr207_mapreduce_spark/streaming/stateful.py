@@ -73,6 +73,92 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+# --- Event-time timeout: closed-session finalization ----------------------
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+CLOSED_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _finalize_sessions(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        # No input for this key and the watermark passed its timeout: the
+        # session is CLOSED — emit the summary exactly once and drop state.
+        start_ms, last_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start_ms": [start_ms],
+                "session_end_ms": [last_ms],
+                "n_events": [n],
+            }
+        )
+        return
+    if state.exists:
+        start_ms, last_ms, n = state.get
+    else:
+        start_ms, last_ms, n = None, None, 0
+    for pdf in pdfs:
+        ts_ms = pdf["ts"].astype("int64") // 1_000_000
+        lo, hi = int(ts_ms.min()), int(ts_ms.max())
+        start_ms = lo if start_ms is None else min(start_ms, lo)
+        last_ms = hi if last_ms is None else max(last_ms, hi)
+        n += len(pdf)
+    state.update((start_ms, last_ms, n))
+    # Close when event time passes last activity + gap. The engine requires
+    # a timeout strictly beyond the current watermark; a session already
+    # older than the watermark closes at the next watermark tick.
+    state.setTimeoutTimestamp(
+        max(last_ms + SESSION_GAP_MS, state.getCurrentWatermarkMs() + 1)
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "session_start_ms": pd.Series([], dtype="int64"),
+            "session_end_ms": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def closed_user_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session finalization with EVENT-TIME TIMEOUT — the stateful
+    pattern session_window cannot express: nothing is emitted while a
+    session is live; when the watermark passes (last event + 30 min gap)
+    the operator's timeout fires with no input rows, emits the closed
+    session summary exactly once, and clears the key's state. State per
+    key is three longs — bounded by active users, pruned on close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _finalize_sessions,
+            outputStructType=CLOSED_SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # --- transformWithState (Spark 4 arbitrary-state API) ---------------------
 #
 # The successor surface to applyInPandasWithState: typed state primitives

@@ -248,6 +248,62 @@ def test_stream_stream_left_outer_join_semantics(spark, batch_dir):
     assert got_null.isdisjoint(matched_purchases)
 
 
+def test_event_time_timeout_closes_sessions_exactly_once(spark, tmp_path):
+    """EventTimeTimeout finalization: a user's session is emitted exactly
+    once — when a batch advances the watermark past (last activity + gap)
+    with no new input for that key — and keys still inside their gap stay
+    buffered. Deterministic three-batch scenario via per-file mtimes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream, run_to_memory
+    from slr207_mapreduce_spark.streaming.stateful import closed_user_sessions
+
+    base = 1_700_000_000_000  # ms epoch
+    MIN = 60_000
+
+    def write_batch(i, rows, mtime):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1000 for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        p = str(tmp_path / f"b{i}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: user 1 active t0..t0+5m (3 events), user 2 one event at t0
+    write_batch(
+        1,
+        [(1, base, 1), (2, base + 2 * MIN, 1), (3, base + 5 * MIN, 1), (4, base, 2)],
+        1_000_000_000,
+    )
+    # batch 2: user 3 at t0+2h -> watermark jumps past both sessions' gaps
+    write_batch(2, [(5, base + 120 * MIN, 3)], 1_000_000_100)
+    # batch 3: user 9 at t0+4h -> closes user 3; user 9 itself stays open
+    write_batch(3, [(6, base + 240 * MIN, 9)], 1_000_000_200)
+
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    got = run_to_memory(closed_user_sessions(stream, watermark="1 minute"), "t_sess_to")
+    rows = {r["user_id"]: r for r in got.collect()}
+
+    assert set(rows) == {1, 2, 3}, f"emitted keys {set(rows)}"
+    assert rows[1]["session_start_ms"] == base
+    assert rows[1]["session_end_ms"] == base + 5 * MIN
+    assert rows[1]["n_events"] == 3
+    assert rows[2]["session_start_ms"] == rows[2]["session_end_ms"] == base
+    assert rows[2]["n_events"] == 1
+    assert rows[3]["n_events"] == 1
+    assert got.count() == 3  # exactly once each; user 9 never closed
+
+
 def test_stateful_running_totals(spark, tmp_path):
     from slr207_mapreduce_spark.sources.tables import load_table
     from slr207_mapreduce_spark.streaming.ops import read_events_stream
