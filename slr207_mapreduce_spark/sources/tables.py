@@ -70,7 +70,6 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     with the session pinned to UTC the NTZ→LTZ cast is value-identical to
     DuckDB's naive-timestamp reading.
     """
-    _pin_utc(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -78,7 +77,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     except TypeError:  # session type without weakref support
         cache = None
     if cache is not None and path in cache:
+        # session was UTC-pinned when the handle was first built
         return cache[path]
+    _pin_utc(spark)
     df = _read_table(spark, name, path)
     if cache is not None:
         cache[path] = df
