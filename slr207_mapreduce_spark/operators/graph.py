@@ -279,3 +279,95 @@ def pagerank_fp_sql(
         + ",".join(rounds)
         + f"\n    SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """(node, dist): shortest hop count from ANY seed node, frontier BFS.
+
+    Frontier-based propagation — the scale-correct BFS shape: round ``h``
+    joins only the CURRENT frontier against the edge list (work ∝ frontier
+    degree sum, not |V|·|E| as naive whole-set relaxation would be), and a
+    left-anti join against the settled set keeps each node's FIRST (= minimal,
+    because BFS expands in hop order) distance. O(eccentricity) rounds, each
+    one shuffle on the edge key + one anti-join shuffle; per-round
+    ``localCheckpoint`` truncates lineage exactly like
+    :func:`connected_components` (and the superseded round's blocks are
+    released — see ``_release_ids``).
+
+    Unreachable nodes are absent from the result (not NULL-distance rows);
+    seeds themselves report dist 0 whether or not they appear in ``edges``.
+    Directionality: edges are symmetrized, matching the undirected semantics
+    of the dedup-cluster / trade-graph use cases here.
+    """
+    sc = edges.sparkSession.sparkContext
+    sym, sym_ids = _ckpt(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    settled, settled_ids = _ckpt(
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+    )
+    frontier = settled
+    frontier_ids: set[int] = set()
+    try:
+        for h in range(1, max_hops + 1):
+            reached = (
+                sym.join(frontier, sym.a == frontier.node)
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .withColumn("dist", F.lit(h).cast("int"))
+            )
+            new_frontier, new_frontier_ids = _ckpt(
+                reached.join(settled, "node", "left_anti")
+            )
+            _release_ids(sc, frontier_ids)
+            frontier, frontier_ids = new_frontier, new_frontier_ids
+            if frontier.isEmpty():
+                break
+            new_settled, new_settled_ids = _ckpt(settled.union(frontier))
+            _release_ids(sc, settled_ids)
+            settled, settled_ids = new_settled, new_settled_ids
+    except BaseException:
+        _release_ids(sc, settled_ids)
+        raise
+    finally:
+        _release_ids(sc, sym_ids)
+        _release_ids(sc, frontier_ids)
+    # only the settled frame (the result) stays pinned; callers may free it
+    # after their terminal action via release_result
+    return settled
+
+
+def bfs_distances_sql(edges_sql: str, seeds_sql: str, max_hops: int = 10) -> str:
+    """DuckDB mirror of :func:`bfs_distances`: recursive CTE over the
+    symmetrized edge set, depth-bounded by ``max_hops`` (the recursive UNION
+    dedups (node, dist) pairs, so the bound guarantees termination even on
+    cyclic graphs); MIN(dist) per node == first-reached hop == BFS distance
+    whenever the true distance is within the bound — the same truncation the
+    Spark loop applies."""
+    return f"""
+    WITH RECURSIVE sym AS (
+      SELECT src, dst FROM ({edges_sql})
+      UNION
+      SELECT dst, src FROM ({edges_sql})
+    ),
+    seeds AS (SELECT DISTINCT node FROM ({seeds_sql})),
+    reach(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, r.d + 1
+      FROM reach r JOIN sym e ON e.src = r.node
+      WHERE r.d < {max_hops}
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS dist FROM reach GROUP BY node
+    """

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from slr207_mapreduce_spark.operators.dedup import minhash_lsh_candidates, minhash_lsh_sql
-from slr207_mapreduce_spark.operators.graph import connected_components, pagerank_fp_sql
+from slr207_mapreduce_spark.operators.graph import (
+    bfs_distances_sql,
+    connected_components,
+    pagerank_fp_sql,
+)
 from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
 
@@ -258,3 +262,45 @@ def dedup_cluster_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("keep_doc")).alias("is_canonical"),
     )
+
+
+_BFS_SEEDS_SQL = """
+      SELECT c_custkey AS node
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+"""
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=bfs_distances_sql(_CS_EDGES_SQL, _BFS_SEEDS_SQL, max_hops=4),
+    doc="Multi-source BFS hop distances over the customer-supplier trade "
+    "graph, seeded at every NATION_7 customer (hop 0), bounded at 4 hops. "
+    "Frontier propagation: round h joins ONLY the current frontier against "
+    "the edge list and anti-joins the settled set, so per-round work is "
+    "proportional to the frontier's degree sum — the shape that survives "
+    "web-scale graphs — with per-round localCheckpoint + superseded-block "
+    "release like the other iterative operators. Oracle: depth-bounded "
+    "recursive CTE, MIN(hop) per node. Distances are exact integers, so "
+    "the hash check is bit-strict at any parallelism.",
+    tags=("graph", "iterative", "bfs"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.operators.graph import bfs_distances
+
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .where(F.col("n_name") == "NATION_7")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=4)

@@ -182,3 +182,42 @@ def test_missing_private_api_degrades_to_bounded_leak(spark):
     release_result(broken)
     assert before <= _pinned_rdd_ids(spark.sparkContext)
     release_result(bystander)
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Chain 1-2-3-4-5 seeded at 1; isolated pair 10-11 unreachable; seed 99
+    absent from the edge list still reports dist 0."""
+    from slr207_mapreduce_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 99: 0}
+
+
+def test_bfs_distances_hop_bound_and_symmetry(spark):
+    """max_hops truncates the result set (not the values); edges propagate
+    both directions (undirected semantics)."""
+    from slr207_mapreduce_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # node 4 is 3 hops out — excluded
+
+
+def test_bfs_releases_round_checkpoints(spark):
+    """BFS keeps only its result frame pinned (same hygiene contract as the
+    other iterative operators)."""
+    from slr207_mapreduce_spark.operators.graph import bfs_distances, release_result
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    before = _pinned_rdd_ids(spark.sparkContext)
+    res = bfs_distances(edges, seeds, max_hops=15)
+    res.write.mode("overwrite").format("noop").save()
+    leaked = _pinned_rdd_ids(spark.sparkContext) - before
+    assert len(leaked) <= 1  # at most the result frame's own checkpoint
+    release_result(res)
