@@ -166,6 +166,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_r4,
         pipeline_r4b,
         analytics_r4,
+        analytics_r4c,
     )
 
     ordered: dict[str, QuerySpec] = {}
