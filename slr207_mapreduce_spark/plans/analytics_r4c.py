@@ -124,3 +124,42 @@ def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ZKEY).alias("zkey"),
         F.expr(f"CAST(({_ZKEY} >> 14) AS BIGINT)").alias("ztile"),
     )
+
+
+@register(
+    "pipeline_sample_exact_k",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substring(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    )
+    ORDER BY h, doc_id
+    LIMIT 100
+    """,
+    doc="Exact-k uniform sample (k=100): the k smallest portable-hash "
+    "values over the corpus — the distributed equivalent of reservoir "
+    "sampling, but deterministic and rerun-stable. Physically a "
+    "TakeOrderedAndProject: each task keeps its local top-k heap and the "
+    "driver merges k-sized lists, so there is NO global sort and NO "
+    "shuffle of the corpus — the only safe exact-k shape at 100 TB "
+    "(tests/test_layout_runtime.py pins the plan). Hash order ≡ uniform "
+    "order; the fixed seed makes the sample a reproducible artifact.",
+    tags=("pipeline", "sampling", "topk"),
+)
+def pipeline_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.functions.portable import portable_hash64
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            portable_hash64(F.col("doc_id").cast("string"), seed=42).alias("h"),
+        )
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "source")
+    )

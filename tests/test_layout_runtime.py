@@ -159,3 +159,65 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_injects(spark):
+    """With a selective filter on the small side of a shuffle join, the
+    optimizer must inject a runtime Bloom filter that pre-filters the large
+    side's shuffle input — at 100 TB this drops most fact rows BEFORE the
+    exchange instead of after the join."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # the sf0.01 fact side is far below the 10 GiB production default
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, "lineitem", SF_CORRECT)
+        o = load_table(spark, "orders", SF_CORRECT).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        plan = _formatted_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # exact result unchanged by the runtime filter
+        [row] = j.collect()
+        expected = (
+            li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey).count()
+        )
+        assert row["cnt"] == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_exact_k_sample_is_take_ordered_not_global_sort(spark):
+    """pipeline_sample_exact_k must plan as TakeOrderedAndProject (per-task
+    heaps + driver merge of k-row lists) — a global sort of the corpus to
+    take 100 rows would be the classic scale killer."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    df = all_queries()["pipeline_sample_exact_k"].build(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan  # no full-width sort node
