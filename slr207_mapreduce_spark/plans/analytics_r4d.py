@@ -1,0 +1,204 @@
+"""Analysis widening, round 4 batch 5 — profiling & audit operators.
+
+- stats_column_profile: per-column data-quality profile (row count, null
+  count, exact distinct, min/max) — the Deequ/expectations-style audit a
+  pipeline runs before trusting a new drop of data. One scan per profiled
+  table; the per-column aggregates all ride the same partial-agg pass.
+
+- pipeline_integrity_audit: referential-integrity report — primary-key
+  duplicate counts and foreign-key orphan counts across the star schema.
+  Joins are key-only (never payload); anti-join orphan checks are the
+  left-anti shape that scales as a broadcast or shuffle semi-join.
+
+- embedding_random_projection: Johnson-Lindenstrauss-style ±1 random
+  projection of the 64-dim embeddings to 8 dims. Components are quantized
+  to 1e-6 fixed point BEFORE the signed sum, so the projection is exact
+  integer arithmetic — bit-identical at any parallelism and in DuckDB.
+  The deterministic sign matrix is baked into the generated expression
+  text (same literals both engines). Dimensionality reduction is the
+  front half of projection-based ANN (the reduced vectors feed the LSH /
+  IVF operators in operators/similarity.py).
+
+Reference lineage: all three are O6 projections + O8/O9 hash reduce
+compositions (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+# --- column profile ------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_discount", "l_returnflag", "l_shipdate")
+
+
+def _profile_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(MIN({col}) AS VARCHAR) AS min_repr,
+           CAST(MAX({col}) AS VARCHAR) AS max_repr
+    FROM lineitem
+    """
+
+
+@register(
+    "stats_column_profile",
+    oracle=" UNION ALL ".join(_profile_sql(c) for c in _PROFILE_COLS),
+    doc="Per-column data-quality profile of lineitem (rows, nulls, exact "
+    "distinct, min/max rendered as strings so one schema fits numeric and "
+    "string columns): the pre-ingest audit shape. Each column's metrics "
+    "are one partial-aggregable pass; distincts are exact (two-phase "
+    "hash agg). At 100 TB the cheap variant swaps approx_count_distinct "
+    "into the same frame; min/max/null-counts stay exact single-pass.",
+    tags=("stats", "profiling", "audit"),
+)
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_repr"),
+                F.max(c).cast("string").alias("max_repr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# --- referential integrity audit ----------------------------------------
+
+
+@register(
+    "pipeline_integrity_audit",
+    oracle="""
+    SELECT 'orders_pk_dup' AS check_name,
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1
+    UNION ALL
+    SELECT 'lineitem_orphan_order',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders_orphan_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_orphan_part',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    """,
+    doc="Referential-integrity audit: PK duplicate mass (sum of extra "
+    "copies per duplicated o_orderkey) and FK orphan counts for three "
+    "edges of the star schema. Orphan checks are left-anti joins carrying "
+    "ONLY the key column — broadcastable when the referenced key set is "
+    "a dim, shuffle semi-join when it's a fact; either way no payload "
+    "moves. The post-ingest gate a pipeline runs before publishing a "
+    "snapshot. Keys here are non-null by construction, so NOT IN and "
+    "anti-join agree.",
+    tags=("pipeline", "audit"),
+)
+def pipeline_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+
+    pk_dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.lit("orders_pk_dup").alias("check_name"),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+
+    def orphans(name, fact, key, dim, dim_key):
+        return (
+            fact.select(key)
+            .join(dim.select(F.col(dim_key).alias(key)), key, "left_anti")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).cast("long").alias("n_violations"),
+            )
+        )
+
+    return (
+        pk_dup.unionAll(orphans("lineitem_orphan_order", li, "l_orderkey", o, "o_orderkey"))
+        .unionAll(orphans("orders_orphan_customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(orphans("lineitem_orphan_part", li, "l_partkey", p, "p_partkey"))
+    )
+
+
+# --- JL random projection ------------------------------------------------
+
+_EMB_DIM = 64
+_PROJ_DIM = 8
+
+
+def _sign(j: int, k: int) -> int:
+    # deterministic ±1 matrix; the LCG-ish mix decorrelates rows/cols
+    return 1 if ((j * 73 + k * 149 + (j * k) % 7) % 2) == 0 else -1
+
+
+def _proj_sql(k: int) -> str:
+    # the explicit DOUBLE cast matters: DuckDB types `1000000.0` as DECIMAL
+    # and evaluates FLOAT*DECIMAL in FLOAT precision (0.294556f*1e6 =
+    # 294556.0f, mis-flooring by 1), while Spark widens float*double to
+    # double — cast first and both engines do the same double multiply
+    terms = [
+        f"({_sign(j, k)})*CAST(FLOOR(CAST(embedding[{j + 1}] AS DOUBLE)*1000000) AS BIGINT)"
+        for j in range(_EMB_DIM)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _proj_spark(k: int) -> str:
+    # element_at is 1-based like DuckDB's list indexing
+    terms = [
+        f"({_sign(j, k)})*CAST(FLOOR(element_at(embedding, {j + 1})*1000000D) AS BIGINT)"
+        for j in range(_EMB_DIM)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "embedding_random_projection",
+    oracle="SELECT vec_id, label, "
+    + ", ".join(f"{_proj_sql(k)} AS p{k}" for k in range(_PROJ_DIM))
+    + " FROM embeddings",
+    doc="Johnson-Lindenstrauss ±1 random projection 64 → 8 dims: each "
+    "output component is a signed sum of the input components after 1e-6 "
+    "fixed-point quantization, so the projection is EXACT integer "
+    "arithmetic (sum magnitude bounded by 64·|x|·1e6 ≪ int64) — "
+    "bit-identical at any parallelism and across engines. The sign "
+    "matrix is deterministic and baked into the expression text. Pure "
+    "projection, zero shuffle; the reduced vectors are the input half "
+    "of projection-based ANN (LSH banding / IVF over 8 dims instead of "
+    "64 cuts candidate-generation cost ~8x at equal recall for "
+    "JL-preserved distances).",
+    tags=("embedding", "similarity", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.selectExpr(
+        "vec_id",
+        "label",
+        *[f"{_proj_spark(k)} AS p{k}" for k in range(_PROJ_DIM)],
+    )

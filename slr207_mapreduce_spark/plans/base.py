@@ -167,6 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_r4b,
         analytics_r4,
         analytics_r4c,
+        analytics_r4d,
     )
 
     ordered: dict[str, QuerySpec] = {}
