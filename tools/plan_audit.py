@@ -68,6 +68,13 @@ def main() -> int:
         "embedding_outlier_by_label",
         "text_bpe_apply",
         "pipeline_quality_percentile_by_source",
+        # Round-4 batch 4/5 operators.
+        "agg_histogram_equiwidth",
+        "scalar_zorder_key",
+        "pipeline_sample_exact_k",
+        "stats_column_profile",
+        "pipeline_integrity_audit",
+        "embedding_random_projection",
     ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
