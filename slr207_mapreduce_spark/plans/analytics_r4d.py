@@ -207,3 +207,97 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[f"{_proj_spark(k)} AS p{k}" for k in range(_PROJ_DIM)],
     )
+
+
+# --- large x large interval overlap join ---------------------------------
+
+_OVERLAP_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                    LAG(ts) OVER w, ts) > 1800
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             ts
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, sid
+    ),
+    promos AS (
+      SELECT i AS promo_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (i * 5) DAY AS p_start,
+             TIMESTAMP '2024-01-01' + INTERVAL (i * 5 + 2) DAY AS p_end
+      FROM range(6) t(i)
+    )
+    SELECT p.promo_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM promos p
+    JOIN sessions s
+      ON s.s_start <= p.p_end AND s.s_end >= p.p_start
+    GROUP BY p.promo_id
+"""
+
+
+@register(
+    "events_overlap_join_bucketed",
+    oracle=_OVERLAP_ORACLE,
+    doc="The SAME interval-overlap semantics as events_promo_overlap_join "
+    "but through the large×large physical strategy "
+    "(operators/interval.py::interval_overlap_join_bucketed): both interval "
+    "sets explode into day buckets, equi-join on the bucket id (shuffle "
+    "hash — no broadcast, no nested loop), exact-overlap re-check, and the "
+    "first-common-bucket rule keeps each pair exactly once WITHOUT a "
+    "DISTINCT. Sharing the nested-loop oracle proves the decomposition "
+    "bit-equivalent; tests pin that the plan has no "
+    "BroadcastNestedLoopJoin/CartesianProduct. This is the shape that "
+    "survives when BOTH interval sets are fact-sized.",
+    tags=("events", "interval", "join"),
+)
+def events_overlap_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from slr207_mapreduce_spark.operators.interval import (
+        interval_overlap_join_bucketed,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.unix_seconds(F.col("ts")) - F.unix_seconds(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        e.select("user_id", "ts", F.sum(is_new).over(wsum).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    promos = spark.range(6).select(
+        F.col("id").alias("promo_id"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(days=F.col("id") * 5)
+        ).alias("p_start"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(days=F.col("id") * 5 + 2)
+        ).alias("p_end"),
+    )
+    j = interval_overlap_join_bucketed(
+        sessions, promos, "s_start", "s_end", "p_start", "p_end",
+        bucket_seconds=86400,
+    )
+    return j.groupBy("promo_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

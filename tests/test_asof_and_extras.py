@@ -121,3 +121,56 @@ def test_hll_mergeable_sketches_exact_at_low_cardinality(spark):
         if lang == "__all__":
             continue
         assert r["est_sources"] == r["exact_sources"], lang
+
+
+def test_interval_overlap_bucketed_hand_cases(spark):
+    """Bucketed overlap join: exactly one output row per overlapping pair,
+    including pairs whose overlap spans many buckets; touching endpoints
+    (closed intervals) match; disjoint pairs don't."""
+    import datetime as dt
+
+    from slr207_mapreduce_spark.operators.interval import (
+        interval_overlap_join_bucketed,
+    )
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 00:00:00"), T("2024-01-10 00:00:00")),  # 10 buckets
+            (2, T("2024-01-03 12:00:00"), T("2024-01-03 13:00:00")),
+            (3, T("2024-02-01 00:00:00"), T("2024-02-01 01:00:00")),
+        ],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T("2024-01-02 00:00:00"), T("2024-01-08 00:00:00")),  # overlaps 1
+            (11, T("2024-01-03 13:00:00"), T("2024-01-04 00:00:00")),  # touches 2
+            (12, T("2024-03-01 00:00:00"), T("2024-03-02 00:00:00")),  # disjoint
+        ],
+        ["rid", "rs", "re"],
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join_bucketed(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=86400
+        ).collect()
+    )
+    # (1,10): overlap spans 7 buckets -> must appear exactly once
+    # (2,10): contained; (2,11): endpoints touch (closed intervals)
+    assert got == [(1, 10), (1, 11), (2, 10), (2, 11)]
+
+
+def test_interval_overlap_bucketed_plan_is_equi_join(spark):
+    """The large x large overlap strategy must plan as a hash/sort-merge
+    equi-join on the bucket id — never BroadcastNestedLoopJoin or a
+    cartesian product."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["events_overlap_join_bucketed"].build(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
