@@ -221,3 +221,101 @@ def test_exact_k_sample_is_take_ordered_not_global_sort(spark):
     plan = _formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan  # no full-width sort node
+
+
+def test_zorder_key_roundtrip_random(spark):
+    """De-interleaving the Morton key recovers both inputs exactly (the key
+    is information-preserving over the masked domain)."""
+    import random
+
+    from slr207_mapreduce_spark.plans.analytics_r4c import zorder_expr
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["a", "b"]).selectExpr(
+        "a", "b", f"{zorder_expr('a', 'b', bits=10)} AS z"
+    )
+    for r in df.collect():
+        z = r["z"]
+        a = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+        b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (a, b) == (r["a"], r["b"])
+
+
+def test_interval_overlap_bucketed_matches_bruteforce_random(spark):
+    """Random interval sets, several bucket widths: the bucketed join must
+    equal the brute-force O(n*m) overlap at every width (width only moves
+    cost, never results)."""
+    import datetime as dt
+    import random
+
+    from slr207_mapreduce_spark.operators.interval import (
+        interval_overlap_join_bucketed,
+    )
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, max_len_h):
+        out = []
+        for i in range(n):
+            s = base + dt.timedelta(hours=rng.randrange(0, 24 * 20))
+            e = s + dt.timedelta(minutes=rng.randrange(1, max_len_h * 60))
+            out.append((i, s, e))
+        return out
+
+    lrows, rrows = mk(40, 72), mk(40, 6)
+    expected = sorted(
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[1] <= r[2] and l[2] >= r[1]
+    )
+    left = spark.createDataFrame(lrows, ["lid", "ls", "le"])
+    right = spark.createDataFrame(rrows, ["rid", "rs", "re"])
+    for width in (3600, 86400, 7 * 86400):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join_bucketed(
+                left, right, "ls", "le", "rs", "re", bucket_seconds=width
+            ).collect()
+        )
+        assert got == expected, f"width={width}"
+
+
+def test_bfs_distances_match_bruteforce_random(spark):
+    """Random sparse graphs: frontier BFS must equal a Python BFS."""
+    import collections
+    import random
+
+    from slr207_mapreduce_spark.operators.graph import bfs_distances
+
+    rng = random.Random(29)
+    n, m = 60, 90
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    seeds = sorted(rng.sample(range(n), 3))
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+
+    e_df = spark.createDataFrame(edges, ["src", "dst"])
+    s_df = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e_df, s_df, max_hops=n).collect()
+    }
+    assert got == dist
