@@ -18,6 +18,18 @@ The assigned id equals the global rank in the total order REGARDLESS of
 where range-partition boundaries land, because offsets are computed from
 actual partition sizes — which is what makes the result deterministic and
 oracle-checkable while remaining fully parallel.
+
+CRITICAL: the sorted layout is frozen with an eager ``localCheckpoint``
+before the sizes pass. ``repartitionByRange`` derives its boundaries from
+a RANDOM sample whose seed is NOT stable across jobs, so without the
+freeze the sizes job and the id-assignment job can see DIFFERENT
+partition layouts — offsets then disagree with actual partition contents
+and ids silently collide. Small inputs mask the bug (the boundary sample
+covers every row, making boundaries deterministic), which is exactly why
+it survives tiny-SF gates and detonates at scale: observed at 60 k rows
+as 57 345 distinct ids out of 60 000. The checkpoint pins the result
+frame's blocks for the session; long-lived callers can free them after
+their terminal action via ``operators.graph.release_result``.
 """
 
 from __future__ import annotations
@@ -41,10 +53,14 @@ def assign_sequential_ids(
     names (ascending) or Column sort expressions (e.g. ``F.desc(...)``)."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     cols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
+    # eager checkpoint FREEZES the range-partitioned layout (module
+    # docstring: boundary sampling is not job-stable) so the sizes pass
+    # and the id pass read the same physical partitions
     sorted_df = (
         df.repartitionByRange(int(n), *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     sizes = {
         r["__pid"]: r["cnt"]  # Row.__pid would trip Row's dunder guard
@@ -86,10 +102,12 @@ def with_running_total(
     SUMS (not counts) prefix-summed on the driver."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     cols = [F.asc(c) for c in order_by]
+    # same layout-freeze as assign_sequential_ids (see module docstring)
     sorted_df = (
         df.repartitionByRange(int(n), *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     sums = {
         r["__pid"]: r["s"]

@@ -301,3 +301,69 @@ def events_overlap_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# --- equi-depth histogram ------------------------------------------------
+
+from slr207_mapreduce_spark.plans.analytics_r4c import _CENTS  # noqa: E402
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT {_CENTS} AS cents,
+             NTILE(10) OVER (ORDER BY {_CENTS} ASC, l_orderkey ASC, l_linenumber ASC)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM ranked GROUP BY bucket
+    """,
+    doc="Equi-DEPTH histogram (10 buckets of equal row count) of "
+    "l_extendedprice — the quantile-boundary profile range partitioning "
+    "and skew diagnosis actually need (equi-width tells you where the "
+    "mass is; equi-depth tells you where to CUT). The global rank comes "
+    "from the distributed two-pass zipWithIndex (operators/ids.py) — NOT "
+    "a single-partition NTILE window — and the bucket arithmetic is the "
+    "same exact integer expression as window_ntile; the final per-bucket "
+    "agg is one ordinary shuffle. Exact integer cents end to end.",
+    tags=("agg", "histogram", "profiling"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.ids import assign_sequential_ids
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.expr(_CENTS).alias("cents"), "l_orderkey", "l_linenumber"
+    )
+    ranked = assign_sequential_ids(
+        li,
+        order_by=[F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        id_col="__rk",
+    )
+    n_row = li.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.join(F.broadcast(n_row))
+        .select(
+            "cents",
+            (
+                F.expr(
+                    "CASE WHEN __rk < (__n % 10) * (__n div 10 + 1) "
+                    "THEN __rk div (__n div 10 + 1) "
+                    "ELSE (__n % 10) + (__rk - (__n % 10) * (__n div 10 + 1)) div (__n div 10) END"
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+        )
+    )

@@ -250,3 +250,65 @@ def test_count_min_sketch_guarantees_and_merge(spark):
     assert len(flags) == 3
     assert merged.exceptAll(globally).count() == 0
     assert globally.exceptAll(merged).count() == 0
+
+
+def test_sequential_ids_dense_at_nontrivial_scale(spark):
+    """Regression: repartitionByRange boundary sampling is not stable
+    across jobs, so without the layout freeze (eager localCheckpoint) the
+    sizes pass and the id pass could see different partition layouts and
+    ids silently collided (observed: 57 345 distinct of 60 000 on
+    lineitem). Small inputs mask the bug — this test runs at the input
+    size that exposed it."""
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.operators.graph import release_result
+    from slr207_mapreduce_spark.operators.ids import assign_sequential_ids
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, "lineitem", SF_CORRECT).select(
+        "l_orderkey", "l_linenumber"
+    )
+    r = assign_sequential_ids(
+        li, order_by=[F.asc("l_orderkey"), F.asc("l_linenumber")], id_col="rk"
+    )
+    [row] = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rk").alias("d"),
+        F.min("rk").alias("lo"),
+        F.max("rk").alias("hi"),
+    ).collect()
+    assert row["n"] == row["d"] == row["hi"] + 1 and row["lo"] == 0, row
+    # id order must agree with the requested total order
+    head = r.orderBy("rk").limit(5).collect()
+    assert [x["rk"] for x in head] == [0, 1, 2, 3, 4]
+    assert [(x["l_orderkey"], x["l_linenumber"]) for x in head] == sorted(
+        (x["l_orderkey"], x["l_linenumber"]) for x in head
+    )
+    release_result(r)
+
+
+def test_running_total_exact_at_nontrivial_scale(spark):
+    """Same regression for the prefix-sum sibling: the last row's exclusive
+    prefix + its value must equal the global sum, and every prefix must be
+    strictly increasing in the total order (positive values)."""
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.operators.graph import release_result
+    from slr207_mapreduce_spark.operators.ids import with_running_total
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, "lineitem", SF_CORRECT).select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q")
+    )
+    r = with_running_total(
+        li, order_by=["l_orderkey", "l_linenumber"], value_col="q", out_col="pre"
+    )
+    total = li.agg(F.sum("q")).collect()[0][0]
+    [last] = r.orderBy(F.desc("pre")).limit(1).collect()
+    assert last["pre"] + last["q"] == total
+    n_rows = li.count()
+    n_distinct = r.select("pre").distinct().count()
+    assert n_distinct == n_rows  # strictly increasing -> all prefixes unique
+    release_result(r)
