@@ -367,3 +367,57 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("hi_cents"),
         )
     )
+
+
+# --- weighted priority sample --------------------------------------------
+
+_WSAMPLE_U = (
+    "CAST(('0x' || substring(md5('s77|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+_WSAMPLE_W = "CASE WHEN lang = 'en' THEN 1 ELSE 5 END"
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ({_WSAMPLE_U}) // ({_WSAMPLE_W}) AS k
+      FROM documents
+    )
+    ORDER BY k, doc_id
+    LIMIT 100
+    """,
+    doc="Weighted priority sample (k=100, weights favor non-English docs "
+    "5:1): sequential-Poisson-style sampling with priority key "
+    "hash_uniform DIV weight — the k smallest keys win, so inclusion "
+    "probability scales ~linearly with weight. The DIV (integer floor "
+    "division, Spark `div` ≡ DuckDB `//`) keeps the key EXACT integer "
+    "arithmetic — no float u/w whose cross-engine last-bit rounding "
+    "could flip an ordering near the k-th boundary. Deterministic seed → "
+    "reproducible sample; plans as TakeOrderedAndProject like "
+    "pipeline_sample_exact_k (no global sort, no corpus shuffle). The "
+    "corpus-rebalancing sampler (upweight scarce languages/sources) in "
+    "one pass.",
+    tags=("pipeline", "sampling", "topk"),
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.functions.portable import portable_hash64
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            portable_hash64(F.col("doc_id").cast("string"), seed=77).alias("__u"),
+            F.expr(_WSAMPLE_W).cast("long").alias("__w"),
+        )
+        .select(
+            "doc_id", "lang", "source", F.expr("__u div __w").alias("k")
+        )
+        .orderBy(F.asc("k"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "source")
+    )

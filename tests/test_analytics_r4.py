@@ -172,3 +172,56 @@ def test_embedding_outliers_rank_shape(spark, qs):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         dists = [r["dist2_e12"] for r in rs]
         assert dists == sorted(dists, reverse=True)
+
+
+def test_histogram_invariants(spark):
+    """Equi-width: counts sum to N, bucket bounds respect the width grid.
+    Equi-depth: bucket sizes differ by at most 1 and cover N, and bucket
+    value ranges are non-overlapping and ordered."""
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    n = load_table(spark, "lineitem", SF_CORRECT).count()
+    specs = all_queries()
+
+    ew = specs["agg_histogram_equiwidth"].build(spark, SF_CORRECT).collect()
+    assert sum(r["cnt"] for r in ew) == n
+    assert all(r["lo_dollars"] == r["bucket"] * 10000 for r in ew)
+
+    ed = sorted(
+        specs["agg_histogram_equidepth"].build(spark, SF_CORRECT).collect(),
+        key=lambda r: r["bucket"],
+    )
+    sizes = [r["cnt"] for r in ed]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(ed, ed[1:]):
+        assert a["lo_cents"] <= a["hi_cents"] <= b["lo_cents"] <= b["hi_cents"]
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    """With 5:1 weights for non-English docs, the sample's non-English
+    share must exceed the corpus share (and plan as TakeOrdered, not a
+    global sort)."""
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    d = load_table(spark, "documents", SF_CORRECT)
+    n = d.count()
+    corpus_non_en = d.where(F.col("lang") != "en").count() / n
+
+    df = all_queries()["pipeline_weighted_sample"].build(spark, SF_CORRECT)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 100
+    sample_non_en = sum(1 for r in rows if r["lang"] != "en") / 100
+    assert sample_non_en > corpus_non_en, (sample_non_en, corpus_non_en)

@@ -75,6 +75,8 @@ def main() -> int:
         "stats_column_profile",
         "pipeline_integrity_audit",
         "embedding_random_projection",
+        "agg_histogram_equidepth",
+        "events_overlap_join_bucketed",
     ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
