@@ -100,3 +100,37 @@ def test_digest_functions_reference_vectors(spark):
     )
     # xxhash64 with Spark's fixed seed 42 — self-consistency across literals
     assert row.x == spark.sql("SELECT xxhash64('spark') AS x").collect()[0].x
+
+
+def test_query_results_invariant_under_parallelism(spark):
+    """The exactness contract, end-to-end: representative queries from the
+    fixed-point, iterative, hash, sampling, and hierarchical-agg families
+    must produce IDENTICAL rows under different shuffle-partition counts
+    (3 vs 17). This is the property that lets a 1000-executor run match
+    the oracle bit-for-bit — float folds, nondeterministic layouts, or
+    driver-loop leaks would all break it."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from tests.conftest import SF_SMOKE
+
+    names = [
+        "q1_pricing_summary",       # hierarchical int64-partial + DECIMAL merge
+        "dedup_minhash_lsh",        # hash banding
+        "graph_pagerank",           # iterative integer fixed point
+        "graph_bfs_distances",      # iterative frontier propagation
+        "agg_histogram_equidepth",  # distributed ntile over frozen layout
+        "pipeline_weighted_sample", # priority top-k
+    ]
+    specs = all_queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in names:
+                rows = specs[name].build(spark, SF_SMOKE).collect()
+                key = sorted(tuple(r) for r in rows)
+                results.setdefault(name, []).append(key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name}: results differ across parallelism"
