@@ -319,3 +319,29 @@ def test_bfs_distances_match_bruteforce_random(spark):
         for r in bfs_distances(e_df, s_df, max_hops=n).collect()
     }
     assert got == dist
+
+
+def test_write_zordered_sink_helper(spark, tmp_path):
+    """The first-class z-order sink produces the same tight-span layout the
+    inline recipe does, and round-trips all rows."""
+    from slr207_mapreduce_spark.sources.sinks import write_zordered
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", SF_SMOKE).select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    p = str(tmp_path / "li_zsink")
+    write_zordered(li, p, "l_partkey", "l_orderkey", n_files=8)
+    back = spark.read.parquet(p)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)  # helper column dropped
+    spans = (
+        back.groupBy(F.input_file_name())
+        .agg(
+            (F.max(F.col("l_partkey") % 1024) - F.min(F.col("l_partkey") % 1024)).alias("pa"),
+            (F.max(F.col("l_orderkey") % 1024) - F.min(F.col("l_orderkey") % 1024)).alias("pb"),
+        )
+        .agg(F.avg("pa").alias("pa"), F.avg("pb").alias("pb"))
+        .collect()[0]
+    )
+    assert spans["pa"] < 0.6 * 1023 and spans["pb"] < 0.6 * 1023, spans
