@@ -247,12 +247,19 @@ def main() -> int:
         spark = (
             SparkSession.builder.appName("check-vanilla")
             .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+            # the threaded gate runs several queries' broadcast builds
+            # concurrently in one JVM; the 1g default heap OOMs at sf0.1
+            .config("spark.driver.memory", "8g")
             .getOrCreate()
         )
     else:
         from slr207_mapreduce_spark.session import get_session
 
-        spark = get_session(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        spark = get_session(
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+            # see vanilla branch: concurrent broadcast builds need heap
+            extra_conf={"spark.driver.memory": "8g"},
+        )
 
     failed = []
     if args.workers <= 1:
