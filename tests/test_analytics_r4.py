@@ -225,3 +225,52 @@ def test_weighted_sample_biases_toward_heavy_weights(spark):
     assert len(rows) == 100
     sample_non_en = sum(1 for r in rows if r["lang"] != "en") / 100
     assert sample_non_en > corpus_non_en, (sample_non_en, corpus_non_en)
+
+
+def test_random_projection_preserves_similarity_structure(spark):
+    """The JL projection must be USEFUL, not merely exact: over sampled
+    vector pairs, projected cosine must correlate with original cosine.
+    At 64->16 dims the measured Pearson is ~0.41 on this corpus (JL
+    distortion scales ~sqrt(ln n / d)); the bar is set below that with
+    margin — it guards against a degenerate sign matrix (the original
+    LCG-style mix scored ~0.30), not against JL theory."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, "embeddings", SF_CORRECT)
+        .orderBy("vec_id")
+        .limit(60)
+        .collect()
+    }
+    proj = {
+        r["vec_id"]: [r[f"p{k}"] for k in range(16)]
+        for r in all_queries()["embedding_random_projection"]
+        .build(spark, SF_CORRECT)
+        .where(F.col("vec_id") < 60)
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den if den else 0.0
+
+    ids = sorted(orig)
+    xs, ys = [], []
+    for i in range(0, len(ids) - 1):
+        for j in range(i + 1, min(i + 6, len(ids))):  # banded pair sample
+            xs.append(cos(orig[ids[i]], orig[ids[j]]))
+            ys.append(cos(proj[ids[i]], proj[ids[j]]))
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    vy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    pearson = cov / (vx * vy)
+    assert pearson > 0.35, pearson
