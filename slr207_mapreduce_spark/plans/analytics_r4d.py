@@ -426,3 +426,105 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "lang", "source")
     )
+
+
+# --- JL shortlist + exact rerank ANN -------------------------------------
+
+from slr207_mapreduce_spark.operators.similarity import COSINE_SQL, cosine  # noqa: E402
+
+_JL_Q = 10       # query set: vec_id < 10 (matches the other knn_* queries)
+_JL_SHORT = 150  # shortlist size per query before exact rerank
+_JL_K = 5
+
+_JL_PROJ_CTE = "SELECT vec_id, " + ", ".join(
+    f"{_proj_sql(k)} AS p{k}" for k in range(_PROJ_DIM)
+) + " FROM embeddings"
+
+_JL_PDOT = " + ".join(f"q.p{k}*c.p{k}" for k in range(_PROJ_DIM))
+
+
+@register(
+    "knn_jl_rerank",
+    oracle=f"""
+    WITH proj AS ({_JL_PROJ_CTE}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_JL_PDOT} AS pdot
+      FROM proj q JOIN proj c
+        ON q.vec_id < {_JL_Q} AND q.vec_id <> c.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY pdot DESC, neighbor_id ASC) AS prank
+      FROM scored
+    ),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id,
+             {COSINE_SQL.format(a="q.embedding", b="c.embedding")} AS cos_sim
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+      WHERE s.prank <= {_JL_SHORT}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM ranked_src
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_JL_K}
+    """.replace("FROM ranked_src", "FROM rerank"),
+    doc="ANN top-5 via JL shortlist + exact rerank: score all candidates "
+    "against each query with the 16-dim INTEGER projected dot product "
+    "(4x cheaper than full-width, bit-exact in both engines), keep the "
+    "top-150 shortlist per query, then exact full-vector cosine rerank "
+    "inside the shortlist only. The projection-based two-tier ANN shape: "
+    "the cheap tier touches every candidate but in reduced width; the "
+    "exact tier touches 150 rows per query (~74% recall on this corpus, "
+    "whose near-random embeddings are the JL worst case — shortlist size "
+    "and projection width are the recall knobs). Recall vs knn_bruteforce "
+    "measured in tests/test_analytics_r4.py. At 100 TB the shortlist "
+    "tier composes with LSH/IVF bucketing (operators/similarity.py) so "
+    "even the cheap tier never scans all N.",
+    tags=("similarity", "projection"),
+)
+def knn_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    proj = embedding_random_projection(spark, sf_dir).drop("label")
+    q = proj.where(F.col("vec_id") < _JL_Q)
+    qn = q.select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"p{k}").alias(f"q{k}") for k in range(_PROJ_DIM)],
+    )
+    cn = proj.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"p{k}") for k in range(_PROJ_DIM)],
+    )
+    pdot = F.expr(" + ".join(f"q{k}*p{k}" for k in range(_PROJ_DIM)))
+    scored = (
+        cn.join(F.broadcast(qn), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", pdot.alias("pdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pdot"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("prank", F.row_number().over(w))
+        .where(F.col("prank") <= _JL_SHORT)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    rer = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= _JL_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

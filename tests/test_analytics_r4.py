@@ -274,3 +274,24 @@ def test_random_projection_preserves_similarity_structure(spark):
     vy = math.sqrt(sum((y - my) ** 2 for y in ys))
     pearson = cov / (vx * vy)
     assert pearson > 0.35, pearson
+
+
+def test_jl_rerank_recall_vs_bruteforce(spark):
+    """The two-tier JL shortlist + exact rerank must recover most of the
+    exact top-5 (shortlist=150 of N=500 at this SF; measured ~0.74 — this
+    corpus's near-random embeddings are the JL worst case, so the bar sits
+    below that with margin)."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from tests.conftest import SF_CORRECT
+
+    specs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["knn_bruteforce"].build(spark, SF_CORRECT).collect()
+    }
+    jl = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["knn_jl_rerank"].build(spark, SF_CORRECT).collect()
+    }
+    recall = len(exact & jl) / len(exact)
+    assert recall >= 0.6, recall
