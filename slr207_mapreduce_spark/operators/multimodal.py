@@ -6,12 +6,15 @@ frame-sample run as Arrow-batched pandas functions over ``mapInPandas`` —
 the only Spark-idiomatic shape for per-blob Python work (vectorized batch
 transfer, no per-row pickling, partition-parallel).
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so ``decode_image``/``decode_audio`` raise NotImplementedError
-unless PIL/soundfile are importable, and the tested path uses
-``fake_decode_features`` — a deterministic md5-derived feature extractor
-with the exact same Spark-side plumbing (schema, batching, partitioning).
-Swapping in a real codec changes only the inner python function.
+Codec status: PCM WAV is a REAL codec (encode_wav_pcm16/decode_wav_pcm16
+below — RIFF parsing with struct + numpy, no library needed; exercised
+end-to-end by the oracled multimodal_wav_roundtrip query). Library-bound
+formats (JPEG/MP3/MP4) stay gated: ``decode_image`` raises
+NotImplementedError unless PIL is importable, and their tested paths use
+``fake_decode_features`` — a deterministic md5-derived stand-in with the
+exact same Spark-side plumbing (schema, batching, partitioning). Swapping
+in a real library codec changes only the inner python function, as the
+WAV path demonstrates.
 """
 
 from __future__ import annotations
@@ -172,4 +175,104 @@ def frame_sample_stub(blob_df: DataFrame, every_n: int = 10) -> DataFrame:
             ),
         )
         .withColumn("frame_uri", F.concat(F.lit("frame://"), "doc_id", F.lit("#"), "frame_idx"))
+    )
+
+
+# --- REAL codec: PCM WAV (pure stdlib + numpy — no soundfile needed) -----
+#
+# The container lacks PIL/soundfile, but RIFF/WAVE PCM is a 44-byte header
+# over raw little-endian samples — fully decodable with struct + numpy. This
+# upgrades the audio path from "plumbing with a stubbed codec" to a REAL
+# byte-level encode → decode → feature pipeline: the registered query
+# synthesizes genuine WAV blobs, parses them back, and the DuckDB oracle
+# recomputes the features from the closed-form sample generator — any
+# header-layout or byte-order bug breaks the hash match.
+
+import struct
+
+
+def encode_wav_pcm16(samples, rate: int) -> bytes:
+    """Mono 16-bit PCM WAV bytes (RIFF little-endian) from an int16 array."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav_pcm16(payload: bytes):
+    """(sample_rate, int16 numpy array) from mono PCM WAV bytes; validates
+    the RIFF/fmt layout loudly instead of guessing."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (size, fmt_tag, channels, rate, _br, _ba, bits) = struct.unpack(
+        "<IHHIIHH", payload[16:36]
+    )
+    if (size, fmt_tag, channels, bits) != (16, 1, 1, 16):
+        raise ValueError(f"unsupported WAV layout: {(size, fmt_tag, channels, bits)}")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (n_bytes,) = struct.unpack("<I", payload[40:44])
+    return rate, np.frombuffer(payload[44 : 44 + n_bytes], dtype="<i2")
+
+
+def synth_wav_blobs(docs: DataFrame, rate: int = 8000) -> DataFrame:
+    """(doc_id, payload): real WAV bytes for the deterministic test signal
+    s_i = ((doc_id*31 + i*17) % 2048) - 1024 over n = 160 + doc_id % 41
+    samples — closed-form, so an SQL oracle can recompute every feature."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 160 + d % 41
+                i = np.arange(n, dtype="int64")
+                s = ((d * 31 + i * 17) % 2048) - 1024
+                out.append(encode_wav_pcm16(s.astype("<i2"), rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+
+def wav_features(blob_df: DataFrame) -> DataFrame:
+    """REAL decode: parse each WAV payload and emit exact integer features
+    (Arrow-batched mapInPandas, constant memory per batch)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"doc_id": [], "sample_rate": [], "n_samples": [], "peak_abs": [], "sum_abs": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav_pcm16(bytes(payload))
+                a = np.abs(s.astype("int64"))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["peak_abs"].append(int(a.max()) if len(a) else 0)
+                rows["sum_abs"].append(int(a.sum()))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=WAV_FEATURE_SCHEMA
     )

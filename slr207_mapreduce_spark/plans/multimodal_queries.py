@@ -151,3 +151,43 @@ def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    WITH samples AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 31 + t.i * 17) % 2048) - 1024 AS s
+      FROM documents d,
+           LATERAL (SELECT UNNEST(range(160 + d.doc_id % 41)) AS i) t
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs
+    FROM samples GROUP BY doc_id
+    """,
+    doc="REAL audio codec round-trip — no library stub: per document a "
+    "deterministic int16 signal is encoded to genuine RIFF/WAVE PCM bytes "
+    "(struct-packed 44-byte header + little-endian samples), then a "
+    "second Arrow-batched stage PARSES those bytes back (validating the "
+    "RIFF/fmt layout) and emits exact integer features. The oracle "
+    "recomputes the features from the closed-form generator, so any "
+    "header-layout, byte-order, or sample-width bug breaks the hash "
+    "match. This is the real shape of a 100 TB media pipeline: blobs "
+    "synthesized/ingested once, features extracted in constant-memory "
+    "batches, nothing but (doc_id, features) ever shuffled. Library "
+    "codecs (JPEG/MP3) stay gated on PIL/soundfile; PCM WAV needs "
+    "neither.",
+    tags=("multimodal", "codec"),
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        synth_wav_blobs,
+        wav_features,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return wav_features(synth_wav_blobs(d, rate=8000))

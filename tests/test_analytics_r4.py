@@ -295,3 +295,33 @@ def test_jl_rerank_recall_vs_bruteforce(spark):
     }
     recall = len(exact & jl) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_wav_codec_roundtrip_and_validation():
+    """Byte-level WAV codec: encode->decode is identity on samples+rate;
+    malformed payloads fail loudly instead of mis-parsing."""
+    import numpy as np
+    import pytest
+
+    from slr207_mapreduce_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345], dtype="<i2")
+    payload = encode_wav_pcm16(s, 16000)
+    rate, back = decode_wav_pcm16(payload)
+    assert rate == 16000
+    assert np.array_equal(back, s)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert len(payload) == 44 + 2 * len(s)
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"JUNK" + payload[4:])
+    with pytest.raises(ValueError):
+        # stereo header must be rejected (decoder only does mono PCM16)
+        import struct
+
+        bad = bytearray(payload)
+        bad[16:36] = struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        decode_wav_pcm16(bytes(bad))
