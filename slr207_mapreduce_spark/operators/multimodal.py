@@ -276,3 +276,127 @@ def wav_features(blob_df: DataFrame) -> DataFrame:
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=WAV_FEATURE_SCHEMA
     )
+
+
+# --- REAL codec: binary PPM (P6) images + integer nearest resize ---------
+
+
+def encode_ppm(img) -> bytes:
+    """P6 PPM bytes from an (h, w, 3) uint8 array — the simplest real
+    image container (ASCII header + raw RGB), needing no library."""
+    import numpy as np
+
+    a = np.asarray(img, dtype="uint8")
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("PPM P6 is RGB")
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """(h, w, 3) uint8 array from P6 PPM bytes; validates the header.
+
+    The header must be parsed positionally: exactly ONE whitespace byte
+    follows maxval, and the raw RGB stream may well BEGIN with bytes that
+    look like whitespace (0x20, 0x0a, ...) — a split()-based parse eats
+    those pixels (the classic PPM decoder bug; caught by the oracle)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields = []
+    for _ in range(3):
+        while payload[pos : pos + 1] in (b" ", b"\t", b"\r", b"\n"):
+            pos += 1
+        start = pos
+        while payload[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n", b""):
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raw = payload[pos + 1 :]  # exactly one whitespace byte after maxval
+    a = np.frombuffer(raw[: w * h * 3], dtype="uint8")
+    if a.size != w * h * 3:
+        raise ValueError("truncated pixel data")
+    return a.reshape(h, w, 3)
+
+
+def resize_nearest_fit(img, target: int):
+    """REAL aspect-preserving nearest-neighbor resize, all-integer
+    arithmetic: out = max(1, dim*target // max(w,h)); source index for
+    output (i, j) is ((i*h) // oh, (j*w) // ow) — exactly reproducible in
+    SQL with integer division, which is what makes the resize itself
+    oracle-checkable (not just its geometry)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    m = max(w, h)
+    ow, oh = max(1, w * target // m), max(1, h * target // m)
+    yi = (np.arange(oh, dtype="int64") * h) // oh
+    xi = (np.arange(ow, dtype="int64") * w) // ow
+    return img[yi][:, xi]
+
+
+def synth_ppm_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real P6 bytes for the deterministic test image
+    w = 8 + doc_id % 9, h = 6 + doc_id % 7,
+    rgb(x, y) = ((doc_id + 7*p) % 256, (doc_id*3 + 5*p) % 256,
+                 (doc_id*5 + 11*p) % 256) with p = y*w + x."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 6 + d % 7
+                p = np.arange(h * w, dtype="int64")
+                img = np.stack(
+                    [(d + 7 * p) % 256, (d * 3 + 5 * p) % 256, (d * 5 + 11 * p) % 256],
+                    axis=1,
+                ).reshape(h, w, 3)
+                out.append(encode_ppm(img.astype("uint8")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+PPM_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def ppm_resize_features(blob_df: DataFrame, target: int = 4) -> DataFrame:
+    """REAL decode + REAL resize: parse each P6 payload, nearest-fit it to
+    ``target``, emit exact per-channel sums over the resized pixels."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_RESIZE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                small = resize_nearest_fit(img, target).astype("int64")
+                rows["doc_id"].append(doc_id)
+                rows["out_h"].append(small.shape[0])
+                rows["out_w"].append(small.shape[1])
+                rows["sum_r"].append(int(small[:, :, 0].sum()))
+                rows["sum_g"].append(int(small[:, :, 1].sum()))
+                rows["sum_b"].append(int(small[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=PPM_RESIZE_SCHEMA
+    )

@@ -191,3 +191,49 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return wav_features(synth_wav_blobs(d, rate=8000))
+
+
+@register(
+    "multimodal_ppm_resize_roundtrip",
+    oracle="""
+    WITH od AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+             GREATEST(1, ((8 + doc_id % 9) * 4) // GREATEST(8 + doc_id % 9, 6 + doc_id % 7)) AS ow,
+             GREATEST(1, ((6 + doc_id % 7) * 4) // GREATEST(8 + doc_id % 9, 6 + doc_id % 7)) AS oh
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, ow, oh,
+             ((ti.i * h) // oh) * w + ((tj.j * w) // ow) AS p
+      FROM od,
+           LATERAL (SELECT UNNEST(range(oh)) AS i) ti,
+           LATERAL (SELECT UNNEST(range(ow)) AS j) tj
+    )
+    SELECT doc_id,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           CAST(SUM((doc_id + 7 * p) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 3 + 5 * p) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 5 + 11 * p) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, ow, oh
+    """,
+    doc="REAL image codec round-trip with a REAL resize: per document a "
+    "deterministic RGB image is encoded to genuine P6 PPM bytes (ASCII "
+    "header + raw RGB — no library), parsed back with header validation, "
+    "nearest-neighbor fit-resized to 4px with ALL-INTEGER index "
+    "arithmetic (src = (i*h)//oh), and reduced to exact per-channel "
+    "sums. The oracle replays the pixel generator AND the same integer "
+    "resize indexing in SQL — so the header layout, the row-major pixel "
+    "order, and the resize sampling are all hash-checked, not just the "
+    "plumbing geometry. Complements multimodal_resize (the md5-stub "
+    "geometry path for library-bound formats).",
+    tags=("multimodal", "codec"),
+)
+def multimodal_ppm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        ppm_resize_features,
+        synth_ppm_blobs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return ppm_resize_features(synth_ppm_blobs(d), target=4)

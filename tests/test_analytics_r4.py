@@ -325,3 +325,32 @@ def test_wav_codec_roundtrip_and_validation():
         bad = bytearray(payload)
         bad[16:36] = struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
         decode_wav_pcm16(bytes(bad))
+
+
+def test_ppm_codec_roundtrip_including_whitespace_pixels():
+    """P6 round-trip is identity — including images whose FIRST pixel bytes
+    are whitespace values (0x20/0x0a), the case a split()-based header
+    parse silently corrupts."""
+    import numpy as np
+    import pytest
+
+    from slr207_mapreduce_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest_fit,
+    )
+
+    img = np.zeros((3, 4, 3), dtype="uint8")
+    img[0, 0] = (0x20, 0x0A, 0x0D)  # whitespace-valued leading pixels
+    img[2, 3] = (255, 1, 128)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n4 3\n255\n" + b"\x00" * 36)
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(img)[:-5])  # truncated pixel data
+
+    # integer nearest fit: 4x3 -> target 2 gives 2x1 (w*2//4, h*2//4)
+    small = resize_nearest_fit(img, 2)
+    assert small.shape == (1, 2, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
