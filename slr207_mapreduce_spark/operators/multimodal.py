@@ -400,3 +400,110 @@ def ppm_resize_features(blob_df: DataFrame, target: int = 4) -> DataFrame:
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=PPM_RESIZE_SCHEMA
     )
+
+
+# --- REAL container: length-prefixed PPM frame stream (video path) -------
+#
+# No video library exists in this container, but the video PIPELINE shape —
+# parse a multi-frame byte stream, sample every Nth frame, decode sampled
+# frames only — is fully exercisable over a real (if simple) container:
+# b"RAWV" + u32 frame count + per-frame (u32 length, P6 PPM bytes). The
+# decoder seeks frame boundaries from the length prefixes, so sampling
+# skips the bytes of unsampled frames exactly as a real demuxer would.
+
+
+def encode_frame_stream(frames) -> bytes:
+    """Container bytes from a list of (h, w, 3) uint8 frames."""
+    parts = [b"RAWV", struct.pack("<I", len(frames))]
+    for f in frames:
+        ppm = encode_ppm(f)
+        parts.append(struct.pack("<I", len(ppm)))
+        parts.append(ppm)
+    return b"".join(parts)
+
+
+def iter_sampled_frames(payload: bytes, every_n: int):
+    """Yield (frame_idx, decoded frame) for frames 0, every_n, 2*every_n…;
+    unsampled frames are SKIPPED by their length prefix, never decoded."""
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV frame stream")
+    (n_frames,) = struct.unpack("<I", payload[4:8])
+    pos = 8
+    for idx in range(n_frames):
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        if idx % every_n == 0:
+            yield idx, decode_ppm(payload[pos : pos + ln])
+        pos += ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+
+
+def synth_video_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real frame-stream bytes. Deterministic fixture:
+    n_frames = 5 + doc_id % 6; frame f is a (4+f%3) x 3 image with
+    rgb(p) = ((doc_id + f + 2*p) % 256, (doc_id*2 + f + 3*p) % 256,
+    (doc_id*3 + f + 5*p) % 256), p row-major."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = []
+                for f in range(5 + d % 6):
+                    w, h = 4 + f % 3, 3
+                    p = np.arange(h * w, dtype="int64")
+                    img = np.stack(
+                        [
+                            (d + f + 2 * p) % 256,
+                            (d * 2 + f + 3 * p) % 256,
+                            (d * 3 + f + 5 * p) % 256,
+                        ],
+                        axis=1,
+                    ).reshape(h, w, 3)
+                    frames.append(img.astype("uint8"))
+                out.append(encode_frame_stream(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_w", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def sampled_frame_features(blob_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Parse each frame stream, decode every Nth frame ONLY, emit exact
+    per-frame channel sums — fan-out rows like a real frame extractor."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FRAME_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, img in iter_sampled_frames(bytes(payload), every_n):
+                    a = img.astype("int64")
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_w"].append(img.shape[1])
+                    rows["sum_r"].append(int(a[:, :, 0].sum()))
+                    rows["sum_g"].append(int(a[:, :, 1].sum()))
+                    rows["sum_b"].append(int(a[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=FRAME_FEATURE_SCHEMA
+    )

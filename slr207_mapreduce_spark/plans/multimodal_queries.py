@@ -237,3 +237,48 @@ def multimodal_ppm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
     d = load_table(spark, "documents", sf_dir)
     return ppm_resize_features(synth_ppm_blobs(d), target=4)
+
+
+@register(
+    "multimodal_video_frame_sample_roundtrip",
+    oracle="""
+    WITH frames AS (
+      SELECT d.doc_id, tf.f,
+             4 + tf.f % 3 AS w
+      FROM documents d,
+           LATERAL (SELECT UNNEST(range(5 + d.doc_id % 6)) AS f) tf
+      WHERE tf.f % 2 = 0
+    ),
+    px AS (
+      SELECT doc_id, f, w, tp.p
+      FROM frames,
+           LATERAL (SELECT UNNEST(range(3 * w)) AS p) tp
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(w AS INT) AS frame_w,
+           CAST(SUM((doc_id + f + 2 * p) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 2 + f + 3 * p) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 3 + f + 5 * p) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, f, w
+    """,
+    doc="REAL video-pipeline shape — parse a multi-frame byte container "
+    "(RAWV: u32 frame count + length-prefixed P6 frames), SEEK past "
+    "unsampled frames via the length prefixes exactly as a demuxer does, "
+    "decode every 2nd frame only, and fan out one feature row per "
+    "sampled frame (exact per-channel sums). The oracle replays the "
+    "frame/pixel generators in SQL, so container framing, frame "
+    "sampling, and per-frame decode are all hash-checked. Complements "
+    "multimodal_frame_sample (the stub-codec index-fanout path).",
+    tags=("multimodal", "codec"),
+)
+def multimodal_video_frame_sample_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        sampled_frame_features,
+        synth_video_blobs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return sampled_frame_features(synth_video_blobs(d), every_n=2)

@@ -354,3 +354,28 @@ def test_ppm_codec_roundtrip_including_whitespace_pixels():
     small = resize_nearest_fit(img, 2)
     assert small.shape == (1, 2, 3)
     assert np.array_equal(small[0, 0], img[0, 0])
+
+
+def test_frame_stream_container_seeks_and_validates():
+    """The frame-stream demux decodes only sampled frames, seeks others by
+    length prefix, and rejects malformed containers."""
+    import numpy as np
+    import pytest
+
+    from slr207_mapreduce_spark.operators.multimodal import (
+        encode_frame_stream,
+        iter_sampled_frames,
+    )
+
+    frames = [
+        np.full((2, 3, 3), i * 10, dtype="uint8") for i in range(5)
+    ]
+    payload = encode_frame_stream(frames)
+    got = list(iter_sampled_frames(payload, every_n=2))
+    assert [i for i, _ in got] == [0, 2, 4]
+    for i, img in got:
+        assert np.array_equal(img, frames[i])
+    with pytest.raises(ValueError):
+        list(iter_sampled_frames(b"XXXX" + payload[4:], 2))
+    with pytest.raises(ValueError):
+        list(iter_sampled_frames(payload + b"\x00", 2))  # trailing bytes
