@@ -528,3 +528,62 @@ def knn_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _JL_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# --- JSON ingest with quarantine -----------------------------------------
+
+# Deterministic fixture: every 13th row's JSON is truncated to 10 chars —
+# guaranteed invalid (no closing brace) — modeling the corrupt-record
+# fraction of a real JSON-lines ingest.
+_JSON_BUILD = (
+    "concat('{\"id\": ', CAST(doc_id AS VARCHAR), ', \"lang\": \"', lang, "
+    "'\", \"n\": ', CAST(n_chars AS VARCHAR), '}')"
+)
+
+
+@register(
+    "pipeline_json_ingest_quarantine",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN substring({_JSON_BUILD}, 1, 10)
+                  ELSE {_JSON_BUILD} END AS js
+      FROM documents
+    )
+    SELECT doc_id,
+           NOT json_valid(js) AS is_quarantined,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract(js, '$.id') AS BIGINT) END AS id_parsed,
+           CASE WHEN json_valid(js)
+                THEN json_extract_string(js, '$.lang') END AS lang_parsed,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract(js, '$.n') AS BIGINT) END AS n_parsed
+    FROM raw
+    """,
+    doc="JSON-lines ingest with corrupt-record quarantine: parse a JSON "
+    "column against a schema in PERMISSIVE mode, route unparseable rows "
+    "to a quarantine flag with NULL fields instead of failing the job — "
+    "the standard resilient-ingest shape for web-scraped corpora where "
+    "some fraction of records is always malformed. Spark: from_json "
+    "(null struct on corrupt input); oracle: json_valid + json_extract. "
+    "Pure projection, zero shuffle, codegen JSON parsing JVM-side.",
+    tags=("pipeline", "json", "ingest"),
+)
+def pipeline_json_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    jb = _JSON_BUILD.replace("AS VARCHAR", "AS STRING")  # Spark spells it STRING
+    js = F.expr(
+        f"CASE WHEN doc_id % 13 = 0 THEN substring({jb}, 1, 10) ELSE {jb} END"
+    )
+    parsed = F.from_json(js, "id BIGINT, lang STRING, n BIGINT")
+    return d.select(
+        "doc_id",
+        parsed.alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.id").isNull().alias("is_quarantined"),
+        F.col("p.id").alias("id_parsed"),
+        F.when(F.col("p.id").isNotNull(), F.col("p.lang")).alias("lang_parsed"),
+        F.col("p.n").alias("n_parsed"),
+    )
