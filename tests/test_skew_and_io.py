@@ -223,3 +223,25 @@ def test_bucketed_band_table_joins_without_corpus_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_corpus_bands")
         spark.sql("DROP TABLE IF EXISTS b_batch_bands")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Corpus drops evolve: a later batch adds a column. mergeSchema reads
+    the union schema with NULLs for the old files — the append-only
+    evolution contract a long-lived 100 TB table needs."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", SF_SMOKE).select("doc_id", "lang")
+    p = str(tmp_path / "evolving")
+    d.where(F.col("doc_id") % 2 == 0).write.parquet(p)
+    (
+        d.where(F.col("doc_id") % 2 == 1)
+        .withColumn("quality_v2", (F.col("doc_id") % 100).cast("double"))
+        .write.mode("append").parquet(p)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"doc_id", "lang", "quality_v2"}
+    assert merged.count() == d.count()
+    # old-batch rows surface NULL for the new column; new-batch rows don't
+    nulls = merged.where(F.col("quality_v2").isNull()).count()
+    assert nulls == d.where(F.col("doc_id") % 2 == 0).count()
