@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
@@ -586,4 +587,60 @@ def pipeline_json_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("p.id").alias("id_parsed"),
         F.when(F.col("p.id").isNotNull(), F.col("p.lang")).alias("lang_parsed"),
         F.col("p.n").alias("n_parsed"),
+    )
+
+
+# --- Unicode NFC normalization -------------------------------------------
+
+import pandas as _pd  # noqa: E402
+
+
+@F.pandas_udf(StringType())
+def _nfc_udf(col: _pd.Series) -> _pd.Series:
+    # module-level definition: get_type_hints must resolve the (stringified,
+    # future-annotations) signature against module globals
+    import unicodedata
+
+    return col.map(lambda s: unicodedata.normalize("NFC", s))
+
+
+
+@register(
+    "text_unicode_nfc",
+    oracle="""
+    WITH decorated AS (
+      SELECT doc_id,
+             substring(text, 1, 8) || 'e' || chr(769) || 'A' || chr(768) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(s) AS nfc,
+           CAST(length(s) AS BIGINT) AS len_before,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS len_after,
+           (nfc_normalize(s) <> s) AS changed
+    FROM decorated
+    """,
+    doc="Unicode NFC normalization — the canonical-composition pass a "
+    "dedup pipeline MUST run before hashing (the same text with composed "
+    "vs combining-mark code points hashes differently and silently "
+    "defeats exact dedup). Spark lacks a built-in normalizer, so this is "
+    "a deliberate Arrow-batched pandas UDF over Python's unicodedata; "
+    "the oracle is DuckDB's native nfc_normalize — two independent "
+    "Unicode implementations agreeing byte-for-byte is the point of the "
+    "check. The fixture appends combining sequences (e+U+0301, A+U+0300) "
+    "so every row exercises real composition, not ASCII identity.",
+    tags=("text", "unicode", "udf"),
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nfc = _nfc_udf
+    d = load_table(spark, "documents", sf_dir)
+    s = F.concat(
+        F.substring("text", 1, 8), F.lit("é"), F.lit("À")
+    )
+    return d.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        nfc(F.col("s")).alias("nfc"),
+        F.length("s").cast("long").alias("len_before"),
+        F.length(nfc(F.col("s"))).cast("long").alias("len_after"),
+        (nfc(F.col("s")) != F.col("s")).alias("changed"),
     )
