@@ -345,3 +345,40 @@ def test_write_zordered_sink_helper(spark, tmp_path):
         .collect()[0]
     )
     assert spans["pa"] < 0.6 * 1023 and spans["pb"] < 0.6 * 1023, spans
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must merge undersized shuffle partitions at runtime: a tiny
+    aggregate shuffled across many partitions should execute with far
+    fewer post-shuffle tasks (AQEShuffleRead coalesced) — at 100 TB this
+    is what keeps reducer counts tracking data volume, not a static conf."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        df = (
+            spark.range(0, 10_000)
+            .groupBy((F.col("id") % 50).alias("k"))
+            .agg(F.sum("id").alias("s"))
+        )
+        rows = df.collect()
+        assert len(rows) == 50
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in final_plan and "coalesced" in final_plan, final_plan
+        # the runtime partition count must be far below the static 200
+        n_parts = df.rdd.getNumPartitions()
+        assert n_parts < 20, n_parts
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
