@@ -644,3 +644,50 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(nfc(F.col("s"))).cast("long").alias("len_after"),
         (nfc(F.col("s")) != F.col("s")).alias("changed"),
     )
+
+
+# --- CSV ingest with per-field quarantine --------------------------------
+
+
+@register(
+    "pipeline_csv_ingest_quarantine",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CAST(doc_id AS VARCHAR) || ',' || lang || ',' ||
+             CASE WHEN doc_id % 11 = 0 THEN 'not-a-number'
+                  ELSE CAST(n_chars AS VARCHAR) END AS line
+      FROM documents
+    )
+    SELECT doc_id,
+           string_split(line, ',')[1] IS NOT NULL
+             AND TRY_CAST(string_split(line, ',')[3] AS BIGINT) IS NULL
+             AS bad_n_field,
+           TRY_CAST(string_split(line, ',')[1] AS BIGINT) AS id_parsed,
+           string_split(line, ',')[2] AS lang_parsed,
+           TRY_CAST(string_split(line, ',')[3] AS BIGINT) AS n_parsed
+    FROM raw
+    """,
+    doc="CSV-lines ingest with per-FIELD quarantine: from_csv in "
+    "PERMISSIVE mode nulls only the malformed column (here a non-numeric "
+    "value in a BIGINT field on every 11th row) while the row's other "
+    "fields survive — the CSV sibling of the JSON corrupt-record path "
+    "(there the whole record dies; here the damage is column-local). "
+    "Oracle: string_split + TRY_CAST. Pure projection, zero shuffle.",
+    tags=("pipeline", "csv", "ingest"),
+)
+def pipeline_csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    line = F.expr(
+        "concat(CAST(doc_id AS STRING), ',', lang, ',', "
+        "CASE WHEN doc_id % 11 = 0 THEN 'not-a-number' "
+        "ELSE CAST(n_chars AS STRING) END)"
+    )
+    parsed = F.from_csv(line, "id BIGINT, lang STRING, n BIGINT")
+    return d.select("doc_id", parsed.alias("p")).select(
+        "doc_id",
+        (F.col("p.id").isNotNull() & F.col("p.n").isNull()).alias("bad_n_field"),
+        F.col("p.id").alias("id_parsed"),
+        F.col("p.lang").alias("lang_parsed"),
+        F.col("p.n").alias("n_parsed"),
+    )
