@@ -282,3 +282,50 @@ def multimodal_video_frame_sample_roundtrip(
 
     d = load_table(spark, "documents", sf_dir)
     return sampled_frame_features(synth_video_blobs(d), every_n=2)
+
+
+@register(
+    "multimodal_cross_modal_join",
+    oracle="""
+    WITH audio AS (
+      SELECT d.doc_id,
+             SUM(ABS(((d.doc_id * 31 + t.i * 17) % 2048) - 1024)) AS sum_abs,
+             COUNT(*) AS n_samples
+      FROM documents d,
+           LATERAL (SELECT UNNEST(range(160 + d.doc_id % 41)) AS i) t
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(a.n_samples AS BIGINT) AS n_samples,
+           CAST((a.sum_abs * 1000) // a.n_samples AS BIGINT) AS mean_abs_e3
+    FROM documents d JOIN audio a ON a.doc_id = d.doc_id
+    """,
+    doc="Cross-modal join: per-document audio features (decoded from the "
+    "REAL WAV blobs by wav_features) joined back to the text-side "
+    "metadata on doc_id — the alignment step of any text+audio training "
+    "pipeline. The join key is the document id, so with both sides "
+    "bucketed by doc_id this is the zero-shuffle co-located pattern from "
+    "tests/test_skew_and_io.py; mean loudness is integer fixed-point "
+    "(sum_abs*1000 div n) to stay bit-exact.",
+    tags=("multimodal", "join"),
+)
+def multimodal_cross_modal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        synth_wav_blobs,
+        wav_features,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    audio = wav_features(synth_wav_blobs(d, rate=8000))
+    return (
+        d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(audio.select("doc_id", "n_samples", "sum_abs"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_samples",
+            F.expr("(sum_abs * 1000) div n_samples").alias("mean_abs_e3"),
+        )
+    )
