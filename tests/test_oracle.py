@@ -60,3 +60,16 @@ def test_driver_sample_rotation():
                 prior |= set(json.load(f))
     if prior:
         assert sum(1 for n in first50 if n not in prior) >= 40
+
+
+def test_bench_queries_are_registered_and_oracled():
+    """Every headline bench query must exist in the registry and carry a
+    full DuckDB oracle — the bench set is the most-audited surface."""
+    import bench
+
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    specs = all_queries()
+    for name in bench.BENCH_QUERIES:
+        assert name in specs, name
+        assert specs[name].oracle is not None, name
