@@ -483,3 +483,49 @@ def test_event_type_counts_update_logic_without_state_server():
         )
     )
     assert dict(zip(out3[0]["event_type"], out3[0]["n_events"]))["click"] == 4
+
+
+def test_streaming_json_quarantine_matches_batch(spark, tmp_path):
+    """The JSON corrupt-record quarantine runs unchanged as a streaming
+    projection: a readStream over JSON-lines text files (every 13th record
+    truncated, as in pipeline_json_ingest_quarantine) must produce exactly
+    the batch result — stateless ops are batch/stream portable by
+    construction."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from slr207_mapreduce_spark.streaming.ops import run_to_memory
+
+    d = str(tmp_path / "jsonl")
+    import os
+
+    os.makedirs(d)
+    # two micro-batch files of deterministic JSON lines
+    for fidx in range(2):
+        with open(os.path.join(d, f"part{fidx}.txt"), "w") as f:
+            for i in range(fidx * 50, fidx * 50 + 50):
+                js = json.dumps({"id": i, "lang": "en", "n": i * 3})
+                f.write((js[:10] if i % 13 == 0 else js) + "\n")
+
+    def quarantine(df):
+        parsed = F.from_json(F.col("value"), "id BIGINT, lang STRING, n BIGINT")
+        return df.select(parsed.alias("p")).select(
+            F.col("p.id").alias("id_parsed"),
+            F.col("p.n").alias("n_parsed"),
+            F.col("p.id").isNull().alias("is_quarantined"),
+        )
+
+    stream = spark.readStream.option("maxFilesPerTrigger", "1").text(d)
+    got = sorted(
+        ((r["id_parsed"], r["n_parsed"], r["is_quarantined"])
+         for r in run_to_memory(quarantine(stream), "t_jsonq").collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1] or 0),
+    )
+    batch = sorted(
+        ((r["id_parsed"], r["n_parsed"], r["is_quarantined"])
+         for r in quarantine(spark.read.text(d)).collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1] or 0),
+    )
+    assert got == batch
+    assert sum(1 for _, _, q in got if q) == len([i for i in range(100) if i % 13 == 0])
