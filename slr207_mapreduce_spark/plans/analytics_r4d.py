@@ -691,3 +691,68 @@ def pipeline_csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("p.lang").alias("lang_parsed"),
         F.col("p.n").alias("n_parsed"),
     )
+
+
+# --- vocabulary coverage / OOV rate --------------------------------------
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tt AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS tf,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS r
+        FROM tt GROUP BY term
+      ) WHERE r <= 200
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov,
+           CAST((COUNT(*) FILTER (WHERE v.term IS NULL)) * 1000000 // COUNT(*)
+                AS BIGINT) AS oov_rate_e6
+    FROM tt t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+    """,
+    doc="Per-document out-of-vocabulary rate against the corpus's own "
+    "top-200 term vocabulary (deterministic count-desc/term-asc cut) — "
+    "the tokenizer-coverage QA every corpus drop runs before training "
+    "(high OOV flags garbled text, wrong language, or a stale vocab). "
+    "Vocabulary is a TakeOrdered top-K broadcast into a left join; the "
+    "rate is integer fixed-point (×1e6 floor-div) so the check is "
+    "bit-strict. Two aggregations + one broadcast join; token rows "
+    "shuffle once on term and once on doc_id.",
+    tags=("text", "vocab", "qa"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
+        F.length("term") > 0
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(200)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) div n_tokens").alias("oov_rate_e6"),
+        )
+    )
