@@ -756,3 +756,73 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_oov * 1000000) div n_tokens").alias("oov_rate_e6"),
         )
     )
+
+
+# --- profile drift between snapshots -------------------------------------
+
+
+def _slice_profile_sql(pred: str, label: str) -> str:
+    return f"""
+    SELECT '{label}' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS en_share_e6
+    FROM documents WHERE {pred}
+    """
+
+
+@register(
+    "stats_profile_drift",
+    oracle=f"""
+    WITH a AS ({_slice_profile_sql("doc_id % 2 = 0", "base")}),
+    b AS ({_slice_profile_sql("doc_id % 2 = 1", "candidate")})
+    SELECT a.n_docs AS base_docs, b.n_docs AS cand_docs,
+           b.n_docs - a.n_docs AS docs_delta,
+           b.total_chars - a.total_chars AS chars_delta,
+           b.en_share_e6 - a.en_share_e6 AS en_share_delta_e6,
+           (ABS(b.en_share_e6 - a.en_share_e6) > 50000) AS drift_alarm
+    FROM a, b
+    """,
+    doc="Snapshot drift detection: profile two corpus slices (stand-ins "
+    "for yesterday's and today's drops) with the same single-pass "
+    "metrics, join the two 1-row profiles, and emit deltas plus a "
+    "threshold alarm (en-share moving >5% flags an ingestion mix "
+    "change). The distribution-shift gate a production pipeline runs "
+    "between snapshot publishes; shares are integer fixed-point so the "
+    "alarm predicate is bit-deterministic. Each profile is one "
+    "partial-aggregable pass; the final join is 1×1.",
+    tags=("stats", "profiling", "drift"),
+)
+def stats_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+
+    def prof(pred):
+        return d.where(pred).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.expr(
+                "(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000) div count(1)"
+            ).alias("en_share_e6"),
+        )
+
+    a = prof(F.col("doc_id") % 2 == 0).select(
+        F.col("n_docs").alias("base_docs"),
+        F.col("total_chars").alias("a_chars"),
+        F.col("en_share_e6").alias("a_en"),
+    )
+    b = prof(F.col("doc_id") % 2 == 1).select(
+        F.col("n_docs").alias("cand_docs"),
+        F.col("total_chars").alias("b_chars"),
+        F.col("en_share_e6").alias("b_en"),
+    )
+    return a.crossJoin(b).select(
+        "base_docs",
+        "cand_docs",
+        (F.col("cand_docs") - F.col("base_docs")).alias("docs_delta"),
+        (F.col("b_chars") - F.col("a_chars")).alias("chars_delta"),
+        (F.col("b_en") - F.col("a_en")).alias("en_share_delta_e6"),
+        (F.abs(F.col("b_en") - F.col("a_en")) > 50000).alias("drift_alarm"),
+    )
