@@ -138,7 +138,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
         .distinct()
     )
-    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     # total order key (deg, node) packed into one long: deg << 32 | node
     deg = (
         e.select(F.col("a").alias("node"))
@@ -152,11 +151,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.withColumnRenamed("node", "b").withColumnRenamed("okey", "kb"), "b")
     )
     # orient low-(deg,id) -> high; carry the dst's order key for wedge order
+    # materialize the oriented edge list ONCE: it feeds n_edges, both
+    # wedge sides, and the closing probe — unpinned, each reuse would
+    # re-run the lineitem self-join + distinct + degree joins (audited as
+    # 30+ shuffles before this checkpoint). The result frame keeps the
+    # blocks pinned; callers may free them via graph.release_result.
     o = keyed.select(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.greatest("ka", "kb").alias("kdst"),
-    )
+    ).localCheckpoint(eager=True)
+    # |oriented| == |undirected|: count it off the materialized frame
+    n_edges = o.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     wedges = (
         o.alias("e1")
         .join(o.alias("e2"), F.col("e2.src") == F.col("e1.src"))

@@ -77,6 +77,12 @@ def main() -> int:
         "embedding_random_projection",
         "agg_histogram_equidepth",
         "events_overlap_join_bucketed",
+        "pipeline_weighted_sample",
+        "pipeline_json_ingest_quarantine",
+        "pipeline_csv_ingest_quarantine",
+        "text_oov_rate",
+        "stats_profile_drift",
+        "knn_jl_rerank",
     ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
