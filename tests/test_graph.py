@@ -221,3 +221,25 @@ def test_bfs_releases_round_checkpoints(spark):
     leaked = _pinned_rdd_ids(spark.sparkContext) - before
     assert len(leaked) <= 1  # at most the result frame's own checkpoint
     release_result(res)
+
+
+def test_checkpointing_queries_pin_only_their_result(spark):
+    """Queries that materialize an internal frame (triangle counter's
+    oriented edge list, equi-depth histogram's sorted layout) may keep at
+    most that one materialization pinned per invocation, and
+    release_result must free it."""
+    from tests.conftest import SF_CORRECT
+    from slr207_mapreduce_spark.operators.graph import release_result
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    specs = all_queries()
+    for name in ("graph_triangle_count", "agg_histogram_equidepth"):
+        before = _pinned_rdd_ids(spark.sparkContext)
+        df = specs[name].build(spark, SF_CORRECT)
+        df.write.mode("overwrite").format("noop").save()
+        leaked = _pinned_rdd_ids(spark.sparkContext) - before
+        assert len(leaked) <= 2, (name, leaked)
+        release_result(df)
+        still = _pinned_rdd_ids(spark.sparkContext) - before
+        # release frees every LogicalRDD leaf the result frame owns
+        assert len(still) < max(1, len(leaked)) or not leaked, (name, still)
