@@ -826,3 +826,47 @@ def stats_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b_en") - F.col("a_en")).alias("en_share_delta_e6"),
         (F.abs(F.col("b_en") - F.col("a_en")) > 50000).alias("drift_alarm"),
     )
+
+
+# --- deterministic exact mode --------------------------------------------
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH vc AS (
+      SELECT l_returnflag, l_quantity AS v, COUNT(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+      SELECT l_returnflag, v, c,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, v ASC) AS r
+      FROM vc
+    )
+    SELECT l_returnflag,
+           v AS mode_quantity,
+           CAST(c AS BIGINT) AS mode_count
+    FROM ranked WHERE r = 1
+    """,
+    doc="Exact per-group mode with a DETERMINISTIC tie-break (count desc, "
+    "value asc) — the built-in mode() leaves ties implementation-defined, "
+    "which fails the bit-reproducibility contract. Two-level aggregation: "
+    "(group, value) counts (map-side combinable) then per-group argmax "
+    "via max_by over a (count, -value)-ordered struct — no window, no "
+    "sort, two shuffles whose second carries one row per (group, value).",
+    tags=("agg", "mode"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    vc = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # argmax by (c desc, v asc): order struct (c, -v) descending via max_by
+    return (
+        vc.groupBy("l_returnflag")
+        .agg(
+            F.expr("max_by(v, struct(c, -v))").alias("mode_quantity"),
+            F.expr("max(struct(c, -v)).c").cast("long").alias("mode_count"),
+        )
+    )
