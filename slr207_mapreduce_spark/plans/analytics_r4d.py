@@ -870,3 +870,35 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max(struct(c, -v)).c").cast("long").alias("mode_count"),
         )
     )
+
+
+# --- binary encodings (base64 / hex) -------------------------------------
+
+
+@register(
+    "scalar_binary_encodings",
+    oracle="""
+    SELECT doc_id,
+           to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64,
+           hex(CAST(substring(text, 1, 12) AS BLOB)) AS hx,
+           CAST(unhex(hex(CAST(substring(text, 1, 12) AS BLOB))) AS VARCHAR)
+             AS roundtrip
+    FROM documents
+    """,
+    doc="Binary transport encodings: base64 and hex of a text-derived "
+    "payload plus the unhex round-trip — the blob-key/serialization "
+    "surface (content digests travel as hex, payloads as base64 in JSON "
+    "envelopes). Spark base64/hex/unhex against DuckDB's to_base64/hex/"
+    "unhex — independent codec implementations agreeing byte-for-byte. "
+    "Pure projection, zero shuffle.",
+    tags=("scalar", "binary"),
+)
+def scalar_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    payload = F.encode(F.substring("text", 1, 12), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(payload).alias("b64"),
+        F.hex(payload).alias("hx"),
+        F.decode(F.unhex(F.hex(payload)), "UTF-8").alias("roundtrip"),
+    )
