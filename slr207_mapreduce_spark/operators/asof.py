@@ -71,3 +71,63 @@ def asof_join(
         ],
     )
     return carried.where(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    tie_break: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """FORWARD as-of join: every left row + EARLIEST right payload at/after
+    its time (the "next event following" direction — next purchase after a
+    view, next maintenance after a failure). DuckDB's ASOF JOIN is
+    backward-only, so the oracle for this one is the classic correlated
+    MIN-timestamp construction.
+
+    Same union+window shape as :func:`asof_join`, traversed DESCENDING:
+    scanning times high→low, the last right row seen at any left row is
+    the one with the SMALLEST right-time ≥ the left time. Right rows sort
+    before left rows at equal timestamps, giving inclusive (≥) semantics.
+    One shuffle on the key, one in-partition sort — linear, no
+    range-explosion.
+    """
+    l_cols = left.columns
+    lt = left.select(
+        *l_cols,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+    )
+    rt = right.select(
+        F.col(key),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != key],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    ).select(*l_cols, "__t", "__side", *[f"__r_{c}" for c in right_payload])
+
+    order = [F.desc("__t"), F.asc("__side")]
+    if tie_break:
+        # among simultaneous right rows the EARLIEST by tie_break wins:
+        # descending traversal keeps the LAST seen, so sort tie_break desc
+        order.append(F.desc_nulls_first(f"__r_{tie_break}"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = lt.unionByName(rt)
+    carried = unioned.select(
+        *l_cols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_payload
+        ],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")

@@ -174,3 +174,37 @@ def test_interval_overlap_bucketed_plan_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_forward_hand_cases(spark):
+    """Forward as-of: inclusive at equal timestamps, earliest-following
+    wins, tie-break by payload id, NULL when nothing follows."""
+    import datetime as dt
+
+    from slr207_mapreduce_spark.operators.asof import asof_join_forward
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 10:00:00"), 100),
+            (1, T("2024-01-01 12:00:00"), 101),
+            (2, T("2024-01-01 09:00:00"), 200),
+        ],
+        ["k", "ts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 10:00:00"), 7),   # equal ts -> inclusive match
+            (1, T("2024-01-01 10:00:00"), 5),   # simultaneous: smaller id wins
+            (1, T("2024-01-01 11:00:00"), 9),
+        ],
+        ["k", "ts", "rid"],
+    )
+    got = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join_forward(
+            left, right, key="k", left_time="ts", right_time="ts",
+            right_payload=["rid"], tie_break="rid",
+        ).collect()
+    }
+    assert got == {100: 5, 101: None, 200: None}
