@@ -902,3 +902,89 @@ def scalar_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(payload).alias("hx"),
         F.decode(F.unhex(F.hex(payload)), "UTF-8").alias("roundtrip"),
     )
+
+
+# --- capped sessionization (gap + max-duration) --------------------------
+
+_SESS_GAP_S = 1800   # 30-min inactivity gap (matches events_sessionization)
+_SESS_CAP_S = 7200   # 2-hour hard session cap
+
+_SESS_SCHEMA = (
+    "user_id BIGINT, session_id BIGINT, n_events BIGINT, "
+    "s_start TIMESTAMP, s_end TIMESTAMP"
+)
+
+
+def _cap_sessions_fn(pdf):
+    # per-user sequential scan: the cap makes session assignment depend on
+    # the CURRENT session's start, which no single window pass can express
+    pdf = pdf.sort_values(["ts", "event_id"])
+    sid, start, prev = 0, None, None
+    ids = []
+    for ts in pdf["ts"]:
+        if (
+            prev is None
+            or (ts - prev).total_seconds() > _SESS_GAP_S
+            or (ts - start).total_seconds() > _SESS_CAP_S
+        ):
+            sid += 1
+            start = ts
+        ids.append(sid)
+        prev = ts
+    pdf = pdf.assign(session_id=ids)
+    out = (
+        pdf.groupby("session_id", as_index=False)
+        .agg(
+            user_id=("user_id", "first"),
+            n_events=("ts", "size"),
+            s_start=("ts", "min"),
+            s_end=("ts", "max"),
+        )
+    )
+    return out[["user_id", "session_id", "n_events", "s_start", "s_end"]]
+
+
+@register(
+    "events_sessionization_capped",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn, ts, ts AS s_start, 1 AS sid
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.ts,
+             CASE WHEN date_diff('second', r.ts, e.ts) > {_SESS_GAP_S}
+                    OR date_diff('second', r.s_start, e.ts) > {_SESS_CAP_S}
+                  THEN e.ts ELSE r.s_start END,
+             r.sid + CASE WHEN date_diff('second', r.ts, e.ts) > {_SESS_GAP_S}
+                            OR date_diff('second', r.s_start, e.ts) > {_SESS_CAP_S}
+                          THEN 1 ELSE 0 END
+      FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS s_start,
+           MAX(ts) AS s_end
+    FROM rec GROUP BY user_id, sid
+    """,
+    doc="Sessionization with BOTH a 30-min inactivity gap AND a 2-hour "
+    "hard duration cap. The cap makes session assignment inherently "
+    "sequential (a break depends on the CURRENT session's start, which "
+    "depends on all earlier breaks) — not expressible as one window "
+    "pass, so this is the textbook applyInPandas case: per-user "
+    "sequential scan, partition-parallel across users, state bounded by "
+    "one user's events. Oracle: per-user recursive CTE threading "
+    "(s_start, sid) through the same break predicate. The capped variant "
+    "is what real funnels use — without the cap, a bot pinging every "
+    "29 minutes produces an unbounded session.",
+    tags=("events", "session", "udf"),
+)
+def events_sessionization_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
+    return e.groupBy("user_id").applyInPandas(_cap_sessions_fn, schema=_SESS_SCHEMA)

@@ -379,3 +379,31 @@ def test_frame_stream_container_seeks_and_validates():
         list(iter_sampled_frames(b"XXXX" + payload[4:], 2))
     with pytest.raises(ValueError):
         list(iter_sampled_frames(payload + b"\x00", 2))  # trailing bytes
+
+
+def test_capped_sessionization_splits_on_cap_not_just_gap(spark):
+    """A bot pinging every 29 minutes never trips the 30-min gap; the 2-hour
+    cap must still split the stream into bounded sessions."""
+    import datetime as dt
+
+    from slr207_mapreduce_spark.plans.analytics_r4d import (
+        _SESS_SCHEMA,
+        _cap_sessions_fn,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=29 * i), i) for i in range(12)
+    ]  # 0..319 min, all gaps 29 min < 30
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    got = sorted(
+        (r["session_id"], r["n_events"])
+        for r in df.groupBy("user_id")
+        .applyInPandas(_cap_sessions_fn, schema=_SESS_SCHEMA)
+        .collect()
+    )
+    # session 1: events at 0..116 min (event at 145 min exceeds the 120-min
+    # cap from start 0) -> 5 events; then restarts every 5 events likewise
+    assert len(got) >= 3  # the cap produced multiple sessions
+    assert all(n <= 5 for _, n in got)
+    assert sum(n for _, n in got) == 12
