@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -87,65 +88,91 @@ CLOSED_SESSION_SCHEMA = StructType(
 )
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("last_ms", LongType()),
-        StructField("n", LongType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
+
+
+def _merge_on_gaps(
+    intervals: list[tuple[int, int, int]],
+) -> list[tuple[int, int, int]]:
+    """Merge (start_ms, last_ms, n) intervals whose gap is <= SESSION_GAP_MS;
+    anything further apart stays a separate session (the 30-min contract)."""
+    merged: list[tuple[int, int, int]] = []
+    for s, l, n in sorted(intervals):
+        if merged and s <= merged[-1][1] + SESSION_GAP_MS:
+            ps, pl, pn = merged[-1]
+            merged[-1] = (ps, max(pl, l), pn + n)
+        else:
+            merged.append((s, l, n))
+    return merged
+
+
+def _session_frame(user_id: int, sessions: list[tuple[int, int, int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(sessions), dtype="int64"),
+            "session_start_ms": pd.Series([s for s, _, _ in sessions], dtype="int64"),
+            "session_end_ms": pd.Series([l for _, l, _ in sessions], dtype="int64"),
+            "n_events": pd.Series([n for _, _, n in sessions], dtype="int64"),
+        }
+    )
 
 
 def _finalize_sessions(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
+    """Gap-aware session finalization (fixes the r5 ADVICE medium bug).
+
+    State is the user's list of OPEN sub-sessions, not one folded (min,max)
+    range: each batch's events merge with the open intervals on the
+    30-minute gap rule, so two events hours apart in one micro-batch — or
+    arriving across batches before the timeout fires — stay separate
+    sessions. A sub-session is emitted exactly once, when the watermark
+    passes its (last event + gap): at that point no in-watermark event can
+    extend it, so the emission is final and matches the batch
+    events_sessionization contract on the same data."""
     (user_id,) = key
-    if state.hasTimedOut:
-        # No input for this key and the watermark passed its timeout: the
-        # session is CLOSED — emit the summary exactly once and drop state.
-        start_ms, last_ms, n = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start_ms": [start_ms],
-                "session_end_ms": [last_ms],
-                "n_events": [n],
-            }
-        )
-        return
+    wm = state.getCurrentWatermarkMs()
+    open_sessions: list[tuple[int, int, int]] = []
     if state.exists:
-        start_ms, last_ms, n = state.get
+        starts, lasts, ns = state.get
+        open_sessions = [(int(s), int(l), int(n)) for s, l, n in zip(starts, lasts, ns)]
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            ts_ms = pdf["ts"].astype("int64") // 1_000_000
+            open_sessions.extend((int(t), int(t), 1) for t in ts_ms)
+    merged = _merge_on_gaps(open_sessions)
+    closed = [iv for iv in merged if iv[1] + SESSION_GAP_MS <= wm]
+    still_open = [iv for iv in merged if iv[1] + SESSION_GAP_MS > wm]
+    if still_open:
+        state.update(
+            (
+                [s for s, _, _ in still_open],
+                [l for _, l, _ in still_open],
+                [n for _, _, n in still_open],
+            )
+        )
+        # Wake when the earliest open sub-session's gap elapses. The engine
+        # requires a timeout strictly beyond the current watermark; a
+        # sub-session already older than that closes at the next tick.
+        state.setTimeoutTimestamp(
+            max(min(l + SESSION_GAP_MS for _, l, _ in still_open), wm + 1)
+        )
     else:
-        start_ms, last_ms, n = None, None, 0
-    for pdf in pdfs:
-        ts_ms = pdf["ts"].astype("int64") // 1_000_000
-        lo, hi = int(ts_ms.min()), int(ts_ms.max())
-        start_ms = lo if start_ms is None else min(start_ms, lo)
-        last_ms = hi if last_ms is None else max(last_ms, hi)
-        n += len(pdf)
-    state.update((start_ms, last_ms, n))
-    # Close when event time passes last activity + gap. The engine requires
-    # a timeout strictly beyond the current watermark; a session already
-    # older than the watermark closes at the next watermark tick.
-    state.setTimeoutTimestamp(
-        max(last_ms + SESSION_GAP_MS, state.getCurrentWatermarkMs() + 1)
-    )
-    yield pd.DataFrame(
-        {
-            "user_id": pd.Series([], dtype="int64"),
-            "session_start_ms": pd.Series([], dtype="int64"),
-            "session_end_ms": pd.Series([], dtype="int64"),
-            "n_events": pd.Series([], dtype="int64"),
-        }
-    )
+        state.remove()
+    yield _session_frame(user_id, closed)
 
 
 def closed_user_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Per-user session finalization with EVENT-TIME TIMEOUT — the stateful
     pattern session_window cannot express: nothing is emitted while a
     session is live; when the watermark passes (last event + 30 min gap)
-    the operator's timeout fires with no input rows, emits the closed
-    session summary exactly once, and clears the key's state. State per
-    key is three longs — bounded by active users, pruned on close."""
+    the sub-session is emitted exactly once and pruned from state. State
+    per key is the list of OPEN sub-sessions (three longs each) — bounded
+    by active users × in-flight gaps inside the watermark horizon."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

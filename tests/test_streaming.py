@@ -304,6 +304,71 @@ def test_event_time_timeout_closes_sessions_exactly_once(spark, tmp_path):
     assert got.count() == 3  # exactly once each; user 9 never closed
 
 
+def test_sessionization_splits_gaps_within_and_across_batches(spark, tmp_path):
+    """Regression for the r5 ADVICE medium bug: one user's events separated
+    by > 30 min — inside a single micro-batch AND across batches arriving
+    before the timeout fires — must produce SEPARATE sessions, exactly as
+    the batch events_sessionization gap contract says, not one folded
+    (min,max) range."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream, run_to_memory
+    from slr207_mapreduce_spark.streaming.stateful import closed_user_sessions
+
+    base = 1_700_000_000_000  # ms epoch
+    MIN = 60_000
+
+    def write_batch(i, rows, mtime):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1000 for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        p = str(tmp_path / f"b{i}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: user 1 has TWO sessions in ONE batch — t0..t0+5m and
+    # t0+120m..t0+121m (115-min gap in the middle)
+    write_batch(
+        1,
+        [
+            (1, base, 1),
+            (2, base + 5 * MIN, 1),
+            (3, base + 120 * MIN, 1),
+            (4, base + 121 * MIN, 1),
+        ],
+        1_000_000_000,
+    )
+    # batch 2: user 1 again at t0+180m (59-min gap from the open session —
+    # a THIRD session, arriving while state still holds the second one);
+    # user 99 at t0+360m pushes the watermark far past every gap
+    write_batch(2, [(5, base + 180 * MIN, 1), (6, base + 360 * MIN, 99)], 1_000_000_100)
+
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    got = run_to_memory(closed_user_sessions(stream, watermark="1 minute"), "t_sess_gap")
+    sessions = sorted(
+        (r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in got.collect()
+        if r["user_id"] == 1
+    )
+    assert sessions == [
+        (base, base + 5 * MIN, 2),
+        (base + 120 * MIN, base + 121 * MIN, 2),
+        (base + 180 * MIN, base + 180 * MIN, 1),
+    ], f"gap-split sessions wrong: {sessions}"
+    # user 99's session never closed (no later watermark) — not emitted
+    assert all(r["user_id"] == 1 for r in got.collect())
+
+
 def test_stateful_running_totals(spark, tmp_path):
     from slr207_mapreduce_spark.sources.tables import load_table
     from slr207_mapreduce_spark.streaming.ops import read_events_stream
