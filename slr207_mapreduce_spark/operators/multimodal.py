@@ -507,3 +507,204 @@ def sampled_frame_features(blob_df: DataFrame, every_n: int = 2) -> DataFrame:
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=FRAME_FEATURE_SCHEMA
     )
+
+
+# --- REAL codec: PNG (pure stdlib — zlib + struct, 8-bit RGB, no interlace)
+#
+# The one standard image FORMAT fully writable/readable without any imaging
+# library: PNG is zlib-deflated filtered scanlines inside CRC-32-checked
+# chunks. The encoder below cycles through ALL FIVE scanline filter types
+# (None/Sub/Up/Average/Paeth, one per row) so the decoder's unfiltering of
+# every type sits on the oracled round-trip path — a wrong Paeth predictor
+# or CRC computation breaks the hash match, not just a header check.
+
+import zlib
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(img) -> bytes:
+    """PNG bytes from an (h, w, 3) uint8 array — 8-bit RGB, no interlace.
+    Row y uses filter type y % 5, so every filter is exercised."""
+    import numpy as np
+
+    a = np.asarray(img, dtype="uint8")
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("encode_png is 8-bit RGB")
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype="int64")
+    for y in range(h):
+        row = a[y].reshape(-1).astype("int64")
+        left = np.concatenate([np.zeros(bpp, dtype="int64"), row[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, dtype="int64"), prev[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(l), int(u), int(ul)) for l, u, ul in zip(left, prev, up_left)],
+                dtype="int64",
+            )
+            filt = row - pred
+        raw.append(f)
+        raw.extend((filt % 256).astype("uint8").tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """(h, w, 3) uint8 array from PNG bytes. Validates the signature and
+    every chunk's CRC-32, requires 8-bit RGB non-interlaced, concatenates
+    IDAT chunks, inflates, and reverses all five filter types."""
+    import numpy as np
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt_m, interlace = ihdr
+    if (depth, color, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(f"unsupported PNG layout: {ihdr[2:]}")
+    data = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(data) != h * (stride + 1):
+        raise ValueError("scanline data size mismatch")
+    out = np.zeros((h, stride), dtype="int64")
+    for y in range(h):
+        f = data[y * (stride + 1)]
+        row = np.frombuffer(
+            data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype="uint8"
+        ).astype("int64")
+        prev = out[y - 1] if y else np.zeros(stride, dtype="int64")
+        if f == 0:
+            out[y] = row
+        elif f == 2:
+            out[y] = (row + prev) % 256
+        elif f in (1, 3, 4):
+            # left-dependent filters are inherently sequential per pixel
+            cur = out[y]
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                up_left = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    cur[x] = (row[x] + left) % 256
+                elif f == 3:
+                    cur[x] = (row[x] + (left + up) // 2) % 256
+                else:
+                    cur[x] = (row[x] + _paeth(int(left), int(up), int(up_left))) % 256
+        else:
+            raise ValueError(f"unknown filter type {f}")
+    return out.astype("uint8").reshape(h, w, 3)
+
+
+def synth_png_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real PNG bytes for the deterministic test image
+    w = 9 + doc_id % 8, h = 5 + doc_id % 6 (h spans 5..10, so every filter
+    type 0-4 appears in each image),
+    rgb(p) = ((doc_id*2 + 13*p) % 256, (doc_id*7 + 3*p) % 256,
+              (doc_id*11 + p) % 256) with p row-major."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 8, 5 + d % 6
+                p = np.arange(h * w, dtype="int64")
+                img = np.stack(
+                    [(d * 2 + 13 * p) % 256, (d * 7 + 3 * p) % 256, (d * 11 + p) % 256],
+                    axis=1,
+                ).reshape(h, w, 3)
+                out.append(encode_png(img.astype("uint8")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+PNG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def png_features(blob_df: DataFrame) -> DataFrame:
+    """REAL decode: inflate + unfilter each PNG payload, emit exact
+    dimensions and per-channel pixel sums (Arrow-batched mapInPandas)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PNG_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(payload)).astype("int64")
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                rows["sum_r"].append(int(img[:, :, 0].sum()))
+                rows["sum_g"].append(int(img[:, :, 1].sum()))
+                rows["sum_b"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=PNG_FEATURE_SCHEMA
+    )

@@ -53,75 +53,77 @@ def register(
 
 # The driver's correctness comparator samples the FIRST 50 entries of
 # queries() each round.  Rounds 1-3 sampled the identical registration-order
-# slice (wordcount/tpch/join/agg/window/setop/scalar), leaving 152 registered
-# queries adjudicated only by the local replica gate.  Round 4 rotates the
-# sample: 5 sentinels with a three-round green history anchor continuity, and
-# the remaining 45 slots surface the highest-risk never-sampled families
-# (dedup_*, knn_*/embedding_*, pipeline_*, text_*, hard TPC-H, udf_*/udtf_*,
-# subq_*, events_*, graph_*, asof_*).  Every name listed here has an oracle
-# (no rows-only specs — the sample should produce hash verdicts, not
-# `no_oracle` rows).  tests/test_oracle.py::test_driver_sample_rotation pins
-# this contract.
+# slice; round 4 rotated to the dedup/knn/pipeline/text/hard-TPCH families
+# (driver-green in r04 AND r05).  Round 6 rotates again: 5 sentinels with a
+# multi-round green history anchor continuity, and the remaining 45 slots
+# surface names with ZERO driver adjudication across r01-r05 — multimodal_*
+# (the component promoted to done with no driver evidence), graph_*,
+# stats_*, window_*, scalar_*, the remaining TPC-H queries, and the
+# scale-risk operators the round-5 verdict called out (sessionization_capped,
+# overlap_join_bucketed, knn_jl_rerank/quantized_int8, histogram_equidepth).
+# Every name listed here has an oracle (hash verdicts, not `no_oracle`
+# rows).  tests/test_oracle.py::test_driver_sample_rotation pins this
+# contract.
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (green in CORRECTNESS_r01-r03)
+    # sentinels (driver-green in r01-r05)
     "wordcount_topk",
-    "wordcount_sequential_oracle",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
-    # dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_cluster_keep_canonical",
-    "dedup_semantic_clusters",
-    # similarity / ANN
-    "knn_bruteforce",
-    "knn_lsh_bucketed",
-    "knn_ivf",
-    "knn_pq_adc",
-    "embedding_neardup_pairs",
-    "embedding_normalize_quantize",
-    "embedding_centroid_by_label",
-    # curation pipeline
-    "pipeline_domain_cap",
-    "pipeline_train_split",
-    "pipeline_stratified_sample",
-    "pipeline_mixture_reweight",
-    "pipeline_decontaminate",
-    "pipeline_quality_quantile",
-    "pipeline_repetition_filter",
-    "pipeline_chunk_documents",
-    "pipeline_pack_sequences",
-    # text analysis
-    "text_langid",
-    "text_quality",
-    "text_term_stats",
-    "text_bm25",
-    "text_inverted_index",
-    "text_doc_similarity_sparse",
-    # hard TPC-H
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    # UDF surfaces
-    "udf_encode_tokens",
-    "udf_pandas_scalar_net_price",
-    "udf_apply_in_pandas_gap",
-    "udtf_positioned_words",
-    # subqueries
-    "subq_scalar_global_avg",
-    "subq_correlated_avg_per_brand",
-    "subq_lateral_topk_per_nation",
-    # events / graph / asof
     "events_sessionization",
-    "graph_pagerank",
-    "asof_purchase_last_view",
+    # multimodal (never driver-adjudicated; real codecs)
+    "multimodal_wav_roundtrip",
+    "multimodal_ppm_resize_roundtrip",
+    "multimodal_png_roundtrip",
+    "multimodal_video_frame_sample_roundtrip",
+    "multimodal_cross_modal_join",
+    "multimodal_blob_dedup",
+    "multimodal_features",
+    "multimodal_resize",
+    # graph
+    "graph_triangle_count",
+    "graph_bfs_distances",
+    "graph_degree_hubs",
+    # data QA / stats
+    "stats_column_profile",
+    "stats_profile_drift",
+    "stats_robust",
+    "stat_crosstab",
+    "pipeline_integrity_audit",
+    # scale-risk operators from the r5 verdict
+    "events_overlap_join_bucketed",
+    "events_sessionization_capped",
+    "agg_histogram_equidepth",
+    "knn_jl_rerank",
+    "knn_quantized_int8",
+    # window frames
+    "window_count_distinct_frame",
+    "window_numeric_range_frame",
+    "window_share_of_total",
+    # scalar blocks
+    "scalar_json_funcs",
+    "scalar_higher_order_funcs",
+    "scalar_map_type",
+    "scalar_url_parse",
+    "scalar_variant_type",
+    "scalar_xml_extract",
+    "scalar_datetime_extra",
+    "scalar_try_functions",
+    # remaining TPC-H (q4/q7/q11-q17/q19/q20/q22)
+    "q4_order_priority_exists",
+    "q7_volume_shipping",
+    "q11_important_part_value",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    # warehouse
+    "warehouse_snapshot_diff",
 )
 
 

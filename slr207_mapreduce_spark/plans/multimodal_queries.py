@@ -329,3 +329,44 @@ def multimodal_cross_modal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sum_abs * 1000) div n_samples").alias("mean_abs_e3"),
         )
     )
+
+
+@register(
+    "multimodal_png_roundtrip",
+    oracle="""
+    WITH od AS (
+      SELECT doc_id, 9 + doc_id % 8 AS w, 5 + doc_id % 6 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, t.p
+      FROM od, LATERAL (SELECT UNNEST(range(w * h)) AS p) t
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM((doc_id * 2 + 13 * p) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 7 + 3 * p) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 11 + p) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="REAL standard-format image codec round-trip — PNG written and read "
+    "with nothing but stdlib zlib + struct: deterministic RGB pixels are "
+    "deflate-compressed into CRC-32-checked chunks with the encoder "
+    "cycling ALL FIVE scanline filter types (None/Sub/Up/Average/Paeth, "
+    "one per row; image heights 5-10 guarantee every type appears), then "
+    "a second Arrow-batched stage validates signature + per-chunk CRCs, "
+    "inflates, reverses each filter, and emits exact dimensions and "
+    "per-channel pixel sums. The oracle replays the pixel generator in "
+    "SQL, so a wrong Paeth predictor, CRC, filter header, or byte order "
+    "breaks the hash match. Completes the codec family: WAV (audio), "
+    "PPM/PNG (image), RAWV (video).",
+    tags=("multimodal", "codec"),
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        png_features,
+        synth_png_blobs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return png_features(synth_png_blobs(d))

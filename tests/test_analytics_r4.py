@@ -407,3 +407,39 @@ def test_capped_sessionization_splits_on_cap_not_just_gap(spark):
     assert len(got) >= 3  # the cap produced multiple sessions
     assert all(n <= 5 for _, n in got)
     assert sum(n for _, n in got) == 12
+
+
+def test_png_codec_roundtrip_all_filter_types():
+    """PNG round-trip is identity for images tall enough that every filter
+    type 0-4 is used (encoder cycles y % 5); chunk CRCs and layout are
+    validated, so corruption and truncation fail loudly."""
+    import numpy as np
+    import pytest
+
+    from slr207_mapreduce_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.arange(7 * 5 * 3, dtype="int64")  # h=7 > 5 filter types
+    img = ((rng * 37 + 11) % 256).astype("uint8").reshape(7, 5, 3)
+    payload = encode_png(img)
+    assert payload[:8] == PNG_SIGNATURE
+    assert np.array_equal(decode_png(payload), img)
+
+    # extremes: 1x1 and saturated values through Paeth/Average rows
+    one = np.array([[[0, 255, 128]]], dtype="uint8")
+    assert np.array_equal(decode_png(encode_png(one)), one)
+    sat = np.full((6, 2, 3), 255, dtype="uint8")
+    sat[3, 1] = (0, 0, 0)
+    assert np.array_equal(decode_png(encode_png(sat)), sat)
+
+    with pytest.raises(ValueError):
+        decode_png(b"JUNK" + payload[4:])
+    with pytest.raises(ValueError):
+        bad = bytearray(payload)
+        bad[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+        decode_png(bytes(bad))
+    with pytest.raises(Exception):
+        decode_png(payload[:30])  # truncated mid-chunk
