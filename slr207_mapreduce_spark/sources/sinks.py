@@ -58,15 +58,23 @@ def write_zordered(
     every output file's min/max stats tight in BOTH dimensions, so range
     predicates on EITHER column prune files/row-groups at scan time —
     tests/test_layout_runtime.py measures the span contrast against a
-    linear sort. Dimensions are masked to ``bits`` low bits (callers with
-    wider domains should pre-bucket, e.g. ``F.floor(col / width)``). The
-    helper column is dropped before writing.
+    linear sort. Out-of-range dimension values are CLAMPED to
+    [0, 2^bits - 1] — clamping is monotone, so a too-wide value lands in
+    the boundary cell next to its neighbors instead of wrapping around the
+    curve and aliasing distant values into the same z-key (which silently
+    destroyed pruning). Callers with wider domains should pre-bucket, e.g.
+    ``F.floor(col / width)``. The helper column is dropped before writing.
     """
     from pyspark.sql import functions as F
 
     from slr207_mapreduce_spark.plans.analytics_r4c import zorder_expr
 
-    zk = zorder_expr(f"({dim_a} % {1 << bits})", f"({dim_b} % {1 << bits})", bits=bits)
+    hi = (1 << bits) - 1
+    zk = zorder_expr(
+        f"LEAST(GREATEST({dim_a}, 0), {hi})",
+        f"LEAST(GREATEST({dim_b}, 0), {hi})",
+        bits=bits,
+    )
     (
         df.withColumn("__zkey", F.expr(zk))
         .repartitionByRange(n_files, "__zkey")

@@ -113,15 +113,24 @@ class TextSplitsWriter(DataSourceWriter):
         return _SplitCommit(tmp_name=tmp, final_name=f"split{pid}.txt", lines=n)
 
     def commit(self, messages):
-        if self.overwrite:
-            for f in os.listdir(self.dir):
-                if f.endswith(".txt"):
-                    os.remove(os.path.join(self.dir, f))
+        # Publish rename-FIRST: os.replace is atomic per file and overwrites
+        # any same-named previous split, so at no point does the directory
+        # hold fewer splits than before — a crash mid-commit leaves a
+        # readable mix of old+new, never a deleted-but-not-replaced dataset
+        # (the old delete-before-rename ordering lost the previous dataset
+        # on a crash between the two loops).
+        published = set()
         for m in messages:
             os.replace(
                 os.path.join(self.dir, m.tmp_name),
                 os.path.join(self.dir, m.final_name),
             )
+            published.add(m.final_name)
+        if self.overwrite:
+            # stale extras (previous run had MORE splits) go last
+            for f in os.listdir(self.dir):
+                if f.endswith(".txt") and f not in published:
+                    os.remove(os.path.join(self.dir, f))
 
     def abort(self, messages):
         for m in messages:

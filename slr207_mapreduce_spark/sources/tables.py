@@ -77,7 +77,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     except TypeError:  # session type without weakref support
         cache = None
     if cache is not None and path in cache:
-        # session was UTC-pinned when the handle was first built
+        # Re-pin on every hit: the session zone is mutable config, and a
+        # caller (or another library) may have changed it since the handle
+        # was built — the cached plan's NTZ→LTZ casts assume UTC.
+        _pin_utc(spark)
         return cache[path]
     _pin_utc(spark)
     df = _read_table(spark, name, path)

@@ -335,16 +335,39 @@ def test_write_zordered_sink_helper(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == li.count()
     assert set(back.columns) == set(li.columns)  # helper column dropped
+    clamp_a = F.least(F.greatest(F.col("l_partkey"), F.lit(0)), F.lit(1023))
+    clamp_b = F.least(F.greatest(F.col("l_orderkey"), F.lit(0)), F.lit(1023))
     spans = (
         back.groupBy(F.input_file_name())
         .agg(
-            (F.max(F.col("l_partkey") % 1024) - F.min(F.col("l_partkey") % 1024)).alias("pa"),
-            (F.max(F.col("l_orderkey") % 1024) - F.min(F.col("l_orderkey") % 1024)).alias("pb"),
+            (F.max(clamp_a) - F.min(clamp_a)).alias("pa"),
+            (F.max(clamp_b) - F.min(clamp_b)).alias("pb"),
         )
         .agg(F.avg("pa").alias("pa"), F.avg("pb").alias("pb"))
         .collect()[0]
     )
     assert spans["pa"] < 0.6 * 1023 and spans["pb"] < 0.6 * 1023, spans
+
+
+def test_write_zordered_clamps_instead_of_wrapping(spark, tmp_path):
+    """Out-of-range z-order dims CLAMP to the boundary cell (monotone)
+    rather than wrapping with % — value v and v + 2^bits must never share
+    a z-key (the wraparound aliased distant values into the same cell and
+    silently destroyed pruning), and clamped keys sort at/after every
+    in-range key."""
+    from slr207_mapreduce_spark.plans.analytics_r4c import zorder_expr
+
+    hi = 1023
+    rows = [(5, 7), (5 + 1024, 7), (hi, 7), (hi + 999_999, 7), (-3, 7)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    zk = zorder_expr(
+        f"LEAST(GREATEST(a, 0), {hi})", f"LEAST(GREATEST(b, 0), {hi})", bits=10
+    )
+    got = {r["a"]: r["z"] for r in df.selectExpr("a", f"{zk} AS z").collect()}
+    assert got[5] != got[5 + 1024], "wraparound aliasing is back"
+    assert got[hi + 999_999] == got[hi], "too-wide values clamp to the boundary cell"
+    assert got[-3] == min(got.values()), "negatives clamp to 0"
+    assert got[5 + 1024] == got[hi], "clamped value lands in the boundary cell"
 
 
 def test_aqe_coalesces_small_shuffle_partitions(spark):

@@ -258,3 +258,85 @@ def test_textsplits_streaming_source_picks_up_new_files(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_textsplits_commit_is_rename_first_crash_safe(tmp_path, monkeypatch):
+    """Crash-safety pin for the split publish: commit() renames new splits
+    into place FIRST and deletes stale extras LAST, so a crash mid-commit
+    leaves a readable old/new mix — never a deleted-but-not-replaced
+    dataset (the old delete-before-rename ordering lost every previous
+    split if the process died between the two loops)."""
+    import os
+
+    from slr207_mapreduce_spark.sources.split_source import (
+        TextSplitsWriter,
+        _SplitCommit,
+    )
+
+    d = str(tmp_path / "pub")
+    os.makedirs(d)
+    for i in range(3):  # previously-published dataset
+        with open(os.path.join(d, f"split{i}.txt"), "w") as f:
+            f.write(f"old {i}\n")
+    # two new temp splits, as write() tasks would leave them
+    msgs = []
+    for i in range(2):
+        tmp = f".inprogress-{i}-deadbeef"
+        with open(os.path.join(d, tmp), "w") as f:
+            f.write(f"new {i}\n")
+        msgs.append(_SplitCommit(tmp_name=tmp, final_name=f"split{i}.txt", lines=1))
+
+    w = TextSplitsWriter({"path": d}, overwrite=True)
+
+    # simulate a crash after the FIRST rename
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash mid-commit")
+        real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crashing_replace)
+    try:
+        w.commit(msgs)
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # every split index still has a readable file: 0 is new, 1 and 2 old
+    txt = {f: open(os.path.join(d, f)).read() for f in os.listdir(d) if f.endswith(".txt")}
+    assert txt["split0.txt"] == "new 0\n"
+    assert txt["split1.txt"] == "old 1\n"
+    assert txt["split2.txt"] == "old 2\n"
+
+    # a clean retry completes the publish and removes the stale extra
+    with open(os.path.join(d, msgs[1].tmp_name), "w") as f:
+        f.write("new 1\n")
+    w.commit(msgs[1:])
+    # retry only re-publishes the remaining message; the stale split2 from
+    # the previous generation survives THIS partial call because it is not
+    # in the retry's message set -- a full-commit retry removes it:
+    with open(os.path.join(d, msgs[0].tmp_name), "w") as f:
+        f.write("new 0\n")
+    with open(os.path.join(d, msgs[1].tmp_name), "w") as f:
+        f.write("new 1\n")
+    w.commit(msgs)
+    assert sorted(f for f in os.listdir(d) if f.endswith(".txt")) == [
+        "split0.txt",
+        "split1.txt",
+    ]
+
+
+def test_load_table_repins_utc_on_cache_hit(spark):
+    """A cached table handle must not trust that the session timezone is
+    still UTC: load_table re-pins it on every call, so a caller that
+    flipped the zone between two loads cannot skew timestamp semantics."""
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    load_table(spark, "events", SF_SMOKE)  # populate cache
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    load_table(spark, "events", SF_SMOKE)  # cache hit
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
