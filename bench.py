@@ -86,6 +86,47 @@ def main() -> int:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
+
+    # sf1 tier: 10x the headline SF (6M lineitem rows), generated once into
+    # .sfgen/sf1.0 by deterministic replication (tools/make_sf.py). Runs the
+    # scale-SENSITIVE subset so input-size-dependent regressions (shuffle
+    # blow-ups, id-layout instability, >2^53 numeric drift) show up in the
+    # per-round artifact. Separate key — "value" stays the sf0.1 headline
+    # for round-over-round comparability.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            from tools.make_sf import ensure_sf1
+
+            sf1_dir = ensure_sf1(os.path.dirname(os.path.abspath(__file__)))
+            sf1_queries = [
+                "q1_pricing_summary",
+                "dedup_minhash_lsh",
+                "events_sessionization",
+                "knn_lsh_bucketed",
+                "pipeline_assign_ids",
+                "pipeline_global_shuffle",
+            ]
+
+            def run_sf1(name: str) -> float:
+                t0 = time.perf_counter()
+                specs[name].build(spark, sf1_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                return time.perf_counter() - t0
+
+            sf1_timings: dict[str, float] = {}
+            for name in sf1_queries:
+                run_sf1(name)  # warm
+                sf1_timings[name] = round(min(run_sf1(name) for _ in range(2)), 3)
+            out["sf1"] = {
+                "sf": 1.0,
+                "queries": sf1_timings,
+                "value": round(sum(sf1_timings.values()), 3),
+                "runs_per_query": 2,
+            }
+        except Exception as e:  # sf1 tier must never break the headline bench
+            out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps(out))
     return 0
 

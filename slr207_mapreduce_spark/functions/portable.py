@@ -123,11 +123,19 @@ def exact_total(sum_col: Column | str, digits: int) -> Column:
     in int64 fixed-point (``int_units`` products — overflow-safe because a
     128 MB scan partition bounds rows per task at ~2e6, keeping partials
     under ~2e17 even for 1e11-unit products), then a tiny final merge of
-    the partials in DECIMAL(38,0) — which cannot overflow — and ONE exact
-    division back to natural units here. The decimal division is exact
-    (result scale >= digits), so casting to DOUBLE yields bit-for-bit the
-    same value as the all-DECIMAL path at ~1.7x its speed, at any
-    parallelism.
+    the partials in DECIMAL(38,0) — which cannot overflow — and the
+    conversion back to natural units here.
+
+    Order of operations matters for cross-engine stability: the exact
+    integer is cast to DOUBLE FIRST, then divided by 10^digits. While the
+    unscaled value stays under 2^53 this is bit-identical to
+    divide-then-cast (both operands exact → one correctly-rounded IEEE
+    division). Once the unscaled sum passes 2^53 (first seen at sf1:
+    q1's sum_charge unscaled ≈ 4.4e16), divide-then-cast hits DuckDB's
+    two-step DECIMAL→DOUBLE rounding and drifts 1 ulp from Spark's
+    BigDecimal cast — cast-the-integer-first is the one sequence both
+    engines execute identically at every scale (int→double is correctly
+    rounded in both; the oracle mirrors it, see q1's sum_charge SQL).
     """
     c = F.col(sum_col) if isinstance(sum_col, str) else sum_col
-    return (c / (10 ** digits)).cast("double")
+    return c.cast("double") / F.lit(float(10 ** digits))

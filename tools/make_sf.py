@@ -1,0 +1,132 @@
+"""Scale up the driver's testdata by deterministic replication.
+
+Builds an sfN directory (default sf1.0 = 10x sf0.1, ~6M lineitem rows) by
+unioning K copies of every table with disjoint key strides, preserving the
+star-schema referential integrity copy-by-copy:
+
+- fact/dim primary and foreign keys shift by copy * 10_000_000 (far above
+  any real key range, so copies never collide);
+- region/nation stay as-is (fixed 5/25-row tables at every TPC-H SF);
+- document text gets a per-copy suffix token, so replicated docs are
+  NEAR-duplicates (realistic MinHash/LSH workload) instead of exact ones,
+  and n_chars is recomputed to stay consistent;
+- embeddings get a per-copy additive epsilon so no two copies are exactly
+  tied in distance (top-k results stay order-stable).
+
+Everything is pure column arithmetic over the source parquet — no RNG —
+so the output is byte-reproducible. Correctness queries remain
+oracle-checkable because Spark and DuckDB read the SAME generated files.
+
+Usage: python tools/make_sf.py [--src /root/testdata/sf0.1]
+                               [--out .sfgen/sf1.0] [--mult 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+STRIDE = 10_000_000
+
+
+def generate(src: str, out: str, mult: int) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+
+    def copy_union(table: str, select_tpl: str) -> None:
+        parts = [select_tpl.format(c=c, src=f"'{src}/{table}.parquet'") for c in range(mult)]
+        sql = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+
+    # fixed dims: single copy
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    copy_union(
+        "customer",
+        f"SELECT c_custkey + {{c}} * {STRIDE} AS c_custkey, c_name, c_nationkey,"
+        " c_acctbal, c_mktsegment FROM {src}",
+    )
+    copy_union(
+        "supplier",
+        f"SELECT s_suppkey + {{c}} * {STRIDE} AS s_suppkey, s_name, s_nationkey,"
+        " s_acctbal FROM {src}",
+    )
+    copy_union(
+        "part",
+        f"SELECT p_partkey + {{c}} * {STRIDE} AS p_partkey, p_name, p_brand, p_type,"
+        " p_size, p_retailprice FROM {src}",
+    )
+    copy_union(
+        "orders",
+        f"SELECT o_orderkey + {{c}} * {STRIDE} AS o_orderkey,"
+        f" o_custkey + {{c}} * {STRIDE} AS o_custkey, o_orderstatus, o_totalprice,"
+        " o_orderdate, o_orderpriority FROM {src}",
+    )
+    copy_union(
+        "lineitem",
+        f"SELECT l_orderkey + {{c}} * {STRIDE} AS l_orderkey,"
+        f" l_partkey + {{c}} * {STRIDE} AS l_partkey,"
+        f" l_suppkey + {{c}} * {STRIDE} AS l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM {src}",
+    )
+    copy_union(
+        "events",
+        f"SELECT event_id + {{c}} * {STRIDE} AS event_id, ts,"
+        f" user_id + {{c}} * {STRIDE} AS user_id, event_type, value, props"
+        " FROM {src}",
+    )
+    copy_union(
+        "documents",
+        f"SELECT doc_id + {{c}} * {STRIDE} AS doc_id,"
+        " CASE WHEN {c} = 0 THEN text ELSE text || ' copyvariant{c}' END AS text,"
+        " lang, source,"
+        " CAST(LENGTH(CASE WHEN {c} = 0 THEN text"
+        "             ELSE text || ' copyvariant{c}' END) AS BIGINT) AS n_chars"
+        " FROM {src}",
+    )
+    copy_union(
+        "embeddings",
+        f"SELECT vec_id + {{c}} * {STRIDE} AS vec_id,"
+        " list_transform(embedding, x -> CAST(x + 0.0001 * {c} AS FLOAT)) AS embedding,"
+        " label FROM {src}",
+    )
+    con.close()
+
+
+def ensure_sf1(repo_root: str) -> str:
+    """Generate the sf1.0 tier under <repo>/.sfgen/sf1.0 if absent; return
+    the directory. Cheap no-op when already built (checked per table)."""
+    out = os.path.join(repo_root, ".sfgen", "sf1.0")
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    if all(os.path.exists(os.path.join(out, f"{t}.parquet")) for t in tables):
+        return out
+    generate("/root/testdata/sf0.1", out, mult=10)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=".sfgen/sf1.0")
+    ap.add_argument("--mult", type=int, default=10)
+    args = ap.parse_args()
+    generate(args.src, args.out, args.mult)
+    for f in sorted(os.listdir(args.out)):
+        print(f, os.path.getsize(os.path.join(args.out, f)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
