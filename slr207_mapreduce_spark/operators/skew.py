@@ -100,3 +100,99 @@ def explain_shuffles(df: DataFrame) -> int:
         df.explain("simple")
     plan = buf.getvalue()
     return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def capped_sessions_segmented(
+    events: DataFrame, gap_s: int = 1800, cap_s: int = 7200
+) -> DataFrame:
+    """Heavy-hitter-safe capped sessionization (gap + hard duration cap),
+    exactly equal to the per-user sequential scan but bounded under a bot
+    user with millions of events.
+
+    Decomposition: a break fires on (a) inactivity gap > gap_s or (b)
+    session duration > cap_s. Gap breaks are window-expressible, and every
+    gap-run (maximal stretch with all gaps <= gap_s) starts a fresh
+    session, so runs are INDEPENDENT — the sequential cap recurrence never
+    crosses a run boundary. Within a run only cap breaks remain, and the
+    chain s_{k+1} = first ts > s_k + cap advances by > cap_s per step, so
+    a run of duration L has <= L/cap_s + 1 sessions: the pandas stage
+    walks SESSIONS with numpy searchsorted (O(sessions * log n)) instead
+    of every event in Python — the bot user costs ~140 searchsorted calls
+    per simulated day, not 10^6 loop iterations. Session ids are
+    renumbered per user by a window over per-run session counts (tiny
+    summary rows), preserving the sequential contract's numbering.
+
+    The remaining skew bound is the JVM window sort and one arrow batch
+    per (user, run) group — O(bot events) bytes on one task, the floor any
+    exact per-user operator has without time-slicing state handoff."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn(
+            "__gap_break",
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+                > F.lit(gap_s)
+            ).cast("int"),
+        )
+        .fillna({"__gap_break": 0})
+        .withColumn("run_id", F.sum("__gap_break").over(w))
+        .drop("__gap_break")
+    )
+
+    out_schema = (
+        "user_id BIGINT, run_id BIGINT, local_sid BIGINT, n_events BIGINT, "
+        "s_start TIMESTAMP, s_end TIMESTAMP"
+    )
+
+    def run_sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts = pdf["ts"].to_numpy()
+        n = len(ts)
+        cap = np.timedelta64(cap_s, "s")
+        starts = []
+        i = 0
+        while i < n:
+            starts.append(i)
+            # first event with ts STRICTLY past start + cap (break is '>')
+            i = int(np.searchsorted(ts, ts[i] + cap, side="right"))
+        bounds = starts + [n]
+        rows = {
+            "user_id": pdf["user_id"].iloc[:1].repeat(len(starts)).to_numpy(),
+            "run_id": pdf["run_id"].iloc[:1].repeat(len(starts)).to_numpy(),
+            "local_sid": np.arange(1, len(starts) + 1, dtype="int64"),
+            "n_events": np.diff(bounds).astype("int64"),
+            "s_start": ts[starts],
+            "s_end": ts[np.array(bounds[1:]) - 1],
+        }
+        return pd.DataFrame(rows)
+
+    sess = e.groupBy("user_id", "run_id").applyInPandas(run_sessions, out_schema)
+
+    # renumber runs into the per-user sequential session_id: offset of run r
+    # = total sessions of runs < r (window over per-run summary rows)
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    counts = sess.groupBy("user_id", "run_id").agg(F.max("local_sid").alias("__c"))
+    offs = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__c").over(wr.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).drop("__c")
+    return (
+        sess.join(offs, ["user_id", "run_id"])
+        .select(
+            "user_id",
+            (F.col("__off") + F.col("local_sid")).alias("session_id"),
+            "n_events",
+            "s_start",
+            "s_end",
+        )
+    )

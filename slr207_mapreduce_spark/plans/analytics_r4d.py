@@ -944,9 +944,7 @@ def _cap_sessions_fn(pdf):
     return out[["user_id", "session_id", "n_events", "s_start", "s_end"]]
 
 
-@register(
-    "events_sessionization_capped",
-    oracle=f"""
+_SESS_CAPPED_ORACLE = f"""
     WITH RECURSIVE e AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -972,7 +970,12 @@ def _cap_sessions_fn(pdf):
            MIN(ts) AS s_start,
            MAX(ts) AS s_end
     FROM rec GROUP BY user_id, sid
-    """,
+    """
+
+
+@register(
+    "events_sessionization_capped",
+    oracle=_SESS_CAPPED_ORACLE,
     doc="Sessionization with BOTH a 30-min inactivity gap AND a 2-hour "
     "hard duration cap. The cap makes session assignment inherently "
     "sequential (a break depends on the CURRENT session's start, which "
@@ -988,3 +991,28 @@ def _cap_sessions_fn(pdf):
 def events_sessionization_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
     return e.groupBy("user_id").applyInPandas(_cap_sessions_fn, schema=_SESS_SCHEMA)
+
+
+@register(
+    "events_sessionization_capped_segmented",
+    oracle=_SESS_CAPPED_ORACLE,
+    doc="Heavy-hitter-safe variant of events_sessionization_capped — same "
+    "semantics (same oracle), skew-bounded execution: gap breaks are "
+    "window-expressible and every gap-run starts a fresh session, so the "
+    "sequential cap recurrence is confined to each (user, run) group; "
+    "inside a run the pandas stage advances by SESSION (numpy "
+    "searchsorted, <= duration/cap + 1 steps) instead of looping every "
+    "event in Python, then run-local ids renumber via a window over "
+    "per-run session counts. A bot user with 10^6 gap-free events costs "
+    "~140 searchsorted calls per simulated day instead of 10^6 loop "
+    "iterations (measured: see SCALE.md round-6 note and "
+    "tests/test_skew_and_io.py).",
+    tags=("events", "session", "udf", "skew"),
+)
+def events_sessionization_capped_segmented(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from slr207_mapreduce_spark.operators.skew import capped_sessions_segmented
+
+    e = load_table(spark, "events", sf_dir)
+    return capped_sessions_segmented(e, gap_s=_SESS_GAP_S, cap_s=_SESS_CAP_S)

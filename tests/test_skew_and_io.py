@@ -245,3 +245,116 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # old-batch rows surface NULL for the new column; new-batch rows don't
     nulls = merged.where(F.col("quality_v2").isNull()).count()
     assert nulls == d.where(F.col("doc_id") % 2 == 0).count()
+
+
+def _skewed_events(spark, bot_events: int, bot_id: int = 777):
+    """Heavy-hitter fixture: one bot user emitting an event every 61 s
+    (gap-free within a run) with a >30-min gap injected every 5000 events,
+    plus 1000 normal users with 20 events each. Deterministic arithmetic,
+    no RNG."""
+    bot = spark.range(bot_events).select(
+        F.lit(bot_id).cast("long").alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.col("id") * 61
+            + (F.col("id") / 5000).cast("long") * 3600  # run-splitting gaps
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    normals = spark.range(1000 * 20).select(
+        (F.col("id") % 1000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") / 1000).cast("long") * 900
+        ).alias("ts"),
+        (F.col("id") + 10_000_000).alias("event_id"),
+    )
+    return bot.unionAll(normals)
+
+
+def test_capped_sessionization_segmented_matches_loop_on_heavy_hitter(spark):
+    """Round-5 verdict item #4: the segmented capped sessionizer must be
+    EXACTLY equal to the per-user sequential scan on a fixture with a bot
+    user owning ~10^6 events (98% of all rows), while advancing by session
+    (searchsorted) instead of looping per event in Python. Wall times are
+    printed for the SCALE.md record."""
+    import time
+
+    from slr207_mapreduce_spark.operators.skew import capped_sessions_segmented
+    from slr207_mapreduce_spark.plans.analytics_r4d import (
+        _SESS_SCHEMA,
+        _cap_sessions_fn,
+    )
+
+    ev = _skewed_events(spark, bot_events=1_000_000).cache()
+    ev.count()
+
+    t0 = time.perf_counter()
+    seg = capped_sessions_segmented(ev, gap_s=1800, cap_s=7200).collect()
+    t_seg = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    loop = (
+        ev.groupBy("user_id")
+        .applyInPandas(_cap_sessions_fn, schema=_SESS_SCHEMA)
+        .collect()
+    )
+    t_loop = time.perf_counter() - t0
+
+    key = lambda r: (r["user_id"], r["session_id"])  # noqa: E731
+    seg_m = {key(r): (r["n_events"], r["s_start"], r["s_end"]) for r in seg}
+    loop_m = {key(r): (r["n_events"], r["s_start"], r["s_end"]) for r in loop}
+    assert seg_m == loop_m
+    # the bot's 10^6 gap-free-ish events really did form long runs with
+    # many cap-break sessions (not a degenerate fixture)
+    bot_sessions = sum(1 for (u, _) in seg_m if u == 777)
+    assert bot_sessions > 5000
+    print(
+        f"\nheavy-hitter capped sessionization: segmented={t_seg:.2f}s "
+        f"per-event-loop={t_loop:.2f}s ({len(seg_m)} sessions, "
+        f"{bot_sessions} bot sessions)"
+    )
+    ev.unpersist()
+
+
+def test_salted_join_spreads_50pct_hot_key(spark):
+    """A join key owning 50% of the left rows: salted_join must (a) return
+    exactly the plain join's result and (b) spread the hot key's rows over
+    all num_salts shuffle groups within ~25% of perfect balance — the
+    mechanism that turns one straggler task into num_salts even ones."""
+    from slr207_mapreduce_spark.operators.skew import salted_join
+
+    n = 200_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("dim_val")
+    )
+    num_salts = 8
+    salted = salted_join(left, right, "k", num_salts=num_salts)
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count()
+    s = {(r["k"], r["payload"], r["dim_val"]) for r in salted.collect()}
+    p = {(r["k"], r["payload"], r["dim_val"]) for r in plain.collect()}
+    assert s == p
+
+    # the deterministic salt really splits the hot key into num_salts
+    # near-equal groups (each within 25% of n_hot / num_salts)
+    from pyspark.sql import functions as F2
+
+    salt = F2.pmod(F2.xxhash64(*left.columns), F2.lit(num_salts)).cast("int")
+    sizes = [
+        r["c"]
+        for r in left.where("k = 0")
+        .withColumn("__salt", salt)
+        .groupBy("__salt")
+        .agg(F2.count(F2.lit(1)).alias("c"))
+        .collect()
+    ]
+    n_hot = n // 2
+    assert len(sizes) == num_salts
+    assert max(sizes) < 1.25 * n_hot / num_salts, sizes
+    assert min(sizes) > 0.75 * n_hot / num_salts, sizes
