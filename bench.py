@@ -127,6 +127,45 @@ def main() -> int:
         except Exception as e:  # sf1 tier must never break the headline bench
             out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
 
+    # long-document tier: chunk/pack/minhash/CDC/BPE on a corpus whose
+    # largest doc is 100k tokens (tools/make_sf.ensure_longdoc). The
+    # O(tokens)-per-doc guarantees get a per-round timing record here;
+    # tests/test_longdoc.py::test_longdoc_timed_budget is the hard
+    # tripwire.
+    if os.environ.get("SPARK_GRAFT_LONGDOC", "1") != "0":
+        try:
+            from tools.make_sf import ensure_longdoc
+
+            ld_dir = ensure_longdoc(os.path.dirname(os.path.abspath(__file__)))
+            ld_queries = [
+                "pipeline_chunk_documents",
+                "pipeline_pack_sequences",
+                "dedup_minhash_lsh",
+                "dedup_cdc_chunks",
+                "text_bpe_apply",
+                "text_lm_score",
+            ]
+
+            def run_ld(name: str) -> float:
+                t0 = time.perf_counter()
+                specs[name].build(spark, ld_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                return time.perf_counter() - t0
+
+            ld_timings: dict[str, float] = {}
+            for name in ld_queries:
+                run_ld(name)  # warm
+                ld_timings[name] = round(min(run_ld(name) for _ in range(2)), 3)
+            out["longdoc"] = {
+                "max_doc_tokens": 100_000,
+                "queries": ld_timings,
+                "value": round(sum(ld_timings.values()), 3),
+                "runs_per_query": 2,
+            }
+        except Exception as e:
+            out["longdoc"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps(out))
     return 0
 

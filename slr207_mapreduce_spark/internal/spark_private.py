@@ -1,0 +1,101 @@
+"""The ONE module allowed to touch Spark private APIs (round-5 verdict
+item #10).
+
+The iterative graph operators need RDD-level control that the public
+DataFrame API does not expose: ``localCheckpoint`` blocks are pinned at
+the RDD layer, ``DataFrame.unpersist()`` goes through the CacheManager
+and never frees them, so superseded per-round checkpoints would live for
+the whole session and compound across the driver's query set (observed
+storage-pressure failures at sf0.1 before the release path existed).
+
+Everything here rides py4j handles that are version-sensitive
+(``df._jdf.queryExecution().analyzed()``, ``sc._jsc.getPersistentRDDs()``),
+so the module self-probes ONCE per process: ``capabilities()`` runs the
+full traverse-and-release cycle on a throwaway frame and caches the
+verdict. On a Spark build where the probe fails, every function degrades
+to the documented BOUNDED-LEAK path — ids come back empty, release is a
+no-op, correctness is untouched and only superseded checkpoint blocks
+stay pinned until session end. tests/test_graph.py pins both the happy
+path and the degradation contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_CAPABLE: bool | None = None
+
+
+def _probe(spark) -> bool:
+    """Exercise the exact private surface the adapters use, end-to-end, on
+    a 1-row frame: checkpoint → read the LogicalRDD id off the analyzed
+    plan → find it in the persistent-RDD map → unpersist → verify gone."""
+    try:
+        df = spark.range(1).localCheckpoint(eager=True)
+        rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+        sc = spark.sparkContext
+        found = False
+        for e in sc._jsc.getPersistentRDDs().entrySet().toArray():
+            if e.getKey() == rdd_id:
+                e.getValue().unpersist(False)
+                found = True
+        if not found:
+            return False
+        remaining = {
+            e.getKey() for e in sc._jsc.getPersistentRDDs().entrySet().toArray()
+        }
+        return rdd_id not in remaining
+    except Exception:
+        return False
+
+
+def capabilities(spark) -> bool:
+    """True when this Spark build supports the private checkpoint-release
+    surface (probed once per process, cached)."""
+    global _CAPABLE
+    if _CAPABLE is None:
+        _CAPABLE = _probe(spark)
+    return _CAPABLE
+
+
+def checkpointed_rdd_id(df: DataFrame) -> set[int]:
+    """{id of the RDD a localCheckpoint'ed frame wraps}, or empty set when
+    the plan shape is unexpected / the capability probe failed (degrade to
+    bounded leak, never risk releasing another query's blocks)."""
+    if not capabilities(df.sparkSession):
+        return set()
+    try:
+        return {df._jdf.queryExecution().analyzed().rdd().id()}
+    except Exception:
+        return set()
+
+
+def logical_rdd_leaf_ids(df: DataFrame) -> set[int]:
+    """Ids of every LogicalRDD leaf under ``df``'s analyzed plan — the
+    localCheckpoint blocks a (possibly projected) result frame pins.
+    Empty set on any failure (bounded-leak degradation)."""
+    if not capabilities(df.sparkSession):
+        return set()
+    ids: set[int] = set()
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                ids.add(leaf.rdd().id())
+    except Exception:
+        return set()
+    return ids
+
+
+def unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """RDD-level unpersist for exactly the given ids; no-op on empty input
+    or when the private surface is unavailable."""
+    if not ids:
+        return
+    try:
+        for e in sc._jsc.getPersistentRDDs().entrySet().toArray():
+            if e.getKey() in ids:
+                e.getValue().unpersist(False)
+    except Exception:
+        pass  # bounded leak beats a crash in a cleanup path

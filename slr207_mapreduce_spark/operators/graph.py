@@ -28,19 +28,19 @@ def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
     EXACTLY the RDD that ``localCheckpoint`` persisted, so the id comes
     straight off the frame — no diffing of the session-global persistent-RDD
     map, which under concurrent queries would capture (and later free)
-    blocks some OTHER query pinned in the same window.
+    blocks some OTHER query pinned in the same window. All private-API
+    access lives in internal/spark_private.py (one choke point with a
+    capability probe); on an incompatible Spark build the ids come back
+    empty and release degrades to the documented bounded leak.
     """
+    from slr207_mapreduce_spark.internal.spark_private import checkpointed_rdd_id
+
     ck = df.localCheckpoint(eager=True)
-    try:
-        return ck, {ck._jdf.queryExecution().analyzed().rdd().id()}
-    except Exception:
-        # unexpected plan shape: keep the block pinned rather than risk
-        # releasing someone else's (bounded leak beats wrong unpersist)
-        return ck, set()
+    return ck, checkpointed_rdd_id(ck)
 
 
 def _release_ids(sc, ids: set[int]) -> None:
-    """RDD-level unpersist for the given ids.
+    """RDD-level unpersist for the given ids (see internal/spark_private).
 
     ``DataFrame.unpersist()`` goes through the CacheManager and does NOT
     free ``localCheckpoint`` blocks (those are pinned at the RDD layer), so
@@ -51,11 +51,9 @@ def _release_ids(sc, ids: set[int]) -> None:
     derived from each checkpointed frame itself (see ``_ckpt``), never from
     a global diff, so concurrent queries' blocks are untouched.
     """
-    if not ids:
-        return
-    for e in sc._jsc.getPersistentRDDs().entrySet().toArray():
-        if e.getKey() in ids:
-            e.getValue().unpersist(False)
+    from slr207_mapreduce_spark.internal.spark_private import unpersist_rdd_ids
+
+    unpersist_rdd_ids(sc, ids)
 
 
 def result_checkpoint_ids(df: DataFrame) -> set[int]:
@@ -63,16 +61,9 @@ def result_checkpoint_ids(df: DataFrame) -> set[int]:
     localCheckpoint blocks the frame pins.  Empty set on any unexpected plan
     shape (the release path then degrades to the documented bounded leak
     instead of freeing someone else's blocks)."""
-    ids: set[int] = set()
-    try:
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            if leaf.getClass().getName().endswith("LogicalRDD"):
-                ids.add(leaf.rdd().id())
-    except Exception:
-        return set()
-    return ids
+    from slr207_mapreduce_spark.internal.spark_private import logical_rdd_leaf_ids
+
+    return logical_rdd_leaf_ids(df)
 
 
 def release_result(df: DataFrame) -> None:

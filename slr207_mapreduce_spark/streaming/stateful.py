@@ -248,16 +248,71 @@ class EventTypeCounts(StatefulProcessor):
         pass
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# Fallback state layout for builds without the transformWithState state
+# server (google.protobuf missing): the MapState[event_type → count] is
+# carried as two parallel arrays inside applyInPandasWithState's GroupState.
+_ETC_STATE_SCHEMA = StructType(
+    [
+        StructField("event_types", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _update_event_type_counts(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    counts: dict[str, int] = {}
+    if state.exists:
+        types, ns = state.get
+        counts = dict(zip(types, (int(n) for n in ns)))
+    for pdf in pdfs:
+        for et, cnt in pdf["event_type"].value_counts().items():
+            counts[et] = counts.get(et, 0) + int(cnt)
+    items = sorted(counts.items())
+    state.update(([k for k, _ in items], [v for _, v in items]))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(items),
+            "event_type": [k for k, _ in items],
+            "n_events": [v for _, v in items],
+        }
+    )
+
+
 def user_event_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Running per-(user, event_type) counts via transformWithStateInPandas
-    with MapState. Update-mode output; state lives per user partition."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .transformWithStateInPandas(
+    """Running per-(user, event_type) counts — MapState semantics, emitted
+    as the full sorted map for every user seen in a batch (update mode).
+
+    Engine selection is a runtime capability check: the Spark-4 typed-state
+    surface (transformWithStateInPandas + MapState) when its protobuf state
+    server can run, else the applyInPandasWithState fallback carrying the
+    map as array-typed GroupState. Same semantics either way — the
+    streaming e2e test runs unconditionally against THIS function, and the
+    typed-state processor keeps its protobuf-free unit test
+    (tests/test_streaming.py) plus the e2e path wherever protobuf exists."""
+    keyed = events.withWatermark("ts", watermark).groupBy("user_id")
+    if _has_protobuf():
+        return keyed.transformWithStateInPandas(
             statefulProcessor=EventTypeCounts(),
             outputStructType=TWS_OUTPUT_SCHEMA,
             outputMode="Update",
             timeMode="None",
         )
+    return keyed.applyInPandasWithState(
+        _update_event_type_counts,
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        stateStructType=_ETC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

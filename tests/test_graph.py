@@ -243,3 +243,45 @@ def test_checkpointing_queries_pin_only_their_result(spark):
         still = _pinned_rdd_ids(spark.sparkContext) - before
         # release frees every LogicalRDD leaf the result frame owns
         assert len(still) < max(1, len(leaked)) or not leaked, (name, still)
+
+
+def test_private_api_adapter_probe_and_degradation(spark):
+    """internal/spark_private is the one module allowed to touch Spark
+    private handles. Pin (a) the capability probe passes on THIS Spark
+    build (the version-pin that used to live implicitly in graph.py), and
+    (b) when the probe reports incapable, every adapter degrades to the
+    bounded-leak contract: empty ids, no-op release, no exceptions."""
+    from slr207_mapreduce_spark.internal import spark_private as sp
+
+    assert sp.capabilities(spark), (
+        "private checkpoint-release surface probe failed on this Spark "
+        "build — the graph operators are now on the bounded-leak path; "
+        "update internal/spark_private.py for this version"
+    )
+    ck = spark.range(3).localCheckpoint(eager=True)
+    ids = sp.checkpointed_rdd_id(ck)
+    assert len(ids) == 1
+    assert sp.logical_rdd_leaf_ids(ck.select((F.col("id") * 2).alias("x"))) == ids
+    sp.unpersist_rdd_ids(spark.sparkContext, ids)
+
+    # simulate an incompatible build: all adapters must degrade, not raise
+    prev = sp._CAPABLE
+    try:
+        sp._CAPABLE = False
+        ck2 = spark.range(2).localCheckpoint(eager=True)
+        assert sp.checkpointed_rdd_id(ck2) == set()
+        assert sp.logical_rdd_leaf_ids(ck2) == set()
+        sp.unpersist_rdd_ids(spark.sparkContext, set())  # no-op, no raise
+        # the operators still produce CORRECT results on the degraded path
+        from slr207_mapreduce_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+        )
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(edges).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    finally:
+        sp._CAPABLE = prev

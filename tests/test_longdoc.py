@@ -241,3 +241,44 @@ def test_chunk_oracle_property_matches_naive_python():
             con.close()
 
     prop()
+
+
+def test_longdoc_timed_budget(spark):
+    """Round-5 verdict item #9: hard regression tripwire for the O(tokens)
+    guarantees. The chunk/pack/minhash/CDC/BPE set must each finish on the
+    100k-token corpus within a GENEROUS per-query budget (20 s warm on
+    local[32]; steady-state is well under 2 s, so only a complexity-class
+    regression — an accidental O(tokens^2) explode or pair blow-up — can
+    trip this). bench.py's "longdoc" section records the actual timings
+    per round."""
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.make_sf import ensure_longdoc
+
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    ld_dir = ensure_longdoc(os.path.join(os.path.dirname(__file__), ".."))
+    specs = all_queries()
+    names = [
+        "pipeline_chunk_documents",
+        "pipeline_pack_sequences",
+        "dedup_minhash_lsh",
+        "dedup_cdc_chunks",
+        "text_bpe_apply",
+        "text_lm_score",
+    ]
+    BUDGET_S = 20.0
+    times = {}
+    for name in names:
+        df = specs[name].build(spark, ld_dir)
+        df.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.perf_counter()
+        specs[name].build(spark, ld_dir).write.mode("overwrite").format("noop").save()
+        times[name] = time.perf_counter() - t0
+        assert times[name] < BUDGET_S, (
+            f"{name} took {times[name]:.1f}s on the 100k-token corpus — "
+            f"O(tokens) guarantee regressed (budget {BUDGET_S}s)"
+        )
+    print("\nlongdoc timed tier:", {k: round(v, 2) for k, v in times.items()})

@@ -400,25 +400,16 @@ def test_stateful_running_totals(spark, tmp_path):
     assert got == want
 
 
-def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState's state server speaks protobuf; "
-    "google.protobuf is not installed in this container",
-)
-def test_transform_with_state_event_type_counts(spark, tmp_path):
-    """transformWithStateInPandas (typed MapState): final per-(user,
+def test_stateful_event_type_counts_e2e(spark, tmp_path):
+    """Typed MapState semantics end-to-end (no skip): final per-(user,
     event_type) counts across micro-batches must equal the batch groupBy.
-    Update-mode memory sink keeps every emission; the LAST row per key is
-    the final state."""
+    user_event_type_counts selects its engine at runtime —
+    transformWithStateInPandas where the protobuf state server can run,
+    the array-state applyInPandasWithState fallback otherwise — so this
+    e2e contract is exercised on EVERY build; the typed-state processor
+    additionally keeps its protobuf-free unit test below. Update-mode
+    memory sink keeps every emission; the LAST row per key is the final
+    state."""
     from slr207_mapreduce_spark.sources.tables import load_table
     from slr207_mapreduce_spark.streaming.ops import read_events_stream
     from slr207_mapreduce_spark.streaming.stateful import user_event_type_counts

@@ -116,6 +116,71 @@ def ensure_sf1(repo_root: str) -> str:
     return out
 
 
+def ensure_longdoc(repo_root: str) -> str:
+    """Deterministic long-document corpus for the timed tier under
+    <repo>/.sfgen/longdoc (documents.parquet only — the long-doc queries
+    touch no other table). Mirrors tests/test_longdoc.py's fixture shape:
+    Zipf-ish vocabulary, lengths up to 100k tokens, near-dup pairs for the
+    1k+ docs, plus two pathologically repetitive docs. Seeded RNG →
+    byte-reproducible."""
+    import random
+
+    out = os.path.join(repo_root, ".sfgen", "longdoc")
+    path = os.path.join(out, "documents.parquet")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    rng = random.Random(20260813)
+    lengths = [
+        5, 50, 255, 256, 257, 300, 448, 449, 450, 640, 641,
+        1_000, 2_047, 2_048, 2_049, 3_000, 5_000, 8_000,
+        10_000, 15_000, 25_000, 40_000, 60_000, 100_000,
+    ]
+
+    def make_doc(n_tok: int) -> str:
+        return " ".join(
+            f"w{int(rng.paretovariate(1.1)) % 5000}" for _ in range(n_tok)
+        )
+
+    rows = []
+    doc_id = 0
+    for n in lengths:
+        text = make_doc(n)
+        rows.append((doc_id, text, "en", f"src{doc_id % 4}", len(text)))
+        doc_id += 1
+        if n >= 1_000:
+            toks = text.split(" ")
+            for _ in range(max(1, n // 1000)):
+                toks[rng.randrange(len(toks))] = f"w{rng.randrange(5000)}"
+            dup = " ".join(toks)
+            rows.append((doc_id, dup, "en", f"src{doc_id % 4}", len(dup)))
+            doc_id += 1
+    for n_rep, para_len in ((500, 40), (2_000, 97)):
+        para = make_doc(para_len)
+        text = " ".join([para] * n_rep)
+        rows.append((doc_id, text, "en", f"src{doc_id % 4}", len(text)))
+        doc_id += 1
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
