@@ -175,24 +175,17 @@ def capped_sessions_segmented(
 
     sess = e.groupBy("user_id", "run_id").applyInPandas(run_sessions, out_schema)
 
-    # renumber runs into the per-user sequential session_id: offset of run r
-    # = total sessions of runs < r (window over per-run summary rows)
-    wr = Window.partitionBy("user_id").orderBy("run_id")
-    counts = sess.groupBy("user_id", "run_id").agg(F.max("local_sid").alias("__c"))
-    offs = counts.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__c").over(wr.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).drop("__c")
-    return (
-        sess.join(offs, ["user_id", "run_id"])
-        .select(
-            "user_id",
-            (F.col("__off") + F.col("local_sid")).alias("session_id"),
-            "n_events",
-            "s_start",
-            "s_end",
-        )
+    # renumber into the per-user sequential session_id: runs are
+    # chronological and local sids are 1..k within each run, so ONE
+    # row_number over the (tiny) session summary rows reproduces the
+    # sequential numbering — no self-join (which would re-execute the
+    # whole pandas stage for both sides), no extra shuffle beyond the
+    # per-user window
+    wr = Window.partitionBy("user_id").orderBy("run_id", "local_sid")
+    return sess.select(
+        "user_id",
+        F.row_number().over(wr).cast("long").alias("session_id"),
+        "n_events",
+        "s_start",
+        "s_end",
     )

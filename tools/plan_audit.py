@@ -83,6 +83,13 @@ def main() -> int:
         "text_oov_rate",
         "stats_profile_drift",
         "knn_jl_rerank",
+        # Round-6 operators.
+        "multimodal_png_roundtrip",
+        "events_sessionization_capped",
+        "events_sessionization_capped_segmented",
+        "knn_quantized_int8",
+        "warehouse_snapshot_diff",
+        "graph_bfs_distances",
     ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
