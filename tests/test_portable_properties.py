@@ -134,3 +134,22 @@ def test_query_results_invariant_under_parallelism(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for name, (a, b) in results.items():
         assert a == b, f"{name}: results differ across parallelism"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 13),
+    st.integers(1, 13),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, seed):
+    """encode_png → decode_png is identity for ANY 8-bit RGB image —
+    arbitrary dimensions (every filter-type phase 0-4 as h varies) and
+    arbitrary pixel content from a seeded generator."""
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype="uint8")
+    assert np.array_equal(decode_png(encode_png(img)), img)
