@@ -194,20 +194,22 @@ def knn_lsh_bucketed(
     from pyspark.sql import Window
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:
-        parts = []
-        for t in range(tables):
-            key = signbit_bucket_dims(F.col(vec_col), _table_dims(t, bits, dim))
-            parts.append(
-                df.select(
-                    F.col(id_col).alias(out_id),
+        # ONE scan computing every table's bucket key, then an inline
+        # explode to (id, tbl, bkey) rows — a union-per-table here would
+        # rescan the corpus `tables` times (8 full passes over a 100 TB
+        # embedding table; caught by the round-6 sf1 plan audit)
+        entries = F.array(
+            *[
+                F.struct(
                     F.lit(t).cast("int").alias("tbl"),
-                    key.alias("bkey"),
+                    signbit_bucket_dims(
+                        F.col(vec_col), _table_dims(t, bits, dim)
+                    ).alias("bkey"),
                 )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
+                for t in range(tables)
+            ]
+        )
+        return df.select(F.col(id_col).alias(out_id), F.inline(entries))
 
     qb = buckets(queries, "query_id")
     cb = buckets(corpus, "neighbor_id")
