@@ -114,26 +114,25 @@ def stats_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.1)).alias("p10"),
         F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
     )
-    joined = li.join(F.broadcast(med), "l_returnflag")
-    mad = joined.groupBy("l_returnflag").agg(
-        F.median(F.abs(F.col("l_quantity") - F.col("med_qty"))).alias("mad_qty")
-    )
-    trimmed = (
-        joined.where(
-            (F.col("l_quantity") >= F.col("p10")) & (F.col("l_quantity") <= F.col("p90"))
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            (
-                F.sum(dec("l_quantity")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("trimmed_mean")
-        )
+    # second (and last) fact pass: MAD and the trimmed mean fold into ONE
+    # aggregation over the cutoff-joined scan — conditional sum/count
+    # instead of a separate filtered pass, and med_qty rides along via
+    # first() instead of a third join back to `med`. Two scans total,
+    # the information-theoretic floor (MAD needs the median first).
+    in_band = (F.col("l_quantity") >= F.col("p10")) & (
+        F.col("l_quantity") <= F.col("p90")
     )
     return (
-        med.select("l_returnflag", "med_qty")
-        .join(mad, "l_returnflag")
-        .join(trimmed, "l_returnflag")
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("med_qty").alias("med_qty"),
+            F.median(F.abs(F.col("l_quantity") - F.col("med_qty"))).alias("mad_qty"),
+            (
+                F.sum(F.when(in_band, dec("l_quantity"))).cast("double")
+                / F.count(F.when(in_band, F.lit(1))).cast("double")
+            ).alias("trimmed_mean"),
+        )
     )
 
 

@@ -91,36 +91,47 @@ def events_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Ordered funnel (view → click → purchase): each stage keeps users "
     "whose stage event STRICTLY follows their previous stage's first "
-    "event. Three self-aggregation+join rounds — the multi-round "
-    "MapReduce shape of reference O8+O9 chained; every join is on "
-    "user_id so AQE can co-partition the chain.",
+    "event. ONE scan + one per-user shuffle: the three stage times are "
+    "chained window minimums over the same user partition (t2's "
+    "predicate references t1, a window value — no self-join, no "
+    "re-scan; the naive three-round join chain scanned events six "
+    "times), then a per-user dedup and three global counts.",
     tags=("events", "funnel"),
 )
 def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events").withColumn("es", _epoch_s())
-    s1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("es").alias("t1"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("es"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("es") > F.col("t1")),
+                    F.col("es"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("es") > F.col("t2")),
+                    F.col("es"),
+                )
+            ).over(w),
+        )
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
     )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("es") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("es").alias("t2"))
-    )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("es") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("es").alias("t3"))
-    )
-    return (
-        s1.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    return staged.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
     )
 
 

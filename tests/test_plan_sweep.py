@@ -47,7 +47,6 @@ BNLJ_ALLOWED = {
     "text_bm25",
     "text_keyword_tfidf_topk",
     "window_ntile",
-    "events_funnel_stages",
     "graph_triangle_count",
     # deliberate cross join (tiny fixed side)
     "join_cross",
