@@ -217,7 +217,10 @@ def graph_degree_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
         .distinct()
     )
-    nodes = e.select(F.col("a").alias("node")).unionAll(e.select(F.col("b").alias("node")))
+    # explode both endpoints from ONE evaluation of the edge frame — a
+    # src/dst unionAll would re-execute the lineitem self-join + distinct
+    # for each branch (audited: 4 lineitem scans, now 2)
+    nodes = e.select(F.explode(F.array("a", "b")).alias("node"))
     return (
         nodes.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))

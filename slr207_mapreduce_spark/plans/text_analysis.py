@@ -268,41 +268,76 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BM25's ln — because ln() itself differs by 1 ulp between JVM and "
     "libm (measured: 40/500 operands), which would break bit-exactness; "
     "per-term ordering is identical. Scores are fixed-point e9 summed as "
-    "integers, so the output is engine-exact. Shape: two token "
-    "aggregations + a broadcast of tiny df/stats — one corpus scan.",
+    "integers, so the output is engine-exact. Shape: one tokenize+agg "
+    "pass folds dl AND every query term's tf; a second global pass folds "
+    "corpus stats AND per-term df into a 1-row broadcast — two corpus "
+    "scans total, the floor without materializing the per-doc frame "
+    "(was four: dl/tf/stats each re-tokenized).",
     tags=("text", "ranking"),
 )
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slr207_mapreduce_spark.functions.portable import dec
 
+    QUERY_TERMS = ("join", "hash", "scan")
     d = load_table(spark, "documents", sf_dir)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
         F.length("term") > 0
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    stats = dl.agg(
+    # ONE tokenize + aggregate pass computes the doc length AND each query
+    # term's tf (conditional counts). Every downstream consumer (corpus
+    # stats, df, scoring) derives from this identical pre-shuffle subplan,
+    # so the planner's ReuseExchange collapses them to a single corpus
+    # scan — the naive dl/tf/stats branches each re-tokenized the corpus
+    # (audited: 4 document scans, now 1).
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, F.lit(1)))
+            .cast("double")
+            .alias(f"tf_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    # global pass (scan 2 of 2): corpus stats AND each term's document
+    # frequency fold into one 1-row broadcastable summary
+    summary = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
             F.sum(dec("dl", 18, 1)).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, F.lit(1)))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
     )
-    tf = (
-        toks.where(F.col("term").isin("join", "hash", "scan"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"), F.col(f"tf_{t}").alias("tf")
+                    )
+                    for t in QUERY_TERMS
+                ]
+            )
+        ),
+    ).where(F.col("tf") > 0)
+    df_of_term = F.create_map(
+        *[x for t in QUERY_TERMS for x in (F.lit(t), F.col(f"df_{t}"))]
+    )[F.col("term")]
     k1, b = F.lit(1.5), F.lit(0.75)
     s = (
-        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        ((F.col("n_docs") - df_of_term + 0.5) / (df_of_term + 0.5) + 1.0)
         * (F.col("tf") * (k1 + 1.0))
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     return (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(summary))
         .select("doc_id", s.alias("s"))
         .groupBy("doc_id")
         .agg(F.sum(F.floor(F.col("s") * 1e9).cast("long")).cast("long").alias("bm25_e9"))
