@@ -26,6 +26,7 @@ allowlist entry in review — silent regressions fail CI.
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 from tests.conftest import SF_SMOKE
 
@@ -62,6 +63,28 @@ BNLJ_ALLOWED = {
 }
 
 TINY_TABLES = {"region", "nation"}
+
+# Per-table scan budget: a query may scan any one fact table at most this
+# many times (region/nation are free — they're 5/25 rows at every SF). A
+# scan count above the default means a branchy plan re-reads the fact —
+# one full pass per scan at 100 TB (the round-6 audit cut knn_lsh_bucketed
+# 18→4, text_bm25 4→2, events_funnel_stages 6→1, stats_robust 5→2,
+# graph_degree_hubs 4→2 this way). Audited exceptions only:
+SCAN_BUDGET_DEFAULT = 3
+SCAN_BUDGET_EXCEPTIONS = {
+    # IVF/PQ: centroid derivation + assignment + candidate fetch are
+    # separate passes by design; production materializes the lists
+    "knn_ivf": 6,
+    "knn_pq_adc": 6,
+    # corpus-vs-batch operators read the same physical table as two
+    # logical tables (distinct filters) plus verification joins
+    "pipeline_incremental_dedup": 5,
+    "dedup_minhash_estimator_error": 5,
+    # labeled verification tiers / rerank paths
+    "dedup_ngram_jaccard": 4,
+    "knn_jl_rerank": 4,
+    "knn_lsh_bucketed": 4,
+}
 
 
 def _midplan_global_sort(simple: str) -> bool:
@@ -127,6 +150,16 @@ def test_full_registry_plan_sweep(spark):
         tiny = _smj_tiny_sides(df)
         if tiny:
             probs.append(f"SortMergeJoin with tiny side {tiny}")
+        formatted = jvm.PythonSQLUtils.explainString(qe, "formatted")
+        scans = Counter(
+            re.findall(r"InMemoryFileIndex \[[^\]]*?(\w+)\.parquet", formatted)
+        )
+        budget = SCAN_BUDGET_EXCEPTIONS.get(name, SCAN_BUDGET_DEFAULT)
+        over = {
+            t: n for t, n in scans.items() if n > budget and t not in TINY_TABLES
+        }
+        if over:
+            probs.append(f"table re-scanned past budget {budget}: {over}")
         if probs:
             violations[name] = probs
     assert not violations, f"plan anti-patterns: {violations}"
