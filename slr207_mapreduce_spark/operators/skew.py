@@ -106,86 +106,68 @@ def capped_sessions_segmented(
     events: DataFrame, gap_s: int = 1800, cap_s: int = 7200
 ) -> DataFrame:
     """Heavy-hitter-safe capped sessionization (gap + hard duration cap),
-    exactly equal to the per-user sequential scan but bounded under a bot
-    user with millions of events.
+    exactly equal to the per-user sequential Python scan but vectorized:
+    one group per user, with the group body doing numpy work instead of a
+    per-event Python loop.
 
-    Decomposition: a break fires on (a) inactivity gap > gap_s or (b)
-    session duration > cap_s. Gap breaks are window-expressible, and every
-    gap-run (maximal stretch with all gaps <= gap_s) starts a fresh
-    session, so runs are INDEPENDENT — the sequential cap recurrence never
-    crosses a run boundary. Within a run only cap breaks remain, and the
-    chain s_{k+1} = first ts > s_k + cap advances by > cap_s per step, so
-    a run of duration L has <= L/cap_s + 1 sessions: the pandas stage
-    walks SESSIONS with numpy searchsorted (O(sessions * log n)) instead
-    of every event in Python — the bot user costs ~140 searchsorted calls
-    per simulated day, not 10^6 loop iterations. Session ids are
-    renumbered per user by a window over per-run session counts (tiny
-    summary rows), preserving the sequential contract's numbering.
+    Inside a user's sorted events: gap breaks come from ONE vectorized
+    np.diff (every gap > gap_s starts a run, and a run always starts a
+    fresh session); within a run only cap breaks remain, and the chain
+    s_{k+1} = first ts > s_k + cap advances by > cap_s per step, so a run
+    of duration L has <= L/cap_s + 1 sessions — the Python loop walks
+    SESSIONS with searchsorted (O(sessions * log n)), not events. A bot
+    user with 10^6 events costs one vectorized sort + ~10^4 searchsorted
+    calls, not 10^6 interpreter iterations.
 
-    The remaining skew bound is the JVM window sort and one arrow batch
-    per (user, run) group — O(bot events) bytes on one task, the floor any
-    exact per-user operator has without time-slicing state handoff."""
+    Two earlier shapes both lost at scale: the per-event loop serializes
+    O(events) Python on the bot's single task, and grouping by (user,
+    gap-run) explodes normal traffic into one Arrow group per run
+    (measured 277 s vs 10 s at sf1's 10^6 events x 10^5 users). One group
+    per user with a vectorized body keeps group count = users AND bounds
+    the per-group Python at O(sessions log n); the remaining per-task
+    floor is the bot's Arrow batch — O(events) bytes, inherent to any
+    exact per-user operator without state handoff."""
+    import numpy as np
     import pandas as pd
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = (
-        events.select("user_id", "ts", "event_id")
-        .withColumn(
-            "__gap_break",
-            (
-                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-                > F.lit(gap_s)
-            ).cast("int"),
-        )
-        .fillna({"__gap_break": 0})
-        .withColumn("run_id", F.sum("__gap_break").over(w))
-        .drop("__gap_break")
-    )
-
     out_schema = (
-        "user_id BIGINT, run_id BIGINT, local_sid BIGINT, n_events BIGINT, "
+        "user_id BIGINT, session_id BIGINT, n_events BIGINT, "
         "s_start TIMESTAMP, s_end TIMESTAMP"
     )
+    gap = np.timedelta64(gap_s, "s")
+    cap = np.timedelta64(cap_s, "s")
 
-    def run_sessions(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
+    def user_sessions(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         ts = pdf["ts"].to_numpy()
         n = len(ts)
-        cap = np.timedelta64(cap_s, "s")
-        starts = []
-        i = 0
-        while i < n:
-            starts.append(i)
-            # first event with ts STRICTLY past start + cap (break is '>')
-            i = int(np.searchsorted(ts, ts[i] + cap, side="right"))
-        bounds = starts + [n]
-        rows = {
-            "user_id": pdf["user_id"].iloc[:1].repeat(len(starts)).to_numpy(),
-            "run_id": pdf["run_id"].iloc[:1].repeat(len(starts)).to_numpy(),
-            "local_sid": np.arange(1, len(starts) + 1, dtype="int64"),
-            "n_events": np.diff(bounds).astype("int64"),
-            "s_start": ts[starts],
-            "s_end": ts[np.array(bounds[1:]) - 1],
-        }
-        return pd.DataFrame(rows)
+        # run boundaries: indexes where the inactivity gap exceeds gap_s
+        run_edges = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ts) > gap) + 1, [n])
+        )
+        starts: list[int] = []
+        for ri in range(len(run_edges) - 1):
+            lo, hi = int(run_edges[ri]), int(run_edges[ri + 1])
+            i = lo
+            while i < hi:
+                starts.append(i)
+                # first event STRICTLY past start + cap (break is '>')
+                i = lo + int(
+                    np.searchsorted(ts[lo:hi], ts[i] + cap, side="right")
+                )
+        bounds = np.array(starts + [n])
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1].repeat(len(starts)).to_numpy(),
+                "session_id": np.arange(1, len(starts) + 1, dtype="int64"),
+                "n_events": np.diff(bounds).astype("int64"),
+                "s_start": ts[bounds[:-1]],
+                "s_end": ts[bounds[1:] - 1],
+            }
+        )
 
-    sess = e.groupBy("user_id", "run_id").applyInPandas(run_sessions, out_schema)
-
-    # renumber into the per-user sequential session_id: runs are
-    # chronological and local sids are 1..k within each run, so ONE
-    # row_number over the (tiny) session summary rows reproduces the
-    # sequential numbering — no self-join (which would re-execute the
-    # whole pandas stage for both sides), no extra shuffle beyond the
-    # per-user window
-    wr = Window.partitionBy("user_id").orderBy("run_id", "local_sid")
-    return sess.select(
-        "user_id",
-        F.row_number().over(wr).cast("long").alias("session_id"),
-        "n_events",
-        "s_start",
-        "s_end",
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandas(user_sessions, out_schema)
     )

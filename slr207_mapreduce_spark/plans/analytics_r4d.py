@@ -997,16 +997,15 @@ def events_sessionization_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization_capped_segmented",
     oracle=_SESS_CAPPED_ORACLE,
     doc="Heavy-hitter-safe variant of events_sessionization_capped — same "
-    "semantics (same oracle), skew-bounded execution: gap breaks are "
-    "window-expressible and every gap-run starts a fresh session, so the "
-    "sequential cap recurrence is confined to each (user, run) group; "
-    "inside a run the pandas stage advances by SESSION (numpy "
-    "searchsorted, <= duration/cap + 1 steps) instead of looping every "
-    "event in Python, then run-local ids renumber via a window over "
-    "per-run session counts. A bot user with 10^6 gap-free events costs "
-    "~140 searchsorted calls per simulated day instead of 10^6 loop "
-    "iterations (measured: see SCALE.md round-6 note and "
-    "tests/test_skew_and_io.py).",
+    "semantics (same oracle), vectorized execution: one group per user "
+    "(no group-count explosion), with the group body splitting gap-runs "
+    "via one numpy diff and advancing by SESSION with searchsorted "
+    "(<= duration/cap + 1 steps per run) instead of looping every event "
+    "in Python. A bot user with 10^6 gap-free events costs one "
+    "vectorized sort + ~10^4 searchsorted calls instead of 10^6 "
+    "interpreter iterations; measured 9.5 s vs the loop's 17 s on the "
+    "98%-skew fixture and 6 s vs 12 s at sf1 (see SCALE.md round-6 note "
+    "and tests/test_skew_and_io.py).",
     tags=("events", "session", "udf", "skew"),
 )
 def events_sessionization_capped_segmented(

@@ -41,6 +41,13 @@ SCALE_DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.parquet.compression.codec": "zstd",
+    # local[N] runs driver and executors in ONE JVM whose heap defaults to
+    # 1g — on a 32-core/128 GiB box that heap is what OOMed the sf1
+    # triangle-count edge materialization (concurrent broadcast builds
+    # under STAGE_MATERIALIZATION). 24g is ~20% of the box; on a real
+    # cluster spark-submit owns driver/executor memory and this launch
+    # conf is ignored for an already-running JVM.
+    "spark.driver.memory": "24g",
     # columnar shuffle/storage stay default; whole-stage codegen is on by default
 }
 
