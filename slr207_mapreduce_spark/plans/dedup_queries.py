@@ -263,3 +263,68 @@ def dedup_substring_span_positions(spark: SparkSession, sf_dir: str) -> DataFram
         "span_hash",
         (F.col("doc_id") == F.col("first_doc")).alias("is_canonical"),
     )
+
+
+def _streaming_gate_oracle() -> str:
+    """DuckDB SQL for dedup_streaming_gate_batch: the minhash_lsh_sql
+    signature/band CTEs, with the candidate join restricted across the
+    odd-id (stream) / even-id (corpus) split."""
+    num_hashes, band_size, shingle_n = 6, 2, 3
+    num_bands = num_hashes // band_size
+    mins = ",\n             ".join(
+        f"MIN({portable_hash64_lane_sql('s', *divmod(s, 2))}) AS h{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(num_bands):
+        cols = [f"h{b * band_size + j}" for j in range(band_size)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bkey FROM mh"
+        )
+    bands = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH __tk AS ({shingle_tokens_cte_sql()}),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('__t', shingle_n)}) AS s
+      FROM __tk
+    ),
+    mh AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT DISTINCT st.doc_id AS doc_id, c.doc_id AS corpus_doc_id
+    FROM bands st JOIN bands c
+      ON st.band = c.band AND st.bkey = c.bkey
+    WHERE st.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    """
+
+
+@register(
+    "dedup_streaming_gate_batch",
+    oracle=_streaming_gate_oracle(),
+    doc="Batch contract of the streaming ingestion near-dup gate "
+    "(streaming/ops.py::streaming_neardup_candidates): odd-id documents "
+    "play the arriving stream, even-id documents the accumulated corpus; "
+    "a stream doc is flagged against every corpus doc sharing an LSH "
+    "band bucket. The stream side computes MinHash signatures ROW-"
+    "LOCALLY (array_min over transformed shingle arrays — a stateless "
+    "projection with zero shuffle, legal in any streaming output mode), "
+    "bit-identical to the batch explode+groupBy path (pinned in "
+    "tests/test_streaming.py); the corpus band table broadcasts per "
+    "micro-batch so arriving data never shuffles. Oracle: the same md5-"
+    "lane signature + band-key join in SQL, restricted across the "
+    "odd/even split.",
+    tags=("dedup", "streaming", "lsh"),
+)
+def dedup_streaming_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.streaming.ops import streaming_neardup_candidates
+
+    docs = load_table(spark, "documents", sf_dir)
+    return streaming_neardup_candidates(
+        docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0")
+    ).distinct()

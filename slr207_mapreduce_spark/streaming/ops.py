@@ -229,3 +229,110 @@ def write_stream(
         .outputMode(output_mode)
         .start()
     )
+
+
+# --- streaming near-dup gate (MinHash-LSH against a static corpus) --------
+#
+# The ingestion-time twin of the batch dedup family: documents arriving on
+# a stream are flagged when they share any LSH band bucket with an
+# accumulated corpus. The stream side computes its MinHash signature
+# ROW-LOCALLY (array_min over transformed shingle arrays — a stateless
+# projection, no explode/groupBy, so it is legal in any streaming output
+# mode and adds ZERO shuffle); the corpus side uses the batch operators
+# (operators/dedup.py) whose hash family and band keys are bit-identical,
+# so a stream doc and a corpus doc agree on a bucket exactly when the
+# batch LSH join would pair them.
+
+
+def _rowlocal_minhash_cols(num_hashes: int, shingle_n: int) -> list[str]:
+    """SQL expressions h0..h{k-1}: per-row MinHash over the text column,
+    same md5-lane family as operators/dedup.minhash_signatures (min taken
+    over fixed-width hex lanes — lexicographic == numeric — then one
+    conv per doc)."""
+    refs = ", ".join(f"t[i+{j}-1]" for j in range(shingle_n))
+    sh = (
+        f"CASE WHEN size(t) < {shingle_n} THEN array() "
+        f"ELSE transform(sequence(1, size(t) - {shingle_n - 1}), "
+        f"i -> concat_ws(' ', {refs})) END"
+    )
+    cols = [f"{sh} AS __sh"]
+    for s in range(num_hashes):
+        p, lane = s // 2, s % 2
+        cols.append(
+            f"CAST(conv(array_min(transform(__sh_ref, "
+            f"x -> substring(md5(concat('s{p}|', x)), {1 + 16 * lane}, 15))), "
+            f"16, 10) AS BIGINT) AS h{s}"
+        )
+    return cols
+
+
+def streaming_lsh_band_keys(
+    docs: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, band, bkey) rows for a STREAMING document frame — the
+    stateless row-local formulation of doc_shingles → minhash_signatures →
+    lsh_bands (same bits; pinned against the batch path in tests). Docs
+    with fewer than ``shingle_n`` tokens have no shingles and emit no
+    rows, matching the batch path."""
+    sig_cols = _rowlocal_minhash_cols(num_hashes, shingle_n)
+    shingled = docs.selectExpr(id_col, "split(text, ' ') AS t").selectExpr(
+        id_col, sig_cols[0]
+    )
+    sigs = shingled.selectExpr(
+        id_col, *[c.replace("__sh_ref", "__sh") for c in sig_cols[1:]]
+    ).where("h0 IS NOT NULL")
+    num_bands = num_hashes // band_size
+    entries = []
+    for b in range(num_bands):
+        cols = [f"h{b * band_size + j}" for j in range(band_size)]
+        key = (
+            "md5(concat_ws('_', "
+            + ", ".join(f"CAST({c} AS STRING)" for c in cols)
+            + "))"
+        )
+        entries.append(f"struct(CAST({b} AS INT) AS band, {key} AS bkey)")
+    return sigs.selectExpr(
+        id_col, f"explode(array({', '.join(entries)})) AS __bk"
+    ).selectExpr(id_col, "__bk.band AS band", "__bk.bkey AS bkey")
+
+
+def streaming_neardup_candidates(
+    docs_stream: DataFrame,
+    corpus_docs: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup gate at ingestion: (doc_id, corpus_doc_id) for every stream
+    document sharing an LSH band bucket with the static corpus. A doc
+    pairing in several bands emits several rows — consumers dedup per
+    batch (a streaming-global distinct would need unbounded state; the
+    per-batch multiplicity is at most num_bands). The corpus band table is
+    tiny relative to the corpus (num_bands rows per doc, two short
+    columns) and broadcast per micro-batch, so arriving data never
+    shuffles — the same shape that lets a 100 TB corpus gate a firehose
+    when the band table is pre-built and bucketed."""
+    from slr207_mapreduce_spark.operators.dedup import (
+        doc_shingles,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    stream_bands = streaming_lsh_band_keys(
+        docs_stream, num_hashes, band_size, shingle_n
+    )
+    corpus_bands = lsh_bands(
+        minhash_signatures(
+            doc_shingles(corpus_docs, "doc_id", shingle_n, distinct=False),
+            num_hashes,
+        ),
+        num_hashes,
+        band_size,
+    ).select(F.col("doc_id").alias("corpus_doc_id"), "band", "bkey")
+    return stream_bands.join(F.broadcast(corpus_bands), ["band", "bkey"]).select(
+        "doc_id", "corpus_doc_id"
+    )

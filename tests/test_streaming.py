@@ -585,3 +585,88 @@ def test_streaming_json_quarantine_matches_batch(spark, tmp_path):
     )
     assert got == batch
     assert sum(1 for _, _, q in got if q) == len([i for i in range(100) if i % 13 == 0])
+
+
+def test_streaming_lsh_band_keys_match_batch_path(spark):
+    """The row-local streaming MinHash/band formulation must be
+    bit-identical to the batch doc_shingles → minhash_signatures →
+    lsh_bands pipeline on the same documents — same md5 lanes, same hex
+    min, same band keys."""
+    from slr207_mapreduce_spark.operators.dedup import (
+        doc_shingles,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import streaming_lsh_band_keys
+
+    d = load_table(spark, "documents", SF_SMOKE).limit(300)
+    got = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in streaming_lsh_band_keys(d).collect()
+    }
+    want = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in lsh_bands(
+            minhash_signatures(doc_shingles(d, "doc_id", 3, distinct=False), 6), 6, 2
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_neardup_gate_matches_batch_join(spark, tmp_path):
+    """E2E ingestion gate: documents replayed as a 2-file stream must flag
+    exactly the (stream doc, corpus doc) pairs the batch LSH band join
+    finds — including the near-duplicate planted in the stream."""
+    import os as o
+    import shutil as sh
+
+    from pyspark.sql import functions as F2
+
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import (
+        run_to_memory,
+        streaming_neardup_candidates,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    corpus = docs.where("doc_id % 2 = 0").cache()
+    # stream side: odd docs + one PLANTED near-dup of corpus doc 0
+    planted = corpus.where("doc_id = 0").select(
+        F2.lit(999_999).cast("long").alias("doc_id"),
+        F2.concat(F2.col("text"), F2.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    stream_docs = docs.where("doc_id % 2 = 1").limit(200).unionByName(planted).cache()
+
+    d = str(tmp_path / "doc_stream")
+    o.makedirs(d)
+    stream_docs.where("doc_id < 100").coalesce(1).write.parquet(d + "/b1")
+    stream_docs.where("doc_id >= 100").coalesce(1).write.parquet(d + "/b2")
+    flat = str(tmp_path / "flat")
+    o.makedirs(flat)
+    i = 0
+    for sub in ("b1", "b2"):
+        for f in sorted(o.listdir(d + "/" + sub)):
+            if f.endswith(".parquet"):
+                sh.copy(f"{d}/{sub}/{f}", f"{flat}/{i:02d}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(docs.schema)
+        .parquet(flat)
+    )
+    got = {
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in run_to_memory(
+            streaming_neardup_candidates(stream, corpus), "t_neardup"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in streaming_neardup_candidates(stream_docs, corpus).collect()
+    }
+    assert got == want and len(want) > 0
+    assert (999_999, 0) in got, "planted near-duplicate not flagged"
