@@ -90,6 +90,12 @@ def main() -> int:
         "knn_quantized_int8",
         "warehouse_snapshot_diff",
         "graph_bfs_distances",
+        "dedup_streaming_gate_batch",
+        "events_funnel_stages",
+        "stats_robust",
+        "graph_degree_hubs",
+        "text_bm25",
+        "knn_lsh_bucketed",
     ]
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
