@@ -64,6 +64,19 @@ def register(
 # Every name listed here has an oracle (hash verdicts, not `no_oracle`
 # rows).  tests/test_oracle.py::test_driver_sample_rotation pins this
 # contract.
+#
+# ROUND-7 ROTATION PLAN (do this next round): assuming r06 adjudicates
+# this window, 103 oracled names remain with no driver evidence — fill
+# the next 45 slots from (priority order): the remaining agg_* block
+# (~18), the scalar_* block (~16), the full events_* block (~13),
+# pipeline_* (~16, incl. curation_end_to_end / incremental_dedup /
+# ingest quarantines), text_* (~13, incl. the BPE family),
+# dedup_substring_* / simhash_pairs / streaming_gate_batch,
+# events_sessionization_capped_segmented, udf_map_in_arrow / udtf_*,
+# asof_* / cdc / scd2 / pivot / unpivot / warehouse_incremental.
+# Compute the exact list with:
+#   seen = union of CORRECTNESS_r0*.json keys; remaining = registry - seen
+# and update test_driver_sample_rotation's prior-rounds tuple to r01-r06.
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     # sentinels (driver-green in r01-r05)
     "wordcount_topk",
