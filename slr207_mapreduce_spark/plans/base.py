@@ -53,90 +53,93 @@ def register(
 
 # The driver's correctness comparator samples the FIRST 50 entries of
 # queries() each round.  Rounds 1-3 sampled the identical registration-order
-# slice; round 4 rotated to the dedup/knn/pipeline/text/hard-TPCH families
-# (driver-green in r04 AND r05).  Round 6 rotates again: 5 sentinels with a
-# multi-round green history anchor continuity, and the remaining 45 slots
-# surface names with ZERO driver adjudication across r01-r05 — multimodal_*
-# (the component promoted to done with no driver evidence), graph_*,
-# stats_*, window_*, scalar_*, the remaining TPC-H queries, and the
-# scale-risk operators the round-5 verdict called out (sessionization_capped,
-# overlap_join_bucketed, knn_jl_rerank/quantized_int8, histogram_equidepth).
+# slice; round 4/5 a second slice; round 6 rotated 45 never-adjudicated
+# names (multimodal/graph/stats/window/scalar/remaining-TPCH) and landed
+# 50/50 green (CORRECTNESS_r06.json), moving cumulative adjudication to
+# 140/245.  Round 7 (this list) rotates again per the plan the r06 verdict
+# ratified: the 5 multi-round-green sentinels anchor continuity, and the
+# 45 non-sentinel slots are drawn from the 105 names with ZERO driver
+# evidence across r01-r06, priority order from VERDICT.md r06 item 1 —
+# the full remaining agg_* block (18), samples of scalar_* / events_* /
+# pipeline_* / text_*, and every judge-named must-have:
+# dedup_streaming_gate_batch, events_sessionization_capped_segmented,
+# dedup_substring_spans / simhash_pairs, udf_map_in_arrow / udtf_*,
+# asof_* / cdc / scd2 / pivot / unpivot / warehouse_incremental.
 # Every name listed here has an oracle (hash verdicts, not `no_oracle`
 # rows).  tests/test_oracle.py::test_driver_sample_rotation pins this
-# contract.
+# contract (>=40 fresh names vs the r01-r06 union).
 #
-# ROUND-7 ROTATION PLAN (do this next round): assuming r06 adjudicates
-# this window, 103 oracled names remain with no driver evidence — fill
-# the next 45 slots from (priority order): the remaining agg_* block
-# (~18), the scalar_* block (~16), the full events_* block (~13),
-# pipeline_* (~16, incl. curation_end_to_end / incremental_dedup /
-# ingest quarantines), text_* (~13, incl. the BPE family),
-# dedup_substring_* / simhash_pairs / streaming_gate_batch,
-# events_sessionization_capped_segmented, udf_map_in_arrow / udtf_*,
-# asof_* / cdc / scd2 / pivot / unpivot / warehouse_incremental.
-# Compute the exact list with:
+# ROUND-8 ROTATION PLAN: assuming r07 adjudicates this window, ~58 oracled
+# names remain unseen — fill the next 45 slots from the remaining scalar_*
+# (~12), events_* (~8), pipeline_* (~12), text_* (~10), plus
+# dedup_substring_span_positions, dedup_minhash_estimator_error,
+# embedding_*, join_existence_flag / join_not_in_null_aware,
+# subq_cte_top_customers / subq_in_uncorrelated /
+# subq_recursive_cte_day_spine, udf_pandas_grouped_agg_range,
+# multimodal_frame_sample.  Compute the exact list with:
 #   seen = union of CORRECTNESS_r0*.json keys; remaining = registry - seen
-# and update test_driver_sample_rotation's prior-rounds tuple to r01-r06.
+# and update test_driver_sample_rotation's prior-rounds tuple to r01-r07.
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (driver-green in r01-r05)
+    # sentinels (driver-green in r01-r06)
     "wordcount_topk",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # multimodal (never driver-adjudicated; real codecs)
-    "multimodal_wav_roundtrip",
-    "multimodal_ppm_resize_roundtrip",
-    "multimodal_png_roundtrip",
-    "multimodal_video_frame_sample_roundtrip",
-    "multimodal_cross_modal_join",
-    "multimodal_blob_dedup",
-    "multimodal_features",
-    "multimodal_resize",
-    # graph
-    "graph_triangle_count",
-    "graph_bfs_distances",
-    "graph_degree_hubs",
-    # data QA / stats
-    "stats_column_profile",
-    "stats_profile_drift",
-    "stats_robust",
-    "stat_crosstab",
-    "pipeline_integrity_audit",
-    # scale-risk operators from the r5 verdict
-    "events_overlap_join_bucketed",
-    "events_sessionization_capped",
-    "agg_histogram_equidepth",
-    "knn_jl_rerank",
-    "knn_quantized_int8",
-    # window frames
-    "window_count_distinct_frame",
-    "window_numeric_range_frame",
-    "window_share_of_total",
-    # scalar blocks
-    "scalar_json_funcs",
-    "scalar_higher_order_funcs",
-    "scalar_map_type",
-    "scalar_url_parse",
-    "scalar_variant_type",
-    "scalar_xml_extract",
-    "scalar_datetime_extra",
-    "scalar_try_functions",
-    # remaining TPC-H (q4/q7/q11-q17/q19/q20/q22)
-    "q4_order_priority_exists",
-    "q7_volume_shipping",
-    "q11_important_part_value",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    # warehouse
-    "warehouse_snapshot_diff",
+    # the full remaining agg_* block (exact aggregates, sketches, skew)
+    "agg_filter_clause",
+    "agg_min_by_max_by",
+    "agg_exact_percentiles",
+    "agg_percentile_disc",
+    "agg_multi_distinct",
+    "agg_skew_kurt_exact",
+    "agg_regression_exact",
+    "agg_mode_exact",
+    "agg_mode_deterministic",
+    "agg_string_agg_ordered",
+    "agg_grouping_flags",
+    "agg_bitwise_bool",
+    "agg_bitmap_distinct",
+    "agg_width_bucket_histogram",
+    "agg_histogram_equiwidth",
+    "agg_count_min_frequency",
+    "agg_hll_portable",
+    "agg_salted_skewed_groups",
+    # scalar sample (rest in r08)
+    "scalar_math_funcs",
+    "scalar_conditional_null",
+    "scalar_array_map_funcs",
+    "scalar_hash_funcs",
+    # events sample incl. the round-6 segmented sessionizer (zero driver
+    # evidence until now) and the session-window batch analogue
+    "events_sessionization_capped_segmented",
+    "events_session_window_batch",
+    "events_tumbling_window",
+    "events_funnel",
+    "events_retention_cohort",
+    "events_dedup_latest",
+    # pipeline sample (curation end-to-end + incremental + quarantine)
+    "pipeline_curation_end_to_end",
+    "pipeline_incremental_dedup",
+    "pipeline_json_ingest_quarantine",
+    # text sample (BPE family head)
+    "text_bpe_apply",
+    # dedup must-haves (round-6 streaming gate: first driver exposure)
+    "dedup_streaming_gate_batch",
+    "dedup_simhash_pairs",
+    "dedup_substring_spans",
+    # UDF/UDTF surface
+    "udf_map_in_arrow",
+    "udtf_stack_measures",
+    "udtf_inline_structs",
+    # as-of / warehouse family
+    "asof_next_purchase_after_view",
+    "asof_tolerance_30m",
+    "cdc_latest_state",
+    "scd2_user_status_history",
+    "pivot_status_by_priority",
+    "unpivot_lineitem_measures",
+    "warehouse_incremental_agg_merge",
 )
 
 

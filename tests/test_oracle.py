@@ -36,11 +36,11 @@ def test_query_matches_oracle(spark, duck, qname):
 
 
 def test_driver_sample_rotation():
-    """Round-6 contract: the driver adjudicates the FIRST 50 registry
+    """Round-7 contract: the driver adjudicates the FIRST 50 registry
     entries.  Pin that the rotation list is exactly the first-50 window,
     that every entry has an oracle (hash verdicts, not `no_oracle` rows),
-    and that >=40 names were never in ANY prior round's sample (r01-r05) —
-    the round-5 verdict's #1 next-round item."""
+    and that >=40 names were never in ANY prior round's sample (r01-r06) —
+    the round-6 verdict's #1 next-round item."""
     import json
     import os
 
@@ -53,7 +53,7 @@ def test_driver_sample_rotation():
 
     repo = os.path.join(os.path.dirname(__file__), "..")
     prior = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06"):
         path = os.path.join(repo, f"CORRECTNESS_{rnd}.json")
         if os.path.exists(path):
             with open(path) as f:
