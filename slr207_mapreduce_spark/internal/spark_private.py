@@ -10,7 +10,7 @@ storage-pressure failures at sf0.1 before the release path existed).
 
 Everything here rides py4j handles that are version-sensitive
 (``df._jdf.queryExecution().analyzed()``, ``sc._jsc.getPersistentRDDs()``),
-so the module self-probes ONCE per process: ``capabilities()`` runs the
+so the module self-probes ONCE per session: ``capabilities()`` runs the
 full traverse-and-release cycle on a throwaway frame and caches the
 verdict. On a Spark build where the probe fails, every function degrades
 to the documented BOUNDED-LEAK path — ids come back empty, release is a
@@ -21,9 +21,15 @@ path and the degradation contract.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
-_CAPABLE: bool | None = None
+# Probe verdicts keyed by the SparkSession object (weakly, so a stopped
+# session's entry dies with it). A process-global bool was stale for a
+# second session created in the same process with a different Spark
+# build/config (r06 ADVICE) — each distinct session now probes once.
+_CAPABLE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _probe(spark) -> bool:
@@ -51,11 +57,18 @@ def _probe(spark) -> bool:
 
 def capabilities(spark) -> bool:
     """True when this Spark build supports the private checkpoint-release
-    surface (probed once per process, cached)."""
-    global _CAPABLE
-    if _CAPABLE is None:
-        _CAPABLE = _probe(spark)
-    return _CAPABLE
+    surface (probed once per SESSION, weak-cached)."""
+    try:
+        verdict = _CAPABLE.get(spark)
+    except TypeError:  # unhashable/unweakrefable stand-in (mocks in tests)
+        return _probe(spark)
+    if verdict is None:
+        verdict = _probe(spark)
+        try:
+            _CAPABLE[spark] = verdict
+        except TypeError:
+            pass
+    return verdict
 
 
 def checkpointed_rdd_id(df: DataFrame) -> set[int]:

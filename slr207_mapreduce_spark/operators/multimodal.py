@@ -596,7 +596,14 @@ def decode_png(payload: bytes):
     ihdr = None
     idat = bytearray()
     while pos < len(payload):
+        # Bounds-check the declared length against the remaining payload so
+        # a truncated buffer raises the documented ValueError, not a
+        # struct.error from a short unpack (r06 ADVICE).
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])

@@ -14,6 +14,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_driver_memory() -> str:
+    """Heap for the single local[N] JVM: min(24g, ~20% of detected RAM),
+    floor 2g, overridable via $SPARK_GRAFT_DRIVER_MEM. A hardcoded 24g was
+    tuned to one 128 GiB box and overcommitted smaller hosts (r06 ADVICE);
+    on a real cluster spark-submit owns memory and this launch conf is
+    ignored for an already-running JVM."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return f"{max(2, min(24, int(total * 0.2 / (1 << 30))))}g"
+
 # Defaults chosen for correctness-at-scale, not just local runs:
 #  - AQE re-plans at shuffle boundaries (coalesces small partitions, splits
 #    skewed ones, demotes sort-merge to broadcast when a side turns out small).
@@ -44,10 +60,9 @@ SCALE_DEFAULTS: dict[str, str] = {
     # local[N] runs driver and executors in ONE JVM whose heap defaults to
     # 1g — on a 32-core/128 GiB box that heap is what OOMed the sf1
     # triangle-count edge materialization (concurrent broadcast builds
-    # under STAGE_MATERIALIZATION). 24g is ~20% of the box; on a real
-    # cluster spark-submit owns driver/executor memory and this launch
-    # conf is ignored for an already-running JVM.
-    "spark.driver.memory": "24g",
+    # under STAGE_MATERIALIZATION). Derived from detected RAM (~20%,
+    # capped at 24g) so smaller hosts don't overcommit.
+    "spark.driver.memory": _default_driver_memory(),
     # columnar shuffle/storage stay default; whole-stage codegen is on by default
 }
 

@@ -145,8 +145,12 @@ def _finalize_sessions(
             ts_ms = pdf["ts"].astype("int64") // 1_000_000
             open_sessions.extend((int(t), int(t), 1) for t in ts_ms)
     merged = _merge_on_gaps(open_sessions)
-    closed = [iv for iv in merged if iv[1] + SESSION_GAP_MS <= wm]
-    still_open = [iv for iv in merged if iv[1] + SESSION_GAP_MS > wm]
+    # Strict <, not <=: an on-time event may carry ts == wm, and a gap of
+    # exactly SESSION_GAP_MS merges (the batch rule is gap <= GAP), so a
+    # sub-session whose last+GAP == wm is still extendable and must stay
+    # open — closing it would emit a spurious extra session at the boundary.
+    closed = [iv for iv in merged if iv[1] + SESSION_GAP_MS < wm]
+    still_open = [iv for iv in merged if iv[1] + SESSION_GAP_MS >= wm]
     if still_open:
         state.update(
             (

@@ -441,5 +441,13 @@ def test_png_codec_roundtrip_all_filter_types():
         bad = bytearray(payload)
         bad[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
         decode_png(bytes(bad))
-    with pytest.raises(Exception):
-        decode_png(payload[:30])  # truncated mid-chunk
+    # truncation raises the documented ValueError, not struct.error, at any
+    # cut point — both mid-header and mid-data (r06 ADVICE)
+    for cut in (10, 30, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_png(payload[:cut])
+    with pytest.raises(ValueError):
+        # oversized declared length must be caught before slicing short
+        big = bytearray(payload)
+        big[8:12] = (0xFF, 0xFF, 0xFF, 0xFF)
+        decode_png(bytes(big))

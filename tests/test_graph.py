@@ -264,10 +264,11 @@ def test_private_api_adapter_probe_and_degradation(spark):
     assert sp.logical_rdd_leaf_ids(ck.select((F.col("id") * 2).alias("x"))) == ids
     sp.unpersist_rdd_ids(spark.sparkContext, ids)
 
-    # simulate an incompatible build: all adapters must degrade, not raise
-    prev = sp._CAPABLE
+    # simulate an incompatible build: all adapters must degrade, not raise.
+    # The verdict cache is keyed per session (r06 ADVICE), so poisoning
+    # this session's entry must not require touching a process global.
     try:
-        sp._CAPABLE = False
+        sp._CAPABLE[spark] = False
         ck2 = spark.range(2).localCheckpoint(eager=True)
         assert sp.checkpointed_rdd_id(ck2) == set()
         assert sp.logical_rdd_leaf_ids(ck2) == set()
@@ -284,4 +285,4 @@ def test_private_api_adapter_probe_and_degradation(spark):
         }
         assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     finally:
-        sp._CAPABLE = prev
+        sp._CAPABLE.pop(spark, None)

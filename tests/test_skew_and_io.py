@@ -358,3 +358,21 @@ def test_salted_join_spreads_50pct_hot_key(spark):
     assert len(sizes) == num_salts
     assert max(sizes) < 1.25 * n_hot / num_salts, sizes
     assert min(sizes) > 0.75 * n_hot / num_salts, sizes
+
+
+def test_default_driver_memory_derivation(monkeypatch):
+    """r06 ADVICE: the local[N] heap default derives from detected RAM
+    (~20%, clamped to [2g, 24g]) instead of a hardcoded 24g, with
+    $SPARK_GRAFT_DRIVER_MEM as the explicit override."""
+    from slr207_mapreduce_spark import session as S
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    got = S._default_driver_memory()
+    assert got.endswith("g")
+    gb = int(got[:-1])
+    assert 2 <= gb <= 24
+    total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    assert gb <= max(2, total_gb * 0.25), "heap default overcommits this host"
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
+    assert S._default_driver_memory() == "3g"

@@ -541,6 +541,74 @@ def test_event_type_counts_update_logic_without_state_server():
     assert dict(zip(out3[0]["event_type"], out3[0]["n_events"]))["click"] == 4
 
 
+def test_session_close_watermark_boundary_is_strict():
+    """r06 ADVICE: a sub-session with last+GAP == wm must stay OPEN — an
+    on-time event may still arrive with ts == wm, and a gap of exactly
+    SESSION_GAP_MS merges under the batch rule (gap <= GAP). The old
+    `<=` close condition emitted a spurious extra session here. Drives
+    _finalize_sessions directly with a duck-typed GroupState."""
+    import pandas as pd
+
+    from slr207_mapreduce_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        _finalize_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.value = None
+            self.hasTimedOut = False
+            self.wm = 0
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+        def update(self, v):
+            self.value = v
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def remove(self):
+            self.value = None
+
+    def batch(state, ts_list, wm, timed_out=False):
+        state.wm = wm
+        state.hasTimedOut = timed_out
+        pdfs = (
+            [pd.DataFrame({"ts": pd.Series([t * 1_000_000 for t in ts_list])})]
+            if ts_list
+            else []
+        )
+        (out,) = _finalize_sessions((1,), pdfs, state)
+        return list(
+            zip(out["session_start_ms"], out["session_end_ms"], out["n_events"])
+        )
+
+    t0 = 1_700_000_000_000
+    st = FakeState()
+    assert batch(st, [t0], wm=0) == []  # opens, nothing closes
+    # timeout tick with wm EXACTLY last+GAP: boundary-extendable -> stays open
+    assert batch(st, [], wm=t0 + SESSION_GAP_MS, timed_out=True) == []
+    assert st.exists, "boundary session must not be evicted"
+    # an on-time event at ts == wm with gap exactly GAP merges into it
+    assert batch(st, [t0 + SESSION_GAP_MS], wm=t0 + SESSION_GAP_MS) == []
+    # watermark finally passes -> ONE merged session, not two
+    assert batch(st, [], wm=t0 + 3 * SESSION_GAP_MS, timed_out=True) == [
+        (t0, t0 + SESSION_GAP_MS, 2)
+    ]
+    assert not st.exists
+
+
 def test_streaming_json_quarantine_matches_batch(spark, tmp_path):
     """The JSON corrupt-record quarantine runs unchanged as a streaming
     projection: a readStream over JSON-lines text files (every 13th record
