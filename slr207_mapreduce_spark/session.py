@@ -79,12 +79,19 @@ def get_session(
     cluster, pass ``master=None`` with a pre-set master URL via
     spark-submit — the defaults here are orthogonal to deployment.
     """
+    # Resolve google.protobuf availability BEFORE the JVM launches: the
+    # typed-state operator's Python workers inherit the driver JVM's env,
+    # so a bundled runtime's PYTHONPATH entry must be exported now.
+    from slr207_mapreduce_spark.internal import protobuf_compat
+
+    protobuf_compat.ensure_protobuf()
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master is not None:
         builder = builder.master(master)
     conf = dict(SCALE_DEFAULTS)
+    conf.update(protobuf_compat.worker_env())
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

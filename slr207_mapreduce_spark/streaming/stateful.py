@@ -197,10 +197,16 @@ def closed_user_sessions(events: DataFrame, watermark: str = "10 minutes") -> Da
 # StatefulProcessor object. Same scale shape — state partitioned by the
 # group key, shuffled once, updated locally with Arrow batches.
 #
-# Runtime note: the operator's state server speaks protobuf; running it
-# needs google.protobuf on the Python workers (absent in this container,
-# so the end-to-end test is skipif-gated — the applyInPandasWithState
-# operator above is the fully-exercised stateful path here).
+# Runtime note: the operator's state server speaks protobuf, and its
+# per-key typed states map to state-store column families, which only the
+# RocksDB provider supports. Both are resolved at runtime:
+# internal/protobuf_compat.py makes google.protobuf importable from a
+# container-bundled pure-Python runtime when no installed one exists, and
+# enable_typed_state() switches the session to the RocksDB provider — so
+# the REAL state-server path runs end-to-end in this container's test
+# suite (tests/test_streaming.py::test_stateful_event_type_counts_e2e),
+# with the applyInPandasWithState fallback kept for builds where neither
+# is available.
 
 TWS_OUTPUT_SCHEMA = StructType(
     [
@@ -252,13 +258,45 @@ class EventTypeCounts(StatefulProcessor):
         pass
 
 
-def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
-        return True
-    except ImportError:
+
+def _typed_state_ready(spark) -> bool:
+    """Can transformWithStateInPandas run on THIS session right now?
+    Requires (a) an importable google.protobuf for the state-server wire
+    protocol and (b) the RocksDB state-store provider (the typed states'
+    column families are unsupported by HDFSBackedStateStoreProvider)."""
+    from slr207_mapreduce_spark.internal.protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
         return False
+    try:
+        prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    except Exception:
+        prov = ""
+    return "RocksDB" in (prov or "")
+
+
+def enable_typed_state(spark) -> bool:
+    """Opt a session into the typed-state engine: resolve protobuf, then
+    set the RocksDB provider (a runtime SQL conf, read per query start —
+    only NEW streaming queries from fresh checkpoints are affected).
+    Returns whether the typed path is now selectable."""
+    from slr207_mapreduce_spark.internal.protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    return _typed_state_ready(spark)
+
+
+def selected_engine(spark) -> str:
+    """Which engine user_event_type_counts will pick on this session:
+    'typed' (transformWithStateInPandas) or 'fallback'
+    (applyInPandasWithState)."""
+    return "typed" if _typed_state_ready(spark) else "fallback"
 
 
 # Fallback state layout for builds without the transformWithState state
@@ -300,13 +338,14 @@ def user_event_type_counts(events: DataFrame, watermark: str = "2 hours") -> Dat
 
     Engine selection is a runtime capability check: the Spark-4 typed-state
     surface (transformWithStateInPandas + MapState) when its protobuf state
-    server can run, else the applyInPandasWithState fallback carrying the
-    map as array-typed GroupState. Same semantics either way — the
-    streaming e2e test runs unconditionally against THIS function, and the
-    typed-state processor keeps its protobuf-free unit test
-    (tests/test_streaming.py) plus the e2e path wherever protobuf exists."""
+    server and the RocksDB provider are available on this session, else the
+    applyInPandasWithState fallback carrying the map as array-typed
+    GroupState. Same semantics either way — the streaming e2e test runs
+    unconditionally against THIS function (asserting the typed engine was
+    the one exercised wherever protobuf resolves), and the typed-state
+    processor keeps its protobuf-free unit test (tests/test_streaming.py)."""
     keyed = events.withWatermark("ts", watermark).groupBy("user_id")
-    if _has_protobuf():
+    if _typed_state_ready(events.sparkSession):
         return keyed.transformWithStateInPandas(
             statefulProcessor=EventTypeCounts(),
             outputStructType=TWS_OUTPUT_SCHEMA,
