@@ -157,3 +157,22 @@ def test_incremental_merge_prunes_both_period_scans(spark):
     plan = _plan(df)
     assert plan.count("PushedFilters: [IsNotNull(ts)") >= 2 or plan.count("ts") >= 2
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_plans_md_not_stale():
+    """PLANS.md must be regenerated whenever anything a physical plan can
+    depend on changes (r06 VERDICT item 8): the committed footer
+    fingerprint has to match a fresh hash over the package + bench list +
+    auditor. Fix = `python tools/plan_audit.py --write`."""
+    import os
+    import re
+
+    from tools.plan_audit import REPO, inputs_fingerprint
+
+    with open(os.path.join(REPO, "PLANS.md")) as f:
+        text = f.read()
+    m = re.search(r"Inputs-Fingerprint: ([0-9a-f]{32})", text)
+    assert m, "PLANS.md has no Inputs-Fingerprint footer — run `python tools/plan_audit.py --write`"
+    assert m.group(1) == inputs_fingerprint(), (
+        "PLANS.md is stale relative to the plan-audit inputs — run `python tools/plan_audit.py --write`"
+    )
