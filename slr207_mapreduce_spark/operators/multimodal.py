@@ -715,3 +715,290 @@ def png_features(blob_df: DataFrame) -> DataFrame:
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=PNG_FEATURE_SCHEMA
     )
+
+
+# --- GIF (LZW-compressed indexed image) -----------------------------------
+#
+# The first COMPRESSED standard image format in the codec roster whose
+# compression is not stdlib-provided: PNG leans on zlib for its deflate
+# stage, while GIF's LZW is implemented here from the GIF89a specification
+# (variable-width codes 9..12 bits LSB-first, CLEAR/EOI control codes,
+# dictionary reset on overflow). Same Spark shape as the other codecs:
+# blob-parallel Arrow batches via mapInPandas, no driver involvement.
+
+GIF_HEADER = b"GIF89a"
+_GIF_MIN_CODE_SIZE = 8  # 256-color palette
+_GIF_CLEAR = 1 << _GIF_MIN_CODE_SIZE  # 256
+_GIF_EOI = _GIF_CLEAR + 1  # 257
+_GIF_MAX_CODE = 1 << 12  # GIF caps code width at 12 bits
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF's sub-block byte order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _lzw_compress(indices) -> bytes:
+    """GIF-variant LZW over 8-bit palette indices. The decoder's dictionary
+    lags the encoder's by exactly one entry, so the width grows when
+    next_code == (1 << width) + 1 (mirroring the decoder's
+    next_code == 1 << width), and a CLEAR resets both at the 4096 cap."""
+    bw = _BitWriter()
+    width = _GIF_MIN_CODE_SIZE + 1
+
+    def fresh() -> dict:
+        return {bytes([i]): i for i in range(1 << _GIF_MIN_CODE_SIZE)}
+
+    table = fresh()
+    next_code = _GIF_EOI + 1
+    bw.write(_GIF_CLEAR, width)
+    cur = b""
+    for i in indices:
+        k = bytes([int(i)])
+        if cur + k in table:
+            cur += k
+            continue
+        bw.write(table[cur], width)
+        if next_code == _GIF_MAX_CODE:
+            bw.write(_GIF_CLEAR, width)
+            table, next_code, width = fresh(), _GIF_EOI + 1, _GIF_MIN_CODE_SIZE + 1
+        else:
+            table[cur + k] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = k
+    if cur:
+        bw.write(table[cur], width)
+    bw.write(_GIF_EOI, width)
+    return bw.flush()
+
+
+def _lzw_decompress(data: bytes, n_expected: int) -> bytes:
+    """GIF89a appendix-F decoder: emits exactly ``n_expected`` indices or
+    raises ValueError on a malformed stream."""
+    width = _GIF_MIN_CODE_SIZE + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << _GIF_MIN_CODE_SIZE)]
+    table += [b"", b""]  # CLEAR, EOI placeholders
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == _GIF_CLEAR:
+            table = [bytes([i]) for i in range(1 << _GIF_MIN_CODE_SIZE)] + [b"", b""]
+            width = _GIF_MIN_CODE_SIZE + 1
+            prev = None
+            continue
+        if code == _GIF_EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} ahead of dictionary")
+        out += entry
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("LZW stream longer than image")
+    if len(out) != n_expected:
+        raise ValueError(f"LZW stream decoded {len(out)} of {n_expected} pixels")
+    return bytes(out)
+
+
+def gif_palette():
+    """The deterministic 256-entry RGB palette every synthetic GIF uses:
+    pal[i] = ((3i + 1) % 256, (5i + 7) % 256, (11i + 13) % 256)."""
+    import numpy as np
+
+    i = np.arange(256, dtype="int64")
+    return np.stack(
+        [(3 * i + 1) % 256, (5 * i + 7) % 256, (11 * i + 13) % 256], axis=1
+    ).astype("uint8")
+
+
+def encode_gif(indices, palette) -> bytes:
+    """GIF89a bytes from an (h, w) uint8 palette-index array and a
+    (256, 3) uint8 global color table: logical screen descriptor, GCT,
+    one image descriptor, LZW-compressed table-based image data in
+    <=255-byte sub-blocks, trailer."""
+    import numpy as np
+
+    a = np.asarray(indices, dtype="uint8")
+    h, w = a.shape
+    pal = np.asarray(palette, dtype="uint8")
+    if pal.shape != (256, 3):
+        raise ValueError("encode_gif wants a 256-entry RGB palette")
+    out = bytearray(GIF_HEADER)
+    # logical screen descriptor: GCT present, 8 bits/channel, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0b1111_0111, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # no LCT
+    out.append(_GIF_MIN_CODE_SIZE)
+    lzw = _lzw_compress(a.reshape(-1))
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """(h, w, 3) uint8 RGB array from GIF87a/89a bytes. Validates header
+    and block structure, requires a global color table and a single
+    non-interlaced image, concatenates the data sub-blocks, LZW-decodes,
+    and maps indices through the palette. Extension blocks (0x21) are
+    skipped per spec; truncation raises ValueError."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF screen descriptor")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * gct_n > len(payload):
+        raise ValueError("truncated global color table")
+    pal = np.frombuffer(payload[pos : pos + 3 * gct_n], dtype="uint8").reshape(
+        gct_n, 3
+    )
+    pos += 3 * gct_n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended before an image descriptor")
+        b = payload[pos]
+        if b == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                ln = payload[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+            continue
+        if b == 0x2C:
+            break
+        raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if pos + 10 > len(payload):
+        raise ValueError("truncated GIF image descriptor")
+    _left, _top, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+    ipacked = payload[pos + 9]
+    pos += 10
+    if ipacked & 0x80:
+        raise ValueError("local color tables unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIFs unsupported")
+    if pos >= len(payload):
+        raise ValueError("truncated GIF before LZW code size")
+    min_code = payload[pos]
+    pos += 1
+    if min_code != _GIF_MIN_CODE_SIZE:
+        raise ValueError(f"unsupported LZW min code size {min_code}")
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF data sub-blocks")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        if pos + ln > len(payload):
+            raise ValueError("truncated GIF data sub-block")
+        data += payload[pos : pos + ln]
+        pos += ln
+    idx = np.frombuffer(
+        _lzw_decompress(bytes(data), w * h), dtype="uint8"
+    ).astype("int64")
+    if idx.max(initial=0) >= gct_n:
+        raise ValueError("palette index out of range")
+    return pal[idx].reshape(h, w, 3)
+
+
+def synth_gif_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real GIF89a bytes for the deterministic test
+    image w = 8 + doc_id % 9, h = 6 + doc_id % 5, palette gif_palette(),
+    index(p) = (doc_id * 5 + 7 * p) % 256 with p row-major."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = gif_palette()
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 6 + d % 5
+                p = np.arange(h * w, dtype="int64")
+                idx = ((d * 5 + 7 * p) % 256).astype("uint8").reshape(h, w)
+                out.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def gif_features(blob_df: DataFrame) -> DataFrame:
+    """REAL decode: LZW-decompress each GIF payload and emit exact
+    dimensions and per-channel pixel sums (Arrow-batched mapInPandas) —
+    same feature contract as png_features."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PNG_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_gif(bytes(payload)).astype("int64")
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                rows["sum_r"].append(int(img[:, :, 0].sum()))
+                rows["sum_g"].append(int(img[:, :, 1].sum()))
+                rows["sum_b"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=PNG_FEATURE_SCHEMA
+    )

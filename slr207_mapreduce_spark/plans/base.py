@@ -105,11 +105,12 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "agg_count_min_frequency",
     "agg_hll_portable",
     "agg_salted_skewed_groups",
-    # scalar sample (rest in r08)
+    # scalar sample (rest, incl. scalar_hash_funcs, in r08)
     "scalar_math_funcs",
     "scalar_conditional_null",
     "scalar_array_map_funcs",
-    "scalar_hash_funcs",
+    # round-7 GIF/LZW codec (r06 VERDICT item 3: first driver exposure)
+    "multimodal_gif_roundtrip",
     # events sample incl. the round-6 segmented sessionizer (zero driver
     # evidence until now) and the session-window batch analogue
     "events_sessionization_capped_segmented",

@@ -451,3 +451,110 @@ def test_png_codec_roundtrip_all_filter_types():
         big = bytearray(payload)
         big[8:12] = (0xFF, 0xFF, 0xFF, 0xFF)
         decode_png(bytes(big))
+
+
+def _pack_lsb(codes, width=9):
+    """Independent LSB-first bit packer (NOT the codec's _BitWriter) for
+    building GIF LZW streams by hand in conformance tests."""
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _wrap_gif(lzw: bytes, w: int, h: int, pal, extension: bytes = b"") -> bytes:
+    """Hand-built GIF container (independent of encode_gif)."""
+    import struct as _s
+
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += bytes(pal.reshape(-1))
+    out += extension
+    out += b"\x2c" + _s.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([8])
+    for i in range(0, len(lzw), 255):
+        out.append(len(lzw[i : i + 255]))
+        out += lzw[i : i + 255]
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decoder_conformance_vectors():
+    """decode_gif against byte streams built WITHOUT the encoder:
+
+    (a) a degenerate-but-valid stream (CLEAR before every literal, so the
+        dictionary never grows and every code is 9 bits) — any conformant
+        decoder must accept it;
+    (b) the classic hand-derived dictionary-growth stream for [1,1,1,1,1]
+        → codes [CLEAR, 1, 258, 258, EOI], whose second 258 arrives one
+        step AHEAD of the dictionary (the KwKwK corner case);
+    (c) an extension block before the image descriptor must be skipped.
+    """
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators.multimodal import decode_gif, gif_palette
+
+    pal = gif_palette()
+    # (a) clear-per-symbol stream
+    pixels = [0, 5, 255, 17, 17, 200, 3]
+    codes = [256]
+    for p in pixels:
+        codes += [p, 256]
+    codes[-1:] = [codes[-1], 257]  # keep trailing CLEAR, then EOI
+    payload = _wrap_gif(_pack_lsb(codes), 7, 1, pal)
+    got = decode_gif(payload)
+    assert np.array_equal(got, pal[np.array(pixels)].reshape(1, 7, 3))
+
+    # (b) KwKwK: [1]*5 compresses to CLEAR,1,258,258,EOI
+    payload = _wrap_gif(_pack_lsb([256, 1, 258, 258, 257]), 5, 1, pal)
+    got = decode_gif(payload)
+    assert np.array_equal(got, pal[np.array([1] * 5)].reshape(1, 5, 3))
+
+    # (c) graphic-control extension is skipped per spec
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    payload = _wrap_gif(_pack_lsb([256, 1, 258, 258, 257]), 5, 1, pal, extension=ext)
+    assert np.array_equal(decode_gif(payload), pal[np.array([1] * 5)].reshape(1, 5, 3))
+
+
+def test_gif_decoder_rejects_malformed():
+    """Malformed GIFs raise the documented ValueError (never struct.error
+    or silent garbage): wrong signature, truncation at several depths,
+    interlace flag, trailer before image, stream/pixel-count mismatch."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pt
+
+    from slr207_mapreduce_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_palette,
+    )
+
+    pal = gif_palette()
+    good = encode_gif(np.arange(12, dtype="uint8").reshape(3, 4), pal)
+    with _pt.raises(ValueError):
+        decode_gif(b"NOTGIF" + good[6:])
+    for cut in (4, 10, 13 + 100, len(good) - 3):
+        with _pt.raises(ValueError):
+            decode_gif(good[:cut])
+    # interlace flag set in the image descriptor
+    bad = bytearray(good)
+    desc = good.index(b"\x2c", 13 + 768)
+    bad[desc + 9] |= 0x40
+    with _pt.raises(ValueError):
+        decode_gif(bytes(bad))
+    # trailer before any image
+    with _pt.raises(ValueError):
+        decode_gif(good[: 13 + 768] + b"\x3b")
+    # LZW stream shorter than the declared pixel count
+    short = _wrap_gif(_pack_lsb([256, 1, 257]), 4, 2, pal)
+    with _pt.raises(ValueError):
+        decode_gif(short)

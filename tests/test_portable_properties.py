@@ -153,3 +153,27 @@ def test_png_roundtrip_property(h, w, seed):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, size=(h, w, 3), dtype="uint8")
     assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 13),
+    st.integers(1, 13),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_roundtrip_property(h, w, seed):
+    """encode_gif → decode_gif reproduces pal[idx] for ANY 8-bit index
+    image — arbitrary dimensions and arbitrary seeded content, exercising
+    LZW dictionary growth across code widths."""
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_palette,
+    )
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, size=(h, w), dtype="uint8")
+    pal = gif_palette()
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx.astype("int64")])
