@@ -69,6 +69,7 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -76,37 +77,92 @@ def knn_bruteforce(
     desc with neighbor_id asc tie-break (total order → engine-stable).
     Self-matches are excluded.
 
-    Norms are precomputed PER SIDE before the pair join (|Q|+N norm folds
-    instead of 2·|Q|·N): higher-order array folds are interpreted (no
-    codegen), so hoisting them out of the pair loop cuts ~2/3 of the fold
-    work — measured 0.53s → 0.42s at sf0.1 — and dot/(qnorm·cnorm) is the
-    identical IEEE expression, so scores keep matching the per-pair oracle
-    bit-for-bit.
+    Scale shape: the naive plan (broadcast-nested-loop pair join + a
+    window over all N·|Q| scored rows) shuffles the entire scored cross
+    product into the rank exchange — the one part of exact kNN that does
+    NOT have to scale with N. Here the query side is collected once
+    (bounded by the ``max_queries`` guard — this operator is for small
+    broadcastable query sets; reject-don't-truncate) and closed over by a
+    single Arrow-batched ``mapInPandas`` pass over the corpus: each batch
+    scores its rows against all queries vectorized in numpy and emits only
+    its LOCAL top-k per query, so the final rank exchange sees at most
+    batches·|Q|·k rows regardless of corpus size. Compute stays the
+    unavoidable exact O(N·|Q|·d); shuffle volume drops from O(N·|Q|) to
+    O(|Q|·k) per batch. The kernel accumulates strictly in input order
+    (one fused multiply-add sweep per dimension index), which is
+    bit-identical to the sequential ``aggregate()`` fold and to DuckDB's
+    ``list_dot_product`` — so scores remain oracle-checkable to the last
+    bit (pinned by tests/test_sf1_equivalence.py's full-corpus numpy
+    mirror and the DuckDB gate).
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    q = queries.selectExpr(
-        f"{id_col} AS query_id",
-        f"{vec_col} AS qvec",
-        f"{norm_f64_expr(vec_col)} AS qnorm",
+    qrows = queries.selectExpr(
+        f"{id_col} AS query_id", f"CAST({vec_col} AS array<double>) AS qvec"
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_bruteforce query side has >{max_queries} rows; this exact "
+            "tier broadcasts the query set — use knn_lsh_bucketed/knn_ivf "
+            "for large query sets, or raise max_queries explicitly"
+        )
+
+    qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
+    qmat = (
+        np.asarray([r.qvec for r in qrows], dtype=np.float64)
+        if qrows
+        else np.zeros((0, 0))
     )
-    c = corpus.selectExpr(
-        f"{id_col} AS neighbor_id",
-        f"{vec_col} AS cvec",
-        f"{norm_f64_expr(vec_col)} AS cnorm",
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).selectExpr(
-        "query_id",
-        "neighbor_id",
-        f"{dot_f64_expr('qvec', 'cvec')} / (qnorm * cnorm) AS cos_sim",
+
+    def _seq_self_dot(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for j in range(m.shape[1]):
+            acc += m[:, j] * m[:, j]
+        return acc
+
+    qnorm = np.sqrt(_seq_self_dot(qmat))
+    nq = len(qids)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if nq == 0 or len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cmat = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64)
+            # Sequential-in-j accumulation == the aggregate() fold, bitwise.
+            dots = np.zeros((len(nid), nq))
+            for j in range(cmat.shape[1]):
+                dots += cmat[:, j : j + 1] * qmat.T[j : j + 1, :]
+            cnorm = np.sqrt(_seq_self_dot(cmat))
+            cos = dots / (cnorm[:, None] * qnorm[None, :])
+            out_q, out_n, out_c = [], [], []
+            for i in range(nq):
+                mask = nid != qids[i]
+                cand_ids, cand_cos = nid[mask], cos[mask, i]
+                top = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.extend([qids[i]] * len(top))
+                out_n.extend(cand_ids[top])
+                out_c.extend(cand_cos[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cos_sim": np.asarray(out_c, dtype=np.float64),
+                }
+            )
+
+    local_topk = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec_col} AS cvec"
+    ).mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local_topk.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
