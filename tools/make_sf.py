@@ -195,3 +195,59 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def ensure_docs_sf10(repo_root: str) -> str:
+    """Documents-only 100x tier (~500k docs) for the r06 VERDICT item-7
+    spot checks: dedup_minhash_lsh candidate growth and
+    pipeline_assign_ids layout stability one decade past sf1.
+
+    Duplicate-group structure is FIXED at the sf1 design on purpose:
+    copies 0-9 are near-duplicates of the original (suffix token, same as
+    generate()), while copies 10-99 suffix EVERY TOKEN with a per-copy
+    marker (w -> w || 'c{c}'), so a copy shares no shingles with any
+    other copy or the original — its docs only share shingles with each
+    other exactly as much as the ORIGINALS share among themselves. A
+    10x-bigger corpus whose duplicate mass grows linearly (not
+    quadratically) is exactly what separates 'LSH candidate count follows
+    duplicate structure' (the scale claim) from 'candidate count follows
+    corpus size squared' (the failure mode).
+
+    (A first attempt spliced one marker between every word pair —
+    replace(' ', ' v{c} ') — which backfired spectacularly: the trigram
+    (w_i, v, w_{i+1}) encodes the original's BIGRAMS and (v, w_i, v) its
+    UNIGRAMS, so every same-copy pair of docs with overlapping vocabulary
+    became an LSH candidate: 97M candidates at 500k docs. Kept here as a
+    warning — perturbations must not create new shared structure.)
+    """
+    import duckdb
+
+    out = os.path.join(repo_root, ".sfgen", "docs_sf10")
+    path = os.path.join(out, "documents.parquet")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    src = "/root/testdata/sf0.1/documents.parquet"
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    parts = []
+    for c in range(100):
+        if c == 0:
+            t = "text"
+        elif c < 10:
+            t = f"text || ' copyvariant{c}'"
+        else:
+            t = (
+                "array_to_string(list_transform(string_split(text, ' '),"
+                f" x -> x || 'c{c}'), ' ')"
+            )
+        parts.append(
+            f"SELECT doc_id + {c} * {STRIDE} AS doc_id, {t} AS text, lang,"
+            f" source, CAST(LENGTH({t}) AS BIGINT) AS n_chars FROM '{src}'"
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{path}'"
+        " (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+    )
+    con.close()
+    return out
