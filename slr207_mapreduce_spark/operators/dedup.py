@@ -130,10 +130,18 @@ def minhash_signatures(
     ceil(k/2) md5 evaluations; the digests are projected once below so the
     per-min lane extraction is a cheap substring, not a re-hash.
 
-    The min is taken over the 15-char HEX lanes as strings (fixed-width
-    lowercase hex → lexicographic order IS numeric order) and the hex→long
-    ``conv`` runs once per DOC after the aggregation, not once per
-    (doc, shingle) row — same bits, k fewer integer parses per input row."""
+    The hex→long ``conv`` runs per (doc, shingle) ROW and the min is taken
+    over BIGINT lanes, NOT over the hex strings with conv deferred to
+    after the agg. Same bits either way (15 fixed-width lowercase hex
+    chars = 60 bits, always non-negative as a signed 64-bit value, so
+    numeric order ≡ lexicographic order), but the buffer type decides the
+    physical aggregate: ``min`` over strings has a variable-width buffer,
+    which HashAggregate cannot hold, so Spark silently plans
+    Sort + SortAggregate — a full O(n log n) sort of every digest row,
+    in BOTH the partial and final stages. Measured at the docs_sf10 spot
+    tier (26M shingle rows): string-min 104 s of executor time in the
+    partial stage vs long-min a few seconds; the k extra integer parses
+    per row are noise next to the md5s."""
     npairs = (num_hashes + 1) // 2
     # selectExpr strings, not per-column F.* composition: the expressions
     # parse JVM-side in one round trip, cutting the builder's py4j latency
@@ -142,18 +150,16 @@ def minhash_signatures(
     digests = doc_sh.selectExpr(
         id_col, *[f"md5(concat('s{p}|', sh)) AS d{p}" for p in range(npairs)]
     )
-    aggs = [
-        F.expr(f"min(substring(d{s // 2}, {1 + 16 * (s % 2)}, 15))").alias(f"x{s}")
-        for s in range(num_hashes)
-    ]
-    agg = digests.groupBy(id_col).agg(*aggs)
-    return agg.selectExpr(
+    lanes = digests.selectExpr(
         id_col,
         *[
-            f"CAST(conv(x{s}, 16, 10) AS BIGINT) AS h{s}"
+            f"CAST(conv(substring(d{s // 2}, {1 + 16 * (s % 2)}, 15), 16, 10)"
+            f" AS BIGINT) AS v{s}"
             for s in range(num_hashes)
         ],
     )
+    aggs = [F.min(f"v{s}").alias(f"h{s}") for s in range(num_hashes)]
+    return lanes.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(

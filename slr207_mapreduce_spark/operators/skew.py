@@ -71,11 +71,48 @@ def parallelize_narrow_scan(
     under key skew — use only when the downstream key is high-cardinality.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        if by is not None:
-            return df.repartition(target, F.col(by))
-        return df.repartition(target)
-    return df
+    parts = df.rdd.getNumPartitions()
+    if parts >= target:
+        rg = _parquet_row_group_parallelism(df)
+        if rg is None or rg >= target:
+            return df
+    if by is not None:
+        return df.repartition(target, F.col(by))
+    return df.repartition(target)
+
+
+def _parquet_row_group_parallelism(df: DataFrame) -> int | None:
+    """Upper bound on NON-EMPTY scan tasks for a parquet-backed frame.
+
+    ``getNumPartitions()`` counts byte-range splits, but a parquet reader
+    snaps each split to row-group boundaries: a split containing no
+    row-group midpoint yields zero rows instantly, and the whole scan's
+    work lands on the few tasks that own actual row groups. A file written
+    with oversized row groups (one 58 MB documents file with ROW_GROUP_SIZE
+    262144 = 2 groups) therefore reports 32 splits while running the
+    downstream shingle+md5 fan-out on 2 cores — measured as a 30-instant /
+    2-straggler task profile that the partition-count guard above cannot
+    see. Returns None when not determinable (non-file source, non-parquet,
+    or too many files to footer-scan — at which point split parallelism is
+    fine anyway)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 64:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if not f.split("?")[0].endswith(".parquet"):
+                return None
+            path = f[len("file:"):] if f.startswith("file:") else f
+            total += pq.ParquetFile(path).num_row_groups
+        return total
+    except Exception:
+        return None
 
 
 def repartition_by(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:

@@ -376,3 +376,60 @@ def test_default_driver_memory_derivation(monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
     assert S._default_driver_memory() == "3g"
+
+
+def test_narrow_scan_rebalances_oversized_row_groups(spark, tmp_path):
+    """A parquet file's real split count is its ROW-GROUP count: byte-range
+    splits snap to row-group boundaries, so a file with 1 giant row group
+    scans on 1 core no matter how many splits Spark reports. The
+    docs_sf10 spot tier hit exactly this (2 row groups / 32 reported
+    splits → a 30-instant / 2-straggler profile; dedup_minhash_lsh 70 s →
+    7 s after the fix). parallelize_narrow_scan must see through the
+    empty-split count via the parquet footers and still rebalance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from slr207_mapreduce_spark.operators.skew import (
+        _parquet_row_group_parallelism,
+        parallelize_narrow_scan,
+    )
+
+    n = 50_000
+    path = str(tmp_path / "one_group.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["w1 w2 w3 w4 w5"] * n)}),
+        path,
+        row_group_size=n,
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # Tiny split target → many byte-range splits over the single file,
+        # reproducing the "reported partitions >= cores, real row groups
+        # = 1" shape that fooled the old partition-count-only guard.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        df = spark.read.parquet(path)
+        target = spark.sparkContext.defaultParallelism
+        assert df.rdd.getNumPartitions() >= target, "fixture not split enough"
+        assert _parquet_row_group_parallelism(df) == 1
+        out = parallelize_narrow_scan(df, by="doc_id")
+        assert out.rdd.getNumPartitions() == target
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # Well-laid-out input (row groups >= cores): guard stays a no-op —
+    # no gratuitous shuffle of a healthy scan.
+    path2 = str(tmp_path / "many_groups.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["w1 w2 w3 w4 w5"] * n)}),
+        path2,
+        row_group_size=256,
+    )
+    df2 = spark.read.parquet(path2)
+    if df2.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+        assert parallelize_narrow_scan(df2, by="doc_id") is df2
+
+    # Non-file sources: indeterminable → None (guard falls back to the
+    # partition count alone).
+    assert _parquet_row_group_parallelism(spark.range(10).toDF("doc_id")) is None

@@ -39,8 +39,15 @@ def generate(src: str, out: str, mult: int) -> None:
     def copy_union(table: str, select_tpl: str) -> None:
         parts = [select_tpl.format(c=c, src=f"'{src}/{table}.parquet'") for c in range(mult)]
         sql = " UNION ALL ".join(parts)
+        # Row-group size bounds SCAN PARALLELISM, not just I/O granularity:
+        # parquet readers snap byte splits to row-group boundaries, so a
+        # 50k-row documents table in one 262144-row group scans on ONE core
+        # regardless of split count (see operators/skew.py::
+        # _parquet_row_group_parallelism). 16384 keeps every generated
+        # table splittable ≥32 ways at its tier without measurable footer
+        # overhead.
         con.execute(
-            f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+            f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
         )
 
     # fixed dims: single copy
@@ -247,7 +254,7 @@ def ensure_docs_sf10(repo_root: str) -> str:
         )
     con.execute(
         f"COPY ({' UNION ALL '.join(parts)}) TO '{path}'"
-        " (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        " (FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
     )
     con.close()
     return out
