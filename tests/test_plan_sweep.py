@@ -54,8 +54,9 @@ BNLJ_ALLOWED = {
     "join_range_nonequi",
     "events_promo_overlap_join",
     # labeled exact/verification tiers — all-pairs BY DESIGN, with
-    # registered bucketed scale paths alongside
-    "knn_bruteforce",
+    # registered bucketed scale paths alongside (knn_bruteforce left this
+    # list in r7: its exact tier now scores batches locally in
+    # mapInPandas and never builds the pair join)
     "knn_ivf",
     "knn_jl_rerank",
     "knn_quantized_int8",
