@@ -240,25 +240,36 @@ def pagerank_fp_sql(
 ) -> str:
     """DuckDB mirror of :func:`pagerank_fp`: the iteration is UNROLLED into
     one CTE per round (recursive CTEs cannot aggregate in the recursive
-    term), same integer ops, same bits."""
+    term), same integer ops, same bits.
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB's default is to INLINE the
+    CTE body at each reference, and in this unrolled chain round ``i``
+    references both ``r{i-1}`` and the shared ``graph``/``nodes``, so
+    inlining re-executes the whole upstream pipeline per reference —
+    exponential re-evaluation in the round count. At sf0.01/sf0.1 that is
+    just slow; at sf1 the duplicated orders⨝lineitem joins spilled >86 GB
+    of temp and filled the disk (found by the round-7 sf1 sweep).
+    Materialization pins single evaluation per round — identical bits,
+    linear work, same shape the Spark side gets from its per-round
+    checkpoints."""
     head = f"""
-    WITH sym AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
-    nodes AS (SELECT src AS node FROM sym UNION SELECT dst FROM sym),
-    nn AS (SELECT COUNT(*) AS n FROM nodes),
-    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
-    graph AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
-    r0 AS (SELECT node, {base} // (SELECT n FROM nn) AS rank_fp FROM nodes)
+    WITH sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS MATERIALIZED (SELECT src AS node FROM sym UNION SELECT dst FROM sym),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    graph AS MATERIALIZED (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+    r0 AS MATERIALIZED (SELECT node, {base} // (SELECT n FROM nn) AS rank_fp FROM nodes)
     """
     rounds = []
     for i in range(iters):
         prev, cur = f"r{i}", f"r{i + 1}"
         rounds.append(f"""
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT g.dst, SUM(r.rank_fp // g.deg) AS inflow
       FROM graph g JOIN {prev} r ON g.src = r.node
       GROUP BY g.dst
     ),
-    {cur} AS (
+    {cur} AS MATERIALIZED (
       SELECT n.node,
              (15 * {base}) // (100 * (SELECT n FROM nn))
                + (85 * COALESCE(c.inflow, 0)) // 100 AS rank_fp
