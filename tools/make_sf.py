@@ -258,3 +258,40 @@ def ensure_docs_sf10(repo_root: str) -> str:
     )
     con.close()
     return out
+
+
+def ensure_events_sf10(repo_root: str) -> str:
+    """Events-only 100x tier (10M events, 150k users) extending the
+    sessionization-family scale evidence one decade past sf1 (the docs
+    got this treatment via ensure_docs_sf10; the events ops — gap
+    sessionization, capped/segmented sessionization, funnels — are the
+    other per-key-stateful family whose cost model deserves a measured
+    decade).
+
+    Replication shifts user_id/event_id by the key stride and leaves ts
+    untouched: each copy is a disjoint user population with the SAME
+    temporal pattern, so per-user session structure is constant and total
+    session mass grows linearly — a superlinear wall-time signature at
+    10x rows is then an engine problem, not a data artifact."""
+    import duckdb
+
+    out = os.path.join(repo_root, ".sfgen", "events_sf10")
+    path = os.path.join(out, "events.parquet")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    src = "/root/testdata/sf0.1/events.parquet"
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    parts = [
+        f"SELECT event_id + {c} * {STRIDE} AS event_id, ts,"
+        f" user_id + {c} * {STRIDE} AS user_id, event_type, value, props"
+        f" FROM '{src}'"
+        for c in range(100)
+    ]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{path}'"
+        " (FORMAT PARQUET, ROW_GROUP_SIZE 65536)"
+    )
+    con.close()
+    return out
