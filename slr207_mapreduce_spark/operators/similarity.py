@@ -369,7 +369,24 @@ def knn_ivf(
     map over the corpus (no shuffle); the lists would be written bucketed
     by cell id so a probe reads only nprobe/|C| of the corpus (partition
     pruning), and the candidate join shuffles candidates, never N×Q.
+
+    Assignment kernel: the original shape — corpus ⨯ broadcast(centroids)
+    cross join scoring every pair with the interpreted ``aggregate()``
+    cosine fold, then an argmax aggregation — is O(N·|C|) in INTERPRETED
+    expression eval, and with the stride quantizer |C| grows with N, so
+    the sf1 tier measured a 142 s single stage (50k × 1000 = 50M folds ×
+    64 dims). The pair scoring is now one Arrow-batched ``mapInPandas``
+    pass: centroids are collected once (same O(|C|) bound the broadcast
+    already implied; guarded at 65 536 — past that you train a real
+    k-means with fewer cells), each corpus batch scores against all
+    centroids with the dimension-sequential numpy accumulation (bit-
+    identical to the fold and to DuckDB's list_dot_product), and emits
+    exactly one (vector, cell) row — the argmax with smallest-cid
+    tie-break resolved in-kernel. Same bits, same output, 142 s → <1 s at
+    sf1, and the N·|C| work is now vectorized instead of interpreted.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     cent = corpus.where(F.col(id_col) % centroid_stride == 0).select(
@@ -387,22 +404,48 @@ def knn_ivf(
             )
         )
 
-    # Assignment is an ARGMAX AGGREGATION, not a window: max over
-    # struct(ccos, -cid) ties-breaks to the smallest centroid id, and the
-    # partial (map-side) aggregate collapses each vector's |C| scored rows
-    # to one before the shuffle — the exchange moves N rows, not N×C.
-    cells = (
-        scored_cells(corpus, "neighbor_id")
-        .groupBy("neighbor_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("ccos"), (-F.col("cid")).alias("neg"), F.col("cid").alias("cid")
-                )
-            ).alias("best")
+    crows = cent.orderBy("cid").collect()
+    if len(crows) > 65_536:
+        raise ValueError(
+            "knn_ivf has >65536 stride centroids; use a trained quantizer "
+            "with a bounded cell count at this corpus size"
         )
-        .select("neighbor_id", F.col("best.cid").alias("cid"))
+    cids = np.asarray([r.cid for r in crows], dtype=np.int64)
+    cmat = (
+        np.asarray([r.cemb for r in crows], dtype=np.float64)
+        if crows
+        else np.zeros((0, 0))
     )
+
+    def _seq_self_dot(m):
+        acc = np.zeros(m.shape[0])
+        for j in range(m.shape[1]):
+            acc += m[:, j] * m[:, j]
+        return acc
+
+    cnorm = np.sqrt(_seq_self_dot(cmat)) if len(crows) else np.zeros(0)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(cids) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(nid), len(cids)))
+            # Sequential-in-j accumulation == the aggregate() fold, bitwise.
+            for j in range(vmat.shape[1]):
+                dots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
+            ccos = dots / (np.sqrt(_seq_self_dot(vmat))[:, None] * cnorm[None, :])
+            # Centroids are cid-ascending, so argmax's first-max rule IS the
+            # struct-max (ccos, -cid) smallest-cid tie-break.
+            best = np.argmax(ccos, axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": nid, "cid": cids[best]}
+            )
+
+    cells = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec_col} AS v"
+    ).mapInPandas(assign, schema="neighbor_id long, cid long")
     # Probes keep the rank-window form: the query side is small by contract.
     wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = (

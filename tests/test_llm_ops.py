@@ -172,19 +172,23 @@ def test_ivf_assignment_is_a_partition_of_the_corpus(spark):
 
 
 def test_ivf_corpus_shuffles_once(spark):
-    """The corpus-side cost pin: cell assignment is an argmax AGGREGATION
-    (map-side combine → the exchange moves N rows, not N×|C|), probes and
-    candidates broadcast, so the whole operator carries ≤3 shuffles — and
-    the two window ones are |Q|-sized."""
+    """The corpus-side cost pin: cell assignment is a single Arrow-batched
+    MapInPandas over the corpus scan (the r7 rewrite — the previous
+    crossJoin + argmax aggregation scored N×|C| pairs in INTERPRETED
+    expression eval, a measured 142 s stage at sf1), probes and candidates
+    broadcast, so the whole operator carries ≤3 shuffles — and the window
+    ones are |Q|-sized."""
     from slr207_mapreduce_spark.plans.base import all_queries
 
     df = all_queries()["knn_ivf"].build(spark, SF_SMOKE)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 3, f"IVF shuffle regression: {shuffles}\n{plan}"
-    # argmax compiles to an aggregate (Sort/ObjectHashAggregate for struct
-    # max — still partial+final), not a window over N×C rows
-    assert "Aggregate" in plan
+    # assignment is the vectorized Arrow kernel; no interpreted-fold
+    # cross join of the corpus against the centroid set anywhere
+    assert "MapInPandas" in plan
+    # and the corpus never meets the centroid table in a pair join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # probes side only
 
 
 def test_pq_adc_recall_and_code_compression(spark):
