@@ -207,11 +207,40 @@ def _proj_spark(k: int) -> str:
     tags=("embedding", "similarity", "projection"),
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched numpy kernel, not the 16x64-term selectExpr: that
+    # expression tree is ~87 KB of text, past the codegen method limit, so
+    # Spark silently fell back to INTERPRETED eval at ~0.4 ms/row — and
+    # consumers placing it under a join re-evaluated it per joined row
+    # (knn_jl_rerank's shortlist window measured 16 s at sf1 for 200k
+    # rows). The kernel is the identical arithmetic: widen f32 to f64,
+    # multiply by 1e6, floor to int64, signed integer matmul — integer
+    # sums are order-free, so the bits match the oracle exactly.
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(
+        [[_sign(j, k) for k in range(_PROJ_DIM)] for j in range(_EMB_DIM)],
+        dtype=np.int64,
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            fx = np.floor(v * 1_000_000.0).astype(np.int64)
+            p = fx @ signs
+            out = {"vec_id": pdf["vec_id"], "label": pdf["label"]}
+            for k in range(_PROJ_DIM):
+                out[f"p{k}"] = p[:, k]
+            yield pd.DataFrame(out)
+
     e = load_table(spark, "embeddings", sf_dir)
-    return e.selectExpr(
-        "vec_id",
-        "label",
-        *[f"{_proj_spark(k)} AS p{k}" for k in range(_PROJ_DIM)],
+    schema = "vec_id long, label int, " + ", ".join(
+        f"p{k} long" for k in range(_PROJ_DIM)
+    )
+    return e.select("vec_id", "label", "embedding").mapInPandas(
+        project, schema=schema
     )
 
 

@@ -207,37 +207,70 @@ _Q_CODES_SQL = """
     tags=("similarity", "quantization"),
 )
 def q_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pair scoring is one Arrow-batched mapInPandas pass emitting each
+    # batch's LOCAL top-3 per query (r7 — the previous broadcast crossJoin
+    # evaluated the integer-dot fold INTERPRETED over all N×|Q| pairs: an
+    # 8.5 s single stage at sf1, and the rank exchange carried every
+    # scored pair). Quantization mirrors the exact expression order
+    # (x / nrm * 127, nrm = sequential-fold self-dot) so codes are
+    # bit-identical to the oracle's; the dot is int64 — order-free.
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
-    from slr207_mapreduce_spark.operators.similarity import norm_f64
 
     e = load_table(spark, "embeddings", sf_dir)
-    nrm = norm_f64(F.col("embedding"))
-    codes = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") / nrm * 127).cast("long")
-        ).alias("codes"),
+
+    def _codes(mat: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0])
+        for j in range(mat.shape[1]):
+            acc += mat[:, j] * mat[:, j]
+        nrm = np.sqrt(acc)
+        return np.floor(mat / nrm[:, None] * 127).astype(np.int64)
+
+    qrows = (
+        e.where(F.col("vec_id") < 5)
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+        .collect()
     )
-    q = codes.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    qids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
+    qcodes = (
+        _codes(np.asarray([r.v for r in qrows], dtype=np.float64))
+        if qrows
+        else np.zeros((0, 0), dtype=np.int64)
     )
-    c = codes.where(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("cc")
-    )
-    scored = F.broadcast(q).crossJoin(c).select(
-        "query_id",
-        "neighbor_id",
-        F.aggregate(
-            F.zip_with("qc", "cc", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("iscore"),
+    nq = len(qids)
+
+    def score(batches):
+        for pdf in batches:
+            if nq == 0 or len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            ccodes = _codes(np.vstack(pdf["cvec"].to_numpy()).astype(np.float64))
+            iscore = ccodes @ qcodes.T  # exact int64
+            out_q, out_n, out_s = [], [], []
+            for i in range(nq):
+                top = np.lexsort((nid, -iscore[:, i]))[:3]
+                out_q.extend([qids[i]] * len(top))
+                out_n.extend(nid[top])
+                out_s.extend(iscore[top, i])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "iscore": np.asarray(out_s, dtype=np.int64),
+                }
+            )
+
+    local = (
+        e.where(F.col("vec_id") >= 5)
+        .selectExpr("vec_id AS neighbor_id", "CAST(embedding AS array<double>) AS cvec")
+        .mapInPandas(score, schema="query_id long, neighbor_id long, iscore long")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("iscore"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "iscore", "rank")
     )
