@@ -571,11 +571,6 @@ def cosine_neardup_sql(threshold: float, bits: int = 8) -> str:
 # the FAISS-PQ shape on DataFrames.
 
 
-def _subspace_slices(vec_col: Column, m: int, sub_dim: int) -> Column:
-    """Array of m contiguous sub-vectors (1-based slice bounds)."""
-    return F.array(*[F.slice(vec_col, s * sub_dim + 1, sub_dim) for s in range(m)])
-
-
 def _l2sq_fp(a: Column, b: Column) -> Column:
     """Squared L2 distance as a fixed-point int64 (nano-units).
 
@@ -632,58 +627,102 @@ def knn_pq_adc(
 
     Returns (query_id, neighbor_id, cos_sim, rank), rank 1..k.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    def sub_rows(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(_subspace_slices(F.col(vec_col), m, sub_dim)).alias(
-                "s", out_vec
-            ),
+    # Encode + LUT + ADC run as ONE Arrow-batched numpy kernel over the
+    # corpus (r7 — the declarative form exploded the corpus to N·m
+    # subspace rows, scored N·m·ksub pairs with the interpreted
+    # _l2sq_fp fold and joined another N·m·|Q| LUT hits: a 6.7 s sf1 run
+    # dominated by interpreted eval). Every distance is floored to int64
+    # NANO-UNITS before any comparison or sum — the same
+    # floor((aa - 2ab + bb)·1e9) expression, accumulated
+    # dimension-sequentially — so argmin ties, ADC sums, and the
+    # candidate ranking are bit-identical to the declarative plan and the
+    # DuckDB oracle. The kernel emits each batch's local top-``rerank``
+    # per query; the global window below sees batches·|Q|·rerank rows.
+
+    def _collect_mat(df: DataFrame):
+        rows = df.selectExpr(
+            f"{id_col} AS id", f"CAST({vec_col} AS array<double>) AS v"
+        ).collect()
+        ids = np.asarray([r.id for r in rows], dtype=np.int64)
+        mat = (
+            np.asarray([r.v for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, m * sub_dim))
+        )
+        order = np.argsort(ids, kind="stable")
+        return ids[order], mat[order]
+
+    cent_ids, cent_mat = _collect_mat(corpus.where(F.col(id_col) < ksub))
+    qids, qmat = _collect_mat(queries)
+    nq = len(qids)
+
+    def _seq_dots(a, b):
+        """Pairwise dots with dimension-sequential accumulation (== the
+        aggregate() fold, bitwise). a: (n, d), b: (k, d) -> (n, k)."""
+        acc = np.zeros((a.shape[0], b.shape[0]))
+        for j in range(a.shape[1]):
+            acc += a[:, j : j + 1] * b.T[j : j + 1, :]
+        return acc
+
+    def _sub(mat, s):
+        return mat[:, s * sub_dim : (s + 1) * sub_dim]
+
+    def _self_dot(mat):
+        acc = np.zeros(mat.shape[0])
+        for j in range(mat.shape[1]):
+            acc += mat[:, j] * mat[:, j]
+        return acc
+
+    def _d2_int(a, b):
+        """floor(((aa - 2ab) + bb) * 1e9) as int64, IEEE order preserved."""
+        ab = _seq_dots(a, b)
+        aa = _self_dot(a)
+        bb = _self_dot(b)
+        return np.floor(((aa[:, None] - 2.0 * ab) + bb[None, :]) * 1e9).astype(
+            np.int64
         )
 
-    cents = sub_rows(corpus.where(F.col(id_col) < ksub), "cid", "cvec")
+    # LUT[q, s, cid]: integer subspace distances, queries vs centroids.
+    lut = np.stack(
+        [_d2_int(_sub(qmat, s), _sub(cent_mat, s)) for s in range(m)], axis=1
+    ) if nq else np.zeros((0, m, len(cent_ids)), dtype=np.int64)
 
-    # Encode: argmin centroid per (doc, subspace). MIN over struct(d2, cid)
-    # = (dist asc, cid asc) tie-break — aggregation, not a window, so the
-    # map side collapses ksub scored rows per (doc, s) before any exchange.
-    codes = (
-        sub_rows(corpus, "doc_id", "dvec")
-        .join(F.broadcast(cents), "s")
-        .select(
-            "doc_id",
-            "s",
-            F.struct(_l2sq_fp(F.col("dvec"), F.col("cvec")).alias("d2"), F.col("cid")).alias(
-                "sc"
-            ),
-        )
-        .groupBy("doc_id", "s")
-        .agg(F.min("sc").alias("best"))
-        .select("doc_id", "s", F.col("best.cid").alias("code"))
-    )
+    def adc_batches(batches):
+        for pdf in batches:
+            if nq == 0 or len(pdf) == 0:
+                continue
+            nid = pdf["doc_id"].to_numpy(dtype=np.int64)
+            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            approx = np.zeros((len(nid), nq), dtype=np.int64)
+            for s in range(m):
+                d2 = _d2_int(_sub(vmat, s), _sub(cent_mat, s))
+                # centroids are cid-ascending, so argmin's first-min rule
+                # IS the struct-min (d2, cid) smallest-cid tie-break
+                code = np.argmin(d2, axis=1)
+                approx += lut[:, s, code].T
+            out_q, out_n, out_d = [], [], []
+            for i in range(nq):
+                mask = nid != qids[i]
+                cn, cd = nid[mask], approx[mask, i]
+                top = np.lexsort((cn, cd))[:rerank]
+                out_q.extend([qids[i]] * len(top))
+                out_n.extend(cn[top])
+                out_d.extend(cd[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "doc_id": np.asarray(out_n, dtype=np.int64),
+                    "approx_d2": np.asarray(out_d, dtype=np.int64),
+                }
+            )
 
-    # Query LUT: |Q| × m × ksub rows — tiny, broadcast.
-    lut = (
-        sub_rows(queries, "query_id", "qvec")
-        .join(F.broadcast(cents), "s")
-        .select(
-            "query_id",
-            "s",
-            "cid",
-            _l2sq_fp(F.col("qvec"), F.col("cvec")).alias("qd2"),
-        )
-    )
-
-    # ADC: integer sum of m LUT hits per (query, candidate).
-    adc = (
-        codes.join(
-            F.broadcast(lut),
-            (codes.s == lut.s) & (codes.code == lut.cid),
-        )
-        .where(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("qd2").alias("approx_d2"))
-    )
+    adc = corpus.selectExpr(
+        f"{id_col} AS doc_id", f"CAST({vec_col} AS array<double>) AS v"
+    ).mapInPandas(adc_batches, schema="query_id long, doc_id long, approx_d2 long")
     wc = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("doc_id"))
     cand = (
         adc.withColumn("crn", F.row_number().over(wc))

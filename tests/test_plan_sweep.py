@@ -73,10 +73,11 @@ TINY_TABLES = {"region", "nation"}
 # graph_degree_hubs 4→2 this way). Audited exceptions only:
 SCAN_BUDGET_DEFAULT = 3
 SCAN_BUDGET_EXCEPTIONS = {
-    # IVF/PQ: centroid derivation + assignment + candidate fetch are
-    # separate passes by design; production materializes the lists
-    "knn_ivf": 6,
-    "knn_pq_adc": 6,
+    # IVF: centroid derivation + assignment + candidate fetch are
+    # separate passes by design; production materializes the lists.
+    # (knn_pq_adc left this list in r7: the vectorized ADC kernel cut it
+    # to 3 scans, within the default budget.)
+    "knn_ivf": 5,
     # corpus-vs-batch operators read the same physical table as two
     # logical tables (distinct filters) plus verification joins
     "pipeline_incremental_dedup": 5,
