@@ -10,10 +10,11 @@ stuffing — and the full inverse on decode, from the spec (the Annex K
 table constants and the marker layout are public-spec material).
 
 Scope gate (explicit, like the GIF module): baseline DCT, 8-bit,
-single-component (grayscale) scans, optional restart intervals.
-Progressive, arithmetic-coded, 12-bit, and multi-component scans raise
-ValueError — this is the decode path the Spark-side plumbing exercises,
-not a general image library.
+single-component (grayscale) and interleaved 3-component YCbCr scans
+with sampling factors in {1, 2} (4:2:0 / 4:4:4), optional restart
+intervals. Progressive, arithmetic-coded, 12-bit, and partial
+(non-interleaved) scans raise ValueError — this is the decode path the
+Spark-side plumbing exercises, not a general image library.
 
 Oracle-ability of a LOSSY codec: quantization with an all-ones table is
 value-preserving for blocks the DCT maps to integer coefficients. A
@@ -498,3 +499,426 @@ def jpeg_features(blob_df):
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=feat_schema
     )
+
+
+# --------------------------------------------------------------------------
+# Color (YCbCr 4:2:0) baseline — 3-component interleaved scans
+# --------------------------------------------------------------------------
+
+# T.81 Annex K.3.2: typical chrominance Huffman tables.
+DC_CHROM_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_CHROM_VALS = tuple(range(12))
+AC_CHROM_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+AC_CHROM_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+assert sum(AC_CHROM_BITS) == len(AC_CHROM_VALS) == 162
+
+_DC_CHROM_ENC = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+_AC_CHROM_ENC = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+
+def rgb_to_ycbcr_int(rgb):
+    """JFIF color conversion to INTEGER planes, round-half-even.
+
+    Rounding to integers BEFORE the DCT is what keeps the constant-block
+    pipeline value-preserving end to end (integer DC = 8·(v-128) survives
+    quantization exactly), and makes every later step predictable by
+    plain double arithmetic — the oracle mirrors these exact expressions
+    with DuckDB's roundbankers (np.rint is also half-even)."""
+    import numpy as np
+
+    r = rgb[..., 0].astype("float64")
+    g = rgb[..., 1].astype("float64")
+    b = rgb[..., 2].astype("float64")
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    f = lambda p: np.clip(np.rint(p), 0, 255).astype("int64")  # noqa: E731
+    return f(y), f(cb), f(cr)
+
+
+def ycbcr_to_rgb_int(y, cb, cr):
+    """Inverse JFIF conversion, round-half-even + clamp — the decode-side
+    mirror (same expression order as the SQL oracle)."""
+    import numpy as np
+
+    y = y.astype("float64")
+    cbf = cb.astype("float64") - 128.0
+    crf = cr.astype("float64") - 128.0
+    r = y + 1.402 * crf
+    g = y - 0.344136 * cbf - 0.714136 * crf
+    b = y + 1.772 * cbf
+    f = lambda p: np.clip(np.rint(p), 0, 255).astype("uint8")  # noqa: E731
+    import numpy as _np
+
+    return _np.stack([f(r), f(g), f(b)], axis=-1)
+
+
+def _encode_plane_blocks(plane):
+    """(bh, bw, 8, 8) int64 quantized DCT coefficients of an int plane
+    whose dims are multiples of 8 (all-ones quant table)."""
+    import numpy as np
+
+    T = _dct_mat()
+    h, w = plane.shape
+    blocks = (
+        plane.astype("float64").reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        - 128.0
+    )
+    return np.rint(np.einsum("ux,bcxy,vy->bcuv", T, blocks, T)).astype("int64")
+
+
+def _emit_block(bw_, z, pred, dc_enc, ac_enc):
+    """Huffman-encode one zigzagged block; returns the new DC predictor."""
+    import numpy as np
+
+    diff = int(z[0]) - pred
+    cat = _category(diff)
+    code, ln = dc_enc[cat]
+    bw_.write(code, ln)
+    if cat:
+        bw_.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last = int(np.max(np.nonzero(z)[0])) if np.any(z[1:]) else 0
+    for k in range(1, 64):
+        v = int(z[k])
+        if v == 0:
+            if k > last:
+                code, ln = ac_enc[0x00]
+                bw_.write(code, ln)
+                break
+            run += 1
+            if run == 16:
+                code, ln = ac_enc[0xF0]
+                bw_.write(code, ln)
+                run = 0
+            continue
+        cat = _category(v)
+        code, ln = ac_enc[(run << 4) | cat]
+        bw_.write(code, ln)
+        bw_.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    return int(z[0])
+
+
+def encode_jpeg_color(rgb) -> bytes:
+    """Baseline 4:2:0 YCbCr JPEG bytes from an (h, w, 3) uint8 RGB array.
+
+    The full interleaved-scan shape: Y sampled 2x2 (4 blocks per MCU),
+    Cb/Cr 1x1 (one 8x8 block each covering the 16x16 MCU), separate
+    luminance/chrominance quantization slots (both all-ones) and Annex-K
+    Huffman table pairs, per-component DC predictors. Chroma is
+    subsampled by plain 2x2 integer-mean (exact for the constant-MCU
+    oracle images; conventional box filter otherwise)."""
+    import numpy as np
+
+    a = np.asarray(rgb, dtype="uint8")
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_jpeg_color wants an (h, w, 3) RGB array")
+    h, w = a.shape[:2]
+    if not h or not w or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("bad JPEG dimensions")
+    ph, pw = -h % 16, -w % 16
+    a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    y, cb, cr = rgb_to_ycbcr_int(a)
+    # 2x2 box subsample of the integer chroma planes
+    def sub(p):
+        q = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).astype("float64")
+        return np.rint(q.mean(axis=(1, 3))).astype("int64")
+
+    yb = _encode_plane_blocks(y)
+    cbb = _encode_plane_blocks(sub(cb))
+    crb = _encode_plane_blocks(sub(cr))
+
+    out = bytearray(b"\xff\xd8")
+    for slot in (0, 1):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([slot]) + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0])  # Y: 2x2 sampling, quant 0
+    out += bytes([2, 0x11, 1])  # Cb: 1x1, quant 1
+    out += bytes([3, 0x11, 1])  # Cr
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+    )
+
+    zz = list(ZIGZAG)
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    mh, mw = a.shape[0] // 16, a.shape[1] // 16
+    for my in range(mh):
+        for mx in range(mw):
+            for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):  # 4 Y blocks
+                z = yb[my * 2 + by, mx * 2 + bx].reshape(-1)[zz]
+                preds[0] = _emit_block(bw_, z, preds[0], _DC_ENC, _AC_ENC)
+            z = cbb[my, mx].reshape(-1)[zz]
+            preds[1] = _emit_block(bw_, z, preds[1], _DC_CHROM_ENC, _AC_CHROM_ENC)
+            z = crb[my, mx].reshape(-1)[zz]
+            preds[2] = _emit_block(bw_, z, preds[2], _DC_CHROM_ENC, _AC_CHROM_ENC)
+    out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_color(payload: bytes):
+    """(h, w, 3) uint8 RGB from baseline 4:2:0 (or 4:4:4) YCbCr JPEG
+    bytes: general interleaved-MCU entropy decode with per-component
+    sampling factors in {1, 2}, dequant + IDCT per component plane,
+    nearest-neighbor chroma upsample, inverse JFIF conversion."""
+    import numpy as np
+
+    comps, planes, h, w = _decode_baseline_multi(payload)
+    if len(comps) != 3:
+        raise ValueError("decode_jpeg_color wants a 3-component scan")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c, p in zip(comps, planes):
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    return ycbcr_to_rgb_int(full[0], full[1], full[2])
+
+
+def _decode_baseline_multi(payload: bytes):
+    """Shared baseline decoder: marker parse + interleaved entropy decode
+    for 1-3 components with sampling factors in {1,2}. Returns
+    (components, planes, h, w) where each plane is the component's OWN
+    resolution (pre-upsampling), already dequantized, IDCT'd, level-
+    shifted, rounded and clamped."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htrees: dict[tuple[int, int], tuple] = {}
+    comps: list[dict] = []
+    scan: list[dict] = []
+    h = w = -1
+    restart = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        m = payload[pos + 1]
+        if m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG profile (SOF marker 0x{m:02x})")
+        ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        seg = payload[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated JPEG segment body")
+        if m == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif m == 0xC0:
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError("only 1- or 3-component scans supported")
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise ValueError("sampling factors beyond 2 unsupported")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                htrees[(cls, tid)] = _decode_tree(bits, list(seg[p + 17 : p + 17 + n]))
+                p += 17 + n
+        elif m == 0xDD:
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:
+            ns = seg[0]
+            if ns != len(comps):
+                raise ValueError("partial (non-interleaved) scans unsupported")
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+                match = [c for c in comps if c["id"] == cid]
+                if not match:
+                    raise ValueError("scan references unknown component")
+                scan.append({**match[0], "dc": tt >> 4, "ac": tt & 0x0F})
+            pos = pos + 2 + ln
+            break
+        elif m == 0xD9:
+            raise ValueError("EOI before SOS")
+        pos = pos + 2 + ln
+    if h <= 0 or w <= 0 or not scan:
+        raise ValueError("SOS before SOF0")
+    for c in scan:
+        if c["tq"] not in qtables:
+            raise ValueError("scan references missing quant table")
+        if (0, c["dc"]) not in htrees or (1, c["ac"]) not in htrees:
+            raise ValueError("scan references missing Huffman table")
+
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcw, mch = 8 * hmax, 8 * vmax
+    mw_, mh_ = (w + mcw - 1) // mcw, (h + mch - 1) // mch
+    # per-component coefficient storage at block granularity
+    store = [
+        np.zeros((mh_ * c["v"], mw_ * c["h"], 64), dtype="int64") for c in scan
+    ]
+    rd = _BitReader(payload, pos)
+    preds = [0] * len(scan)
+    rst = 0
+    nmcu = 0
+    for my in range(mh_):
+        for mx in range(mw_):
+            if restart and nmcu and nmcu % restart == 0:
+                rd.sync_restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(scan)
+            nmcu += 1
+            for ci, c in enumerate(scan):
+                dct_t, act_t = htrees[(0, c["dc"])], htrees[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        cat = _huff_decode(rd, dct_t)
+                        if cat:
+                            preds[ci] += _extend(rd.receive(cat), cat)
+                        blk = store[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(rd, act_t)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                if k > 63:
+                                    raise ValueError("AC run past end of block")
+                                continue
+                            run, cat = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            blk[k] = _extend(rd.receive(cat), cat)
+                            k += 1
+
+    T = _dct_mat()
+    zz = list(ZIGZAG)
+    planes = []
+    for c, coefs in zip(scan, store):
+        quant = np.array(qtables[c["tq"]], dtype="int64")
+        nat = np.zeros(64, dtype="int64")
+        nat[zz] = quant
+        bh, bw2 = coefs.shape[0], coefs.shape[1]
+        dz = np.zeros_like(coefs)
+        dz[:, :, zz] = coefs
+        dz = dz * nat[None, None, :]
+        blocks = dz.reshape(bh, bw2, 8, 8).astype("float64")
+        pix = np.einsum("xu,bcuv,yv->bcxy", T.T, blocks, T.T)
+        fullp = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw2 * 8) + 128.0
+        p = np.clip(np.rint(fullp), 0, 255).astype("int64")
+        planes.append(p)
+    return scan, planes, h, w
+
+
+def synth_jpeg_color_blobs(docs):
+    """(doc_id, payload): real baseline 4:2:0 color JPEG bytes for the
+    deterministic test image w = 16·(1 + doc_id % 2), h = 16·(1 +
+    doc_id % 3), built from CONSTANT 16×16 MCUs (row-major MCU index b)
+    with RGB ((d·3+11b) % 256, (d·5+17b) % 256, (d·7+23b) % 256). With
+    integer YCbCr planes and all-ones quant tables the lossy pipeline is
+    value-preserving per MCU, so decoded channel sums follow from plain
+    double arithmetic (the oracle mirrors the exact expression order with
+    roundbankers = round-half-even = np.rint)."""
+    import pandas as pd
+
+    blob_schema, _ = _spark_types()
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
+                mh, mw = h // 16, w // 16
+                b = np.arange(mh * mw, dtype="int64").reshape(mh, mw)
+                rgb = np.stack(
+                    [
+                        (d * 3 + 11 * b) % 256,
+                        (d * 5 + 17 * b) % 256,
+                        (d * 7 + 23 * b) % 256,
+                    ],
+                    axis=-1,
+                )
+                img = np.repeat(np.repeat(rgb, 16, axis=0), 16, axis=1)
+                out.append(encode_jpeg_color(img.astype("uint8")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=blob_schema)
+
+
+def jpeg_color_features(blob_df):
+    """REAL decode: full interleaved 4:2:0 baseline decode of each
+    payload, emitting exact dimensions and per-channel sums."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+        ]
+    )
+
+    def feats(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_jpeg_color(bytes(payload)).astype("int64")
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                rows["sum_r"].append(int(img[:, :, 0].sum()))
+                rows["sum_g"].append(int(img[:, :, 1].sum()))
+                rows["sum_b"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(feats, schema=schema)

@@ -462,3 +462,78 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return jpeg_features(synth_jpeg_blobs(d))
+
+
+@register(
+    "multimodal_jpeg_color_roundtrip",
+    oracle="""
+    WITH od AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 2) AS w,
+             16 * (1 + doc_id % 3) AS h
+      FROM documents
+    ),
+    mc AS (
+      SELECT doc_id, w, h, t.b
+      FROM od, LATERAL (SELECT UNNEST(range((w // 16) * (h // 16))) AS b) t
+    ),
+    rgb AS (
+      SELECT doc_id, w, h,
+             CAST((doc_id * 3 + 11 * b) % 256 AS DOUBLE) AS r,
+             CAST((doc_id * 5 + 17 * b) % 256 AS DOUBLE) AS g,
+             CAST((doc_id * 7 + 23 * b) % 256 AS DOUBLE) AS bl
+      FROM mc
+    ),
+    ycc AS (
+      SELECT doc_id, w, h,
+             roundbankers(CAST(0.299 AS DOUBLE) * r
+               + CAST(0.587 AS DOUBLE) * g
+               + CAST(0.114 AS DOUBLE) * bl, 0) AS y,
+             roundbankers(CAST(-0.168736 AS DOUBLE) * r
+               - CAST(0.331264 AS DOUBLE) * g
+               + CAST(0.5 AS DOUBLE) * bl + CAST(128 AS DOUBLE), 0) AS cb,
+             roundbankers(CAST(0.5 AS DOUBLE) * r
+               - CAST(0.418688 AS DOUBLE) * g
+               - CAST(0.081312 AS DOUBLE) * bl + CAST(128 AS DOUBLE), 0) AS cr
+      FROM rgb
+    ),
+    dec AS (
+      SELECT doc_id, w, h,
+             LEAST(GREATEST(roundbankers(
+               y + CAST(1.402 AS DOUBLE) * (cr - CAST(128 AS DOUBLE)), 0), 0), 255) AS rp,
+             LEAST(GREATEST(roundbankers(
+               y - CAST(0.344136 AS DOUBLE) * (cb - CAST(128 AS DOUBLE))
+                 - CAST(0.714136 AS DOUBLE) * (cr - CAST(128 AS DOUBLE)), 0), 0), 255) AS gp,
+             LEAST(GREATEST(roundbankers(
+               y + CAST(1.772 AS DOUBLE) * (cb - CAST(128 AS DOUBLE)), 0), 0), 255) AS bp
+      FROM ycc
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(256 * SUM(rp) AS BIGINT) AS sum_r,
+           CAST(256 * SUM(gp) AS BIGINT) AS sum_g,
+           CAST(256 * SUM(bp) AS BIGINT) AS sum_b
+    FROM dec GROUP BY doc_id, w, h
+    """,
+    doc="REAL lossy COLOR codec round-trip — baseline 4:2:0 YCbCr JPEG "
+    "written and read from the spec: interleaved MCUs (4 luma blocks + "
+    "Cb + Cr), separate luminance/chrominance quantization slots and "
+    "Annex-K Huffman table pairs, per-component DC predictors, 2x2 box "
+    "chroma subsampling with nearest upsample, inverse JFIF conversion. "
+    "Constant 16x16 MCUs + integer YCbCr planes make the lossy pipeline "
+    "value-preserving, so decoded per-channel sums follow from plain "
+    "double arithmetic the oracle replays exactly (roundbankers = "
+    "round-half-even = np.rint; every literal cast to DOUBLE so DuckDB "
+    "does not silently evaluate in DECIMAL). A wrong sampling factor, "
+    "interleave order, predictor, table class, or color matrix breaks "
+    "the hash match.",
+    tags=("multimodal", "codec"),
+)
+def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.jpeg import (
+        jpeg_color_features,
+        synth_jpeg_color_blobs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return jpeg_color_features(synth_jpeg_color_blobs(d))

@@ -196,3 +196,89 @@ def test_jpeg_arbitrary_content_bounded_error(h, w, seed):
     got = decode_jpeg_gray(encode_jpeg_gray(img))
     assert got.shape == (h, w)
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+
+# --- color (4:2:0 YCbCr) --------------------------------------------------
+
+
+def _color_mirror(rgb_mcus):
+    """Independent double-arithmetic mirror of the constant-MCU color
+    pipeline (same expression order as the kernel and the SQL oracle)."""
+    mh, mw = rgb_mcus.shape[:2]
+    out = np.zeros((mh * 16, mw * 16, 3), dtype="uint8")
+    for my in range(mh):
+        for mx in range(mw):
+            r, g, b = [float(v) for v in rgb_mcus[my, mx]]
+            y = np.rint(0.299 * r + 0.587 * g + 0.114 * b)
+            cb = np.rint(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+            cr = np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+            r2 = np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)
+            g2 = np.clip(
+                np.rint(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255
+            )
+            b2 = np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)
+            out[my * 16 : (my + 1) * 16, mx * 16 : (mx + 1) * 16] = [r2, g2, b2]
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 2**32 - 1))
+def test_jpeg_color_constant_mcu_exact(mh, mw, seed):
+    """Constant 16x16 MCUs: integer YCbCr planes survive the 4:2:0
+    pipeline exactly, so decoded RGB equals the double-arithmetic mirror
+    bit-for-bit — the property the color round-trip oracle stands on.
+    Multi-MCU shapes exercise all three DC predictor chains and the
+    interleave order."""
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=(mh, mw, 3), dtype=np.int64)
+    img = np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1).astype("uint8")
+    dec = decode_jpeg_color(encode_jpeg_color(img))
+    assert np.array_equal(dec, _color_mirror(vals))
+
+
+def test_jpeg_color_smooth_luma_bounded():
+    """A gray gradient as RGB: luma varies (DCT rounding error bounded),
+    chroma is exactly 128 everywhere — decoded channels must agree with
+    the source within the coefficient-rounding budget on every channel."""
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    v = ((np.arange(32)[:, None] * 3 + np.arange(48)[None, :] * 2) % 256).astype(
+        "uint8"
+    )
+    img = np.stack([v, v, v], axis=-1)
+    dec = decode_jpeg_color(encode_jpeg_color(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_color_rejects_and_gray_interop():
+    """decode_jpeg_color refuses single-component payloads (and vice
+    versa the gray decoder refuses none it shouldn't); truncated color
+    payloads raise ValueError; the color stream structurally carries 2
+    DQTs and 4 DHTs (both table classes, both slots)."""
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    gray = encode_jpeg_gray(np.full((8, 8), 7, dtype="uint8"))
+    with pytest.raises(ValueError):
+        decode_jpeg_color(gray)
+    color = encode_jpeg_color(np.full((16, 16, 3), 77, dtype="uint8"))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(color)  # 3-component scan in the 1-component API
+    for cut in (3, 30, 200, len(color) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg_color(color[:cut])
+    assert color.count(b"\xff\xdb") == 2
+    assert color.count(b"\xff\xc4") == 4
