@@ -69,10 +69,11 @@ def register(
 # rows).  tests/test_oracle.py::test_driver_sample_rotation pins this
 # contract (>=40 fresh names vs the r01-r06 union).
 #
-# ROUND-8 ROTATION PLAN: assuming r07 adjudicates this window, 62 oracled
-# names remain unseen (recomputed 2026-08-14 after the GIF/JPEG codec
-# queries joined the registry; multimodal_jpeg_roundtrip is one of them) —
-# fill the next 45 slots from the remaining scalar_* (~12), events_* (~8),
+# ROUND-8 ROTATION PLAN: assuming r07 adjudicates this window, 63 oracled
+# names remain unseen (recomputed 2026-08-15 after the GIF/JPEG codec
+# queries joined the registry; multimodal_jpeg_roundtrip and
+# multimodal_jpeg_color_roundtrip are two of them) — fill the next 45
+# slots from the remaining scalar_* (~12), events_* (~8),
 # pipeline_* (~12), text_* (~10), plus
 # dedup_substring_span_positions, dedup_minhash_estimator_error,
 # embedding_*, join_existence_flag / join_not_in_null_aware,
