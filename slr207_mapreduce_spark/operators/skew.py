@@ -144,8 +144,9 @@ def capped_sessions_segmented(
 ) -> DataFrame:
     """Heavy-hitter-safe capped sessionization (gap + hard duration cap),
     exactly equal to the per-user sequential Python scan but vectorized:
-    one group per user, with the group body doing numpy work instead of a
-    per-event Python loop.
+    users are laid out contiguously per partition and segmented INSIDE
+    one Arrow kernel per batch, with each user's body doing numpy work
+    instead of a per-event Python loop.
 
     Inside a user's sorted events: gap breaks come from ONE vectorized
     np.diff (every gap > gap_s starts a run, and a run always starts a
@@ -156,14 +157,17 @@ def capped_sessions_segmented(
     user with 10^6 events costs one vectorized sort + ~10^4 searchsorted
     calls, not 10^6 interpreter iterations.
 
-    Two earlier shapes both lost at scale: the per-event loop serializes
-    O(events) Python on the bot's single task, and grouping by (user,
+    Three earlier shapes all lost at scale: the per-event loop serializes
+    O(events) Python on the bot's single task; grouping by (user,
     gap-run) explodes normal traffic into one Arrow group per run
-    (measured 277 s vs 10 s at sf1's 10^6 events x 10^5 users). One group
-    per user with a vectorized body keeps group count = users AND bounds
-    the per-group Python at O(sessions log n); the remaining per-task
-    floor is the bot's Arrow batch — O(events) bytes, inherent to any
-    exact per-user operator without state handoff."""
+    (measured 277 s vs 10 s at sf1's 10^6 events x 10^5 users); and even
+    one applyInPandas group PER USER pays the ~0.3 ms per-invocation
+    Python floor times the user count (5.3 s at sf1's 15k users — at
+    real user counts that floor dwarfs the work). The mapInPandas shape
+    below pays the floor once per ARROW BATCH, segments users
+    vectorized, and bounds per-user Python at O(sessions log n); the
+    remaining per-task floor is the bot's Arrow bytes — O(events),
+    inherent to any exact per-user operator without state handoff."""
     import numpy as np
     import pandas as pd
 
@@ -174,37 +178,79 @@ def capped_sessions_segmented(
     gap = np.timedelta64(gap_s, "s")
     cap = np.timedelta64(cap_s, "s")
 
-    def user_sessions(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts = pdf["ts"].to_numpy()
-        n = len(ts)
-        # run boundaries: indexes where the inactivity gap exceeds gap_s
-        run_edges = np.concatenate(
-            ([0], np.flatnonzero(np.diff(ts) > gap) + 1, [n])
-        )
-        starts: list[int] = []
-        for ri in range(len(run_edges) - 1):
-            lo, hi = int(run_edges[ri]), int(run_edges[ri + 1])
-            i = lo
-            while i < hi:
-                starts.append(i)
-                # first event STRICTLY past start + cap (break is '>')
-                i = lo + int(
-                    np.searchsorted(ts[lo:hi], ts[i] + cap, side="right")
+    # MANY users per Python invocation, not one: groupBy().applyInPandas
+    # makes one Arrow group (and one Python call, ~0.3 ms floor) PER USER —
+    # at sf1's 15k users that floor alone was 5.3 s, and at real user
+    # counts it dwarfs the actual work. Repartition+sortWithinPartitions
+    # gives the same per-user contiguous, time-sorted layout with ONE
+    # kernel invocation per Arrow batch; a user straddling a batch
+    # boundary is carried into the next batch (mapInPandas iterates a
+    # whole partition, so the carry is exact and stays in arrival order).
+    def partition_sessions(batches):
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame):
+            # Raw numpy views per user — no per-user pandas slice/concat
+            # (at 15k users per batch the DataFrame-per-user overhead was
+            # itself ~1.5 s at sf1). Rows arrive user-contiguous and
+            # (ts, event_id)-sorted from sortWithinPartitions; batch
+            # concat preserves that order.
+            uids = pdf["user_id"].to_numpy()
+            ts_all = pdf["ts"].to_numpy()
+            edges = np.concatenate(
+                ([0], np.flatnonzero(uids[1:] != uids[:-1]) + 1, [len(uids)])
+            )
+            out_u, out_sid, out_n, out_s, out_e = [], [], [], [], []
+            for i in range(len(edges) - 1):
+                lo_u, hi_u = int(edges[i]), int(edges[i + 1])
+                ts = ts_all[lo_u:hi_u]
+                n = len(ts)
+                run_edges = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(ts) > gap) + 1, [n])
                 )
-        bounds = np.array(starts + [n])
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[:1].repeat(len(starts)).to_numpy(),
-                "session_id": np.arange(1, len(starts) + 1, dtype="int64"),
-                "n_events": np.diff(bounds).astype("int64"),
-                "s_start": ts[bounds[:-1]],
-                "s_end": ts[bounds[1:] - 1],
-            }
-        )
+                starts: list[int] = []
+                for ri in range(len(run_edges) - 1):
+                    lo, hi = int(run_edges[ri]), int(run_edges[ri + 1])
+                    k = lo
+                    while k < hi:
+                        starts.append(k)
+                        k = lo + int(
+                            np.searchsorted(ts[lo:hi], ts[k] + cap, side="right")
+                        )
+                bounds = np.array(starts + [n])
+                out_u.append(np.full(len(starts), uids[lo_u], dtype="int64"))
+                out_sid.append(np.arange(1, len(starts) + 1, dtype="int64"))
+                out_n.append(np.diff(bounds).astype("int64"))
+                out_s.append(ts[bounds[:-1]])
+                out_e.append(ts[bounds[1:] - 1])
+            return pd.DataFrame(
+                {
+                    "user_id": np.concatenate(out_u),
+                    "session_id": np.concatenate(out_sid),
+                    "n_events": np.concatenate(out_n),
+                    "s_start": np.concatenate(out_s),
+                    "s_end": np.concatenate(out_e),
+                }
+            )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last_uid = pdf["user_id"].iloc[-1]
+            tail = pdf["user_id"] == last_uid
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield emit(body)
+        if carry is not None and len(carry):
+            yield emit(carry)
 
     return (
         events.select("user_id", "ts", "event_id")
-        .groupBy("user_id")
-        .applyInPandas(user_sessions, out_schema)
+        .repartition(F.col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(partition_sessions, out_schema)
     )
