@@ -49,24 +49,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # Quiet-window gate (r06 verdict item 4): r04->r05 swung ~25% on an
-    # identical tree purely from ambient machine load, so round-over-round
-    # deltas were not trustworthy. Gate ONCE at startup — before the warm
-    # pass — when the 1-min loadavg still reflects only AMBIENT work (our
-    # own 32-core warm pass would trip any per-run gate for the following
-    # minute, so per-run gating would measure ourselves, not the noise).
-    # Skip-and-retry up to a bounded budget; record every rejection so the
-    # artifact shows whether the window was actually quiet.
-    load_gate = float(
-        os.environ.get("SPARK_GRAFT_LOAD_GATE", max(4.0, 0.2 * float(cpus)))
-    )
-    gate_budget = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "120"))
+    # Quiet-window gate (r06 verdict item 4, tightened per r07 item 2):
+    # r04->r05 swung ~25% on an identical tree purely from ambient machine
+    # load, and the old relative threshold (0.2*cpus = 6.4 on 32 cores)
+    # admitted loadavg 6.1 in r07 — a window ~22% slower than its quiet-box
+    # twin, swamping round-over-round deltas. The gate is now ABSOLUTE
+    # (default 2.0, env-overridable) with a longer wait budget, and if the
+    # budget expires the artifact self-describes with "gate_failed": true
+    # so a dirty window can never be read as a regression. Gate ONCE at
+    # startup — before the warm pass — when the 1-min loadavg still
+    # reflects only AMBIENT work (our own 32-core warm pass would trip any
+    # per-run gate for the following minute, so per-run gating would
+    # measure ourselves, not the noise).
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    gate_budget = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "600"))
     gate_rejections = 0
     gate_waited = 0.0
     while os.getloadavg()[0] > load_gate and gate_waited < gate_budget:
         time.sleep(5.0)
         gate_waited += 5.0
         gate_rejections += 1
+    gate_failed = os.getloadavg()[0] > load_gate
 
     # Warm pass: JVM JIT, parquet footers, codegen compilation. The timed
     # pass then measures steady-state engine throughput, not first-run
@@ -111,6 +114,7 @@ def main() -> int:
             "threshold": round(load_gate, 2),
             "rejections": gate_rejections,
             "waited_sec": gate_waited,
+            "gate_failed": gate_failed,
         },
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],

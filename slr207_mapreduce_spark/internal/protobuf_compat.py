@@ -11,29 +11,42 @@ protobuf runtime). Nothing is downloaded or installed here: we only probe
 a short list of well-known on-disk locations, and only if ``import
 google.protobuf`` fails outright.
 
-Two details make the bundled runtime usable:
+Safety properties (r07 ADVICE items 1-2):
 
-- The directory is **appended** (not prepended) to ``sys.path``, so a real
-  installed protobuf always wins and the bundle's sibling packages can
-  never shadow anything already importable.
-- PySpark's generated ``StateMessage_pb2`` may carry a gencode version one
-  minor ahead of the bundled runtime; protobuf's own escape hatch for
-  exactly this situation is the ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``
-  environment variable (``google/protobuf/runtime_version.py``), which we
-  set only when falling back to a bundled runtime — never for a properly
-  installed one.
+- What gets exported to child processes is never the bundle directory
+  itself (whose *sibling* packages — including its own ``google`` — would
+  precede site-packages on a worker's ``sys.path`` and shadow installed
+  ones). Instead we build a private **shim directory** containing only
+  ``google/protobuf`` (a symlink into the bundle) whose ``google/
+  __init__.py`` is a ``pkgutil.extend_path`` namespace stub, so any other
+  installed ``google.*`` distribution keeps resolving even when the shim
+  sorts first.
+- ``os.environ`` is mutated only AFTER ``import google.protobuf`` has
+  succeeded through the shim; a candidate that looks right on disk but
+  fails to import leaves no trace (no leaked PYTHONPATH entry, no leaked
+  ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``).
+- PYTHONPATH values are merged (appended), never overwritten — both the
+  driver-process variable and the ``spark.executorEnv.PYTHONPATH`` entry
+  built by :func:`worker_env`.
+- ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` is protobuf's own escape
+  hatch (``google/protobuf/runtime_version.py``) for a gencode version one
+  minor ahead of the runtime; it is set only when a bundled runtime is in
+  use — never for a properly installed one.
 
 Both the path and the env var must reach the *worker* Python processes.
 In local mode workers inherit the driver JVM's environment, so
 :func:`ensure_protobuf` must run **before** the ``SparkSession`` is built
-(``session.get_session`` does this); for cluster deployments
-``worker_env()`` returns the ``spark.executorEnv.*`` entries to add.
+(``session.get_session`` does this; set ``SPARK_GRAFT_TYPED_STATE=0`` to
+skip the wiring entirely when typed state is not wanted); for cluster
+deployments :func:`worker_env` returns the ``spark.executorEnv.*``
+entries to add.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 # Well-known public locations of a bundled pure-Python protobuf runtime.
 # Override/extend with $SPARK_GRAFT_PROTOBUF_PATH (a single directory that
@@ -47,8 +60,15 @@ _CANDIDATE_DIRS: tuple[str, ...] = (
 _ENV_OVERRIDE = "SPARK_GRAFT_PROTOBUF_PATH"
 _VERSION_CHECK_ENV = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
 
+# pkgutil-style namespace stub: lets site-packages' other google.*
+# subpackages keep importing even if the shim dir sorts earlier on a
+# worker's sys.path.
+_NS_INIT = (
+    "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+)
+
 _verdict: bool | None = None
-_bundled_dir: str | None = None
+_bundled_dir: str | None = None  # the exported dir (the shim, normally)
 
 
 def _importable() -> bool:
@@ -60,10 +80,46 @@ def _importable() -> bool:
         return False
 
 
+def _build_shim(candidate: str) -> str | None:
+    """Create (or reuse) a private directory exposing ONLY
+    ``google/protobuf`` from ``candidate`` — the unit that is safe to put
+    on child-process PYTHONPATHs. Deterministic per candidate path so
+    repeated sessions reuse one shim instead of accumulating tempdirs.
+    Returns the shim dir, or None if it cannot be built (no symlink
+    support, read-only tmp): the caller then skips the candidate rather
+    than exporting the whole bundle."""
+    src = os.path.join(candidate, "google", "protobuf")
+    digest = "%08x" % (hash(os.path.abspath(candidate)) & 0xFFFFFFFF)
+    shim = os.path.join(
+        tempfile.gettempdir(), f"slr207_protobuf_shim_{os.getuid()}_{digest}"
+    )
+    link = os.path.join(shim, "google", "protobuf")
+    init = os.path.join(shim, "google", "__init__.py")
+    try:
+        if not (os.path.islink(link) and os.path.realpath(link) == os.path.realpath(src)):
+            os.makedirs(os.path.join(shim, "google"), exist_ok=True)
+            if os.path.islink(link) or os.path.exists(link):
+                os.remove(link)
+            os.symlink(src, link)
+        if not os.path.isfile(init):
+            with open(init, "w") as f:
+                f.write(_NS_INIT)
+        return shim
+    except OSError:
+        return None
+
+
+def _append_env_path(name: str, entry: str) -> None:
+    existing = os.environ.get(name, "")
+    if entry not in existing.split(os.pathsep):
+        os.environ[name] = existing + os.pathsep + entry if existing else entry
+
+
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable if at all possible; return
     whether it is. Idempotent and cached (the verdict is path-probing, not
-    session state, so a process-global cache is correct here)."""
+    session state, so a process-global cache is correct here). Environment
+    mutations happen only after a successful import through the shim."""
     global _verdict, _bundled_dir
     if _verdict is not None:
         return _verdict
@@ -78,39 +134,47 @@ def ensure_protobuf() -> bool:
     for d in candidates:
         if not os.path.isfile(os.path.join(d, "google", "protobuf", "__init__.py")):
             continue
-        sys.path.append(d)
+        shim = _build_shim(d)
+        if shim is None:
+            continue
+        sys.path.append(shim)
+        if not _importable():
+            # Roll back completely: nothing was exported yet.
+            sys.path.remove(shim)
+            continue
+        # Success — only now export to child processes (local-mode Python
+        # workers inherit the driver JVM's env, which inherits ours if set
+        # pre-launch). Merge, never overwrite.
+        _append_env_path("PYTHONPATH", shim)
         os.environ.setdefault(_VERSION_CHECK_ENV, "true")
-        # Export to child processes (local-mode Python workers inherit the
-        # driver JVM's env, which inherits ours if set pre-launch).
-        existing = os.environ.get("PYTHONPATH", "")
-        if d not in existing.split(os.pathsep):
-            os.environ["PYTHONPATH"] = (
-                existing + os.pathsep + d if existing else d
-            )
-        if _importable():
-            _verdict = True
-            _bundled_dir = d
-            return True
-        sys.path.remove(d)
+        _verdict = True
+        _bundled_dir = shim
+        return True
     _verdict = False
     return False
 
 
 def bundled_dir() -> str | None:
-    """The directory a bundled runtime was loaded from, or None when
-    protobuf was properly installed (or absent)."""
+    """The shim directory a bundled runtime is exported through, or None
+    when protobuf was properly installed (or absent)."""
     ensure_protobuf()
     return _bundled_dir
 
 
-def worker_env() -> dict[str, str]:
+def worker_env(existing_pythonpath: str | None = None) -> dict[str, str]:
     """``spark.executorEnv.*`` entries needed so *remote* executors' Python
     workers can import the same bundled runtime (no-op for an installed
-    protobuf — then the workers' own site-packages serve it)."""
+    protobuf — then the workers' own site-packages serve it). The shim is
+    APPENDED to ``existing_pythonpath`` (defaults to the caller's
+    pre-existing value, if any) so a user-supplied executor PYTHONPATH is
+    extended, never replaced."""
     ensure_protobuf()
     if _bundled_dir is None:
         return {}
+    parts = [p for p in (existing_pythonpath or "").split(os.pathsep) if p]
+    if _bundled_dir not in parts:
+        parts.append(_bundled_dir)
     return {
-        "spark.executorEnv.PYTHONPATH": _bundled_dir,
+        "spark.executorEnv.PYTHONPATH": os.pathsep.join(parts),
         f"spark.executorEnv.{_VERSION_CHECK_ENV}": "true",
     }

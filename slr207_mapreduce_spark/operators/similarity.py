@@ -94,6 +94,15 @@ def knn_bruteforce(
     ``list_dot_product`` — so scores remain oracle-checkable to the last
     bit (pinned by tests/test_sf1_equivalence.py's full-corpus numpy
     mirror and the DuckDB gate).
+
+    Degenerate embeddings (r07 ADVICE): cosine is undefined for a
+    zero-norm vector, and the engines disagree on the NaN it produces
+    (Spark/DuckDB order NaN greatest; numpy's lexsort drops it last), so
+    the semantics are fixed BY CONSTRUCTION instead of inherited from a
+    NaN comparison: a zero-norm QUERY vector raises (its whole top-k is
+    undefined — fail loudly on the small collected side), and zero-norm
+    CORPUS rows are excluded from every candidate set (documented,
+    engine-independent, pinned by tests/test_similarity_ops.py).
     """
     import numpy as np
     import pandas as pd
@@ -124,6 +133,12 @@ def knn_bruteforce(
 
     qnorm = np.sqrt(_seq_self_dot(qmat))
     nq = len(qids)
+    if nq and not np.all(qnorm > 0):
+        bad = qids[qnorm == 0].tolist()
+        raise ValueError(
+            f"knn_bruteforce: zero-norm query vector(s) {bad[:5]} — cosine "
+            "top-k is undefined for them; drop or re-embed these rows"
+        )
 
     def score_batches(batches):
         for pdf in batches:
@@ -136,10 +151,15 @@ def knn_bruteforce(
             for j in range(cmat.shape[1]):
                 dots += cmat[:, j : j + 1] * qmat.T[j : j + 1, :]
             cnorm = np.sqrt(_seq_self_dot(cmat))
-            cos = dots / (cnorm[:, None] * qnorm[None, :])
+            # Zero-norm corpus rows: cosine undefined — excluded by
+            # contract (see docstring), not left to NaN ordering luck.
+            valid = cnorm > 0
+            # np.where keeps the one-division x/(a*b) shape bit-identical
+            # to the oracle for valid rows (a/b/c would drift 1 ulp).
+            cos = dots / (np.where(valid, cnorm, 1.0)[:, None] * qnorm[None, :])
             out_q, out_n, out_c = [], [], []
             for i in range(nq):
-                mask = nid != qids[i]
+                mask = (nid != qids[i]) & valid
                 cand_ids, cand_cos = nid[mask], cos[mask, i]
                 top = np.lexsort((cand_ids, -cand_cos))[:k]
                 out_q.extend([qids[i]] * len(top))
@@ -546,7 +566,12 @@ def cosine_neardup_pairs(
     shape the join had; the sign-bit bucketing exists precisely to bound
     bucket sizes, and at 100 TB you add bits to keep them bounded (a
     bucket too large for this kernel was already a quadratic-blowup
-    bucket for the join)."""
+    bucket for the join).
+
+    Zero-norm embeddings are EXCLUDED from pairing by contract (cosine
+    undefined; Spark's NaN-greatest comparison would pass them, numpy's
+    would not — r07 ADVICE): the kernel masks ``norm == 0`` rows
+    explicitly so the semantics never ride on an engine's NaN rules."""
     import numpy as np
     import pandas as pd
 
@@ -574,8 +599,15 @@ def cosine_neardup_pairs(
         for j in range(mat.shape[1]):
             acc += mat[:, j] * mat[:, j]
         nrm = np.sqrt(acc)
-        cos = dots / (nrm[:, None] * nrm[None, :])
-        ia, ib = np.where((ids[:, None] < ids[None, :]) & (cos >= threshold))
+        valid = nrm > 0  # zero-norm excluded by contract (see docstring)
+        safe = np.where(valid, nrm, 1.0)
+        cos = dots / (safe[:, None] * safe[None, :])
+        ia, ib = np.where(
+            (ids[:, None] < ids[None, :])
+            & valid[:, None]
+            & valid[None, :]
+            & (cos >= threshold)
+        )
         if not len(ia):
             return empty
         return pd.DataFrame(

@@ -52,98 +52,109 @@ def register(
 
 
 # The driver's correctness comparator samples the FIRST 50 entries of
-# queries() each round.  Rounds 1-3 sampled the identical registration-order
-# slice; round 4/5 a second slice; round 6 rotated 45 never-adjudicated
-# names (multimodal/graph/stats/window/scalar/remaining-TPCH) and landed
-# 50/50 green (CORRECTNESS_r06.json), moving cumulative adjudication to
-# 140/245.  Round 7 (this list) rotates again per the plan the r06 verdict
-# ratified: the 5 multi-round-green sentinels anchor continuity, and the
-# 45 non-sentinel slots are drawn from the 105 names with ZERO driver
-# evidence across r01-r06, priority order from VERDICT.md r06 item 1 —
-# the full remaining agg_* block (18), samples of scalar_* / events_* /
-# pipeline_* / text_*, and every judge-named must-have:
-# dedup_streaming_gate_batch, events_sessionization_capped_segmented,
-# dedup_substring_spans / simhash_pairs, udf_map_in_arrow / udtf_*,
-# asof_* / cdc / scd2 / pivot / unpivot / warehouse_incremental.
-# Every name listed here has an oracle (hash verdicts, not `no_oracle`
-# rows).  tests/test_oracle.py::test_driver_sample_rotation pins this
-# contract (>=40 fresh names vs the r01-r06 union).
+# queries() each round.  Rotation history: r01-r03 one fixed slice,
+# r04/r05 a second slice, r06 rotated 45 never-adjudicated names (50/50
+# green), r07 executed the ratified agg/events/udf/warehouse rotation
+# (50/50 green, 45 first-time names, cumulative 185/248 per VERDICT r07).
 #
-# ROUND-8 ROTATION PLAN: assuming r07 adjudicates this window, 63 oracled
-# names remain unseen (recomputed 2026-08-15 after the GIF/JPEG codec
-# queries joined the registry; multimodal_jpeg_roundtrip and
-# multimodal_jpeg_color_roundtrip are two of them) — fill the next 45
-# slots from the remaining scalar_* (~12), events_* (~8),
-# pipeline_* (~12), text_* (~10), plus
-# dedup_substring_span_positions, dedup_minhash_estimator_error,
-# embedding_*, join_existence_flag / join_not_in_null_aware,
-# subq_cte_top_customers / subq_in_uncorrelated /
-# subq_recursive_cte_day_spine, udf_pandas_grouped_agg_range,
-# multimodal_frame_sample.  Compute the exact list with:
-#   seen = union of CORRECTNESS_r0*.json keys; remaining = registry - seen
-# and update test_driver_sample_rotation's prior-rounds tuple to r01-r07.
+# Round 8 (this list) is the adjudication endgame per VERDICT r07 item 1:
+# the same 5 multi-round-green sentinels anchor continuity, and the 45
+# non-sentinel slots are drawn from the 63 names with ZERO driver
+# evidence across r01-r07 (recomputed 2026-08-15 as
+#   seen = union of CORRECTNESS_r01..r07 keys; remaining = registry - seen
+# ), leading with every judge-named must-have: the two JPEG round-trips,
+# dedup_substring_span_positions / dedup_minhash_estimator_error, the
+# embedding_* block, join_existence_flag / join_not_in_null_aware, the
+# three subq_* names, udf_pandas_grouped_agg_range, and the three renamed
+# multimodal_*_stub queries (r07 VERDICT item 4 rename — features/resize
+# were r06-adjudicated under the old names, so they re-enter the window
+# to be re-adjudicated under the honest names).  Every name listed here
+# has an oracle (hash verdicts, not `no_oracle` rows).
+# tests/test_oracle.py::test_driver_sample_rotation pins this contract
+# (>=40 fresh names vs the r01-r07 union).
+#
+# ROUND-9 ROTATION PLAN: after r08 adjudicates this window, exactly 18
+# oracled names remain unseen — pipeline_dedup_report /
+# sample_exact_k / weighted_sample / fractional_sample / redact /
+# fuzzy_name_pairs / phonetic_blocking / dataset_card /
+# quality_percentile_by_source, text_bigram_lm / trigram_novelty /
+# bpe_train_merges, scalar_bitwise_ops / lateral_column_alias / to_json /
+# explode_outer / zorder_key / binary_encodings — plus the two rows-only
+# entries (events_approx_percentiles, dedup_minhash_ml).  Put all 20 in
+# the r09 window (rows-only entries still get the driver's weaker check)
+# and fill the rest with high-value re-runs; that closes the tail at
+# 248/248 cumulative.
+# Registry-growth policy (r07 VERDICT item 5): any query registered after
+# the r07 snapshot (tests/data/registry_r07.txt) must appear in
+# DRIVER_SAMPLE_FIRST for the round it lands in, or be listed here with a
+# reason — tests/test_oracle.py::test_registry_growth_joins_driver_window
+# enforces it.  Keep this empty unless a new query genuinely must wait a
+# round (e.g. the window is already full of higher-priority backlog).
+DEFERRED_NEW_NAMES: tuple[str, ...] = ()
+
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (driver-green in r01-r06)
+    # sentinels (driver-green in r01-r07)
     "wordcount_topk",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # the full remaining agg_* block (exact aggregates, sketches, skew)
-    "agg_filter_clause",
-    "agg_min_by_max_by",
-    "agg_exact_percentiles",
-    "agg_percentile_disc",
-    "agg_multi_distinct",
-    "agg_skew_kurt_exact",
-    "agg_regression_exact",
-    "agg_mode_exact",
-    "agg_mode_deterministic",
-    "agg_string_agg_ordered",
-    "agg_grouping_flags",
-    "agg_bitwise_bool",
-    "agg_bitmap_distinct",
-    "agg_width_bucket_histogram",
-    "agg_histogram_equiwidth",
-    "agg_count_min_frequency",
-    "agg_hll_portable",
-    "agg_salted_skewed_groups",
-    # scalar sample (rest, incl. scalar_hash_funcs, in r08)
-    "scalar_math_funcs",
-    "scalar_conditional_null",
-    "scalar_array_map_funcs",
-    # round-7 GIF/LZW codec (r06 VERDICT item 3: first driver exposure)
-    "multimodal_gif_roundtrip",
-    # events sample incl. the round-6 segmented sessionizer (zero driver
-    # evidence until now) and the session-window batch analogue
-    "events_sessionization_capped_segmented",
-    "events_session_window_batch",
-    "events_tumbling_window",
-    "events_funnel",
-    "events_retention_cohort",
-    "events_dedup_latest",
-    # pipeline sample (curation end-to-end + incremental + quarantine)
-    "pipeline_curation_end_to_end",
-    "pipeline_incremental_dedup",
-    "pipeline_json_ingest_quarantine",
-    # text sample (BPE family head)
-    "text_bpe_apply",
-    # dedup must-haves (round-6 streaming gate: first driver exposure)
-    "dedup_streaming_gate_batch",
-    "dedup_simhash_pairs",
-    "dedup_substring_spans",
-    # UDF/UDTF surface
-    "udf_map_in_arrow",
-    "udtf_stack_measures",
-    "udtf_inline_structs",
-    # as-of / warehouse family
-    "asof_next_purchase_after_view",
-    "asof_tolerance_30m",
-    "cdc_latest_state",
-    "scd2_user_status_history",
-    "pivot_status_by_priority",
-    "unpivot_lineitem_measures",
-    "warehouse_incremental_agg_merge",
+    # round-7 JPEG codecs (VERDICT r07 item 1 top priority: code with
+    # zero driver evidence) + the honest-name stub family (item 4 rename)
+    "multimodal_jpeg_roundtrip",
+    "multimodal_jpeg_color_roundtrip",
+    "multimodal_frame_sample_stub",
+    "multimodal_features_stub",
+    "multimodal_resize_stub",
+    # dedup tail
+    "dedup_substring_span_positions",
+    "dedup_minhash_estimator_error",
+    "dedup_cdc_chunks",
+    # embedding block
+    "embedding_outlier_by_label",
+    "embedding_random_projection",
+    # join-existence pair
+    "join_existence_flag",
+    "join_not_in_null_aware",
+    # subquery tail
+    "subq_cte_top_customers",
+    "subq_in_uncorrelated",
+    "subq_recursive_cte_day_spine",
+    # UDF tail
+    "udf_pandas_grouped_agg_range",
+    # events block (all remaining oracled events_* names)
+    "events_sliding_window",
+    "events_time_rollup",
+    "events_gap_filled_hours",
+    "events_range_frame_1h",
+    "events_funnel_stages",
+    "events_linear_interpolate",
+    "events_transition_bigrams",
+    "events_zscore_outliers",
+    "events_promo_overlap_join",
+    # text block
+    "text_token_count",
+    "text_fingerprint",
+    "text_bigram_counts",
+    "text_profile_by_source",
+    "text_bpe_pair_counts",
+    "text_keyword_tfidf_topk",
+    "text_lm_score",
+    "text_unicode_nfc",
+    "text_oov_rate",
+    # scalar block
+    "scalar_hash_funcs",
+    "scalar_str_to_map",
+    "scalar_format_printf",
+    "scalar_sequence_arrays",
+    "scalar_array_set_ops",
+    "scalar_geo_haversine",
+    "scalar_map_higher_order",
+    # pipeline block
+    "pipeline_assign_ids",
+    "pipeline_global_shuffle",
+    "pipeline_bloom_membership",
+    "pipeline_csv_ingest_quarantine",
 )
 
 

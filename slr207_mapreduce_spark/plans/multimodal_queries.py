@@ -1,11 +1,20 @@
 """Multimodal-column queries (north-star family; operators in
 slr207_mapreduce_spark/operators/multimodal.py).
 
-The feature extraction runs through the REAL scale plumbing — binary
-column + mapInPandas with Arrow batches — while the codec inside is a
-deterministic md5-derived stub (no media libs in this container), which
-makes the whole path oracle-checkable: DuckDB recomputes the same md5
-arithmetic in SQL.
+Two families live here, named so the registry reads honestly (r07
+VERDICT item 4):
+
+* ``multimodal_*_roundtrip`` / ``multimodal_blob_dedup`` /
+  ``multimodal_cross_modal_join`` — REAL codecs (PNG, GIF89a/LZW,
+  baseline JPEG gray + 4:2:0 color, PCM WAV, P6 PPM, RAWV container),
+  byte-level encode/decode with closed-form oracles.
+* ``multimodal_*_stub`` — the scale PLUMBING for library-bound formats
+  (binary column + Arrow-batched mapInPandas, explode fan-out, resize
+  geometry) with a deterministic md5-derived codec in the decode slot,
+  which makes the path oracle-checkable: DuckDB recomputes the same md5
+  arithmetic in SQL.  Swapping the stub for PIL/ffmpeg changes only the
+  inner function; the ``_stub`` suffix is the contract that no real
+  decode happens inside.
 """
 
 from __future__ import annotations
@@ -23,7 +32,7 @@ from slr207_mapreduce_spark.sources.tables import load_table
 
 
 @register(
-    "multimodal_features",
+    "multimodal_features_stub",
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
@@ -38,13 +47,13 @@ from slr207_mapreduce_spark.sources.tables import load_table
     "swapping in PIL changes only the inner function.",
     tags=("multimodal", "pandas_udf"),
 )
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return extract_features(with_blob_column(d))
 
 
 @register(
-    "multimodal_frame_sample",
+    "multimodal_frame_sample_stub",
     oracle="""
     SELECT doc_id,
            CAST(unnest(range(0, CAST(length(text) // 64 AS INTEGER) + 1, 10)) AS BIGINT) AS frame_idx,
@@ -57,7 +66,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ffmpeg-backed sampler uses.",
     tags=("multimodal",),
 )
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return frame_sample_stub(with_blob_column(d), every_n=10).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_uri"
@@ -65,7 +74,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_resize",
+    "multimodal_resize_stub",
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -87,7 +96,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle. Swapping the stub for PIL changes only the inner function.",
     tags=("multimodal", "pandas_udf"),
 )
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slr207_mapreduce_spark.operators.multimodal import resize_stub
 
     d = load_table(spark, "documents", sf_dir)
@@ -225,7 +234,7 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sums. The oracle replays the pixel generator AND the same integer "
     "resize indexing in SQL — so the header layout, the row-major pixel "
     "order, and the resize sampling are all hash-checked, not just the "
-    "plumbing geometry. Complements multimodal_resize (the md5-stub "
+    "plumbing geometry. Complements multimodal_resize_stub (the md5-stub "
     "geometry path for library-bound formats).",
     tags=("multimodal", "codec"),
 )
@@ -269,7 +278,7 @@ def multimodal_ppm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     "sampled frame (exact per-channel sums). The oracle replays the "
     "frame/pixel generators in SQL, so container framing, frame "
     "sampling, and per-frame decode are all hash-checked. Complements "
-    "multimodal_frame_sample (the stub-codec index-fanout path).",
+    "multimodal_frame_sample_stub (the stub-codec index-fanout path).",
     tags=("multimodal", "codec"),
 )
 def multimodal_video_frame_sample_roundtrip(

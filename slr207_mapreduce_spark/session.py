@@ -81,19 +81,27 @@ def get_session(
     """
     # Resolve google.protobuf availability BEFORE the JVM launches: the
     # typed-state operator's Python workers inherit the driver JVM's env,
-    # so a bundled runtime's PYTHONPATH entry must be exported now.
-    from slr207_mapreduce_spark.internal import protobuf_compat
+    # so a bundled runtime's shim PYTHONPATH entry must be exported now
+    # (deferring to first typed-state use would be too late — the JVM env
+    # is frozen at launch). What gets exported is a google/protobuf-only
+    # shim that merges into any pre-existing PYTHONPATH (never the bundle
+    # dir, never an overwrite — r07 ADVICE). SPARK_GRAFT_TYPED_STATE=0
+    # skips the wiring entirely for deployments that never run typed state.
+    conf = dict(SCALE_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    if os.environ.get("SPARK_GRAFT_TYPED_STATE", "1") != "0":
+        from slr207_mapreduce_spark.internal import protobuf_compat
 
-    protobuf_compat.ensure_protobuf()
+        protobuf_compat.ensure_protobuf()
+        conf.update(
+            protobuf_compat.worker_env(conf.get("spark.executorEnv.PYTHONPATH"))
+        )
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master is not None:
         builder = builder.master(master)
-    conf = dict(SCALE_DEFAULTS)
-    conf.update(protobuf_compat.worker_env())
-    if extra_conf:
-        conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

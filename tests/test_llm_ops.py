@@ -316,3 +316,43 @@ def test_running_total_exact_at_nontrivial_scale(spark):
     n_distinct = r.select("pre").distinct().count()
     assert n_distinct == n_rows  # strictly increasing -> all prefixes unique
     release_result(r)
+
+
+def test_zero_norm_embeddings_excluded_by_contract(spark):
+    """r07 ADVICE: cosine is undefined for zero-norm vectors and the engines
+    disagree on the resulting NaN (Spark/DuckDB compare NaN greatest; numpy
+    lexsort sorts it last), so the operators fix the semantics by
+    construction: knn_bruteforce RAISES on a zero-norm query, EXCLUDES
+    zero-norm corpus rows from every candidate list, and
+    cosine_neardup_pairs never emits a pair touching a zero-norm row."""
+    import pytest as _pytest
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        knn_bruteforce,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm: must never appear in results
+        (3, [0.8, 0.2, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # corpus side: the zero-norm row is silently excluded from candidates
+    out = knn_bruteforce(emb, emb.where(F.col("vec_id") == 0), k=4).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    assert 2 not in neighbors
+    assert neighbors == {1, 3, 4}  # everything else ranks normally
+
+    # query side: undefined top-k fails loudly, naming the offending id
+    with _pytest.raises(ValueError, match=r"zero-norm query.*\[2\]"):
+        knn_bruteforce(emb, emb.where(F.col("vec_id") == 2), k=2).collect()
+
+    # pair kernel: no emitted pair touches the zero-norm row, even at a
+    # threshold every defined pair clears
+    pairs = cosine_neardup_pairs(emb, threshold=-1.0, bits=1).collect()
+    assert pairs, "sanity: defined pairs must survive"
+    assert all(r["id_a"] != 2 and r["id_b"] != 2 for r in pairs)

@@ -35,15 +35,26 @@ def test_query_matches_oracle(spark, duck, qname):
     assert not problems, f"{qname}: {problems[:5]}"
 
 
-def test_driver_sample_rotation():
-    """Round-7 contract: the driver adjudicates the FIRST 50 registry
-    entries.  Pin that the rotation list is exactly the first-50 window,
-    that every entry has an oracle (hash verdicts, not `no_oracle` rows),
-    and that >=40 names were never in ANY prior round's sample (r01-r06) —
-    the round-6 verdict's #1 next-round item."""
+def _prior_adjudicated(rounds=("r01", "r02", "r03", "r04", "r05", "r06", "r07")):
     import json
     import os
 
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    prior = set()
+    for rnd in rounds:
+        path = os.path.join(repo, f"CORRECTNESS_{rnd}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                prior |= set(json.load(f))
+    return prior
+
+
+def test_driver_sample_rotation():
+    """Round-8 contract: the driver adjudicates the FIRST 50 registry
+    entries.  Pin that the rotation list is exactly the first-50 window,
+    that every entry has an oracle (hash verdicts, not `no_oracle` rows),
+    and that >=40 names were never in ANY prior round's sample (r01-r07) —
+    the round-7 verdict's #1 next-round item."""
     from slr207_mapreduce_spark.plans.base import DRIVER_SAMPLE_FIRST
 
     specs = _specs()
@@ -51,15 +62,36 @@ def test_driver_sample_rotation():
     assert list(DRIVER_SAMPLE_FIRST) == first50
     assert all(specs[n].oracle is not None for n in first50)
 
-    repo = os.path.join(os.path.dirname(__file__), "..")
-    prior = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06"):
-        path = os.path.join(repo, f"CORRECTNESS_{rnd}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                prior |= set(json.load(f))
+    prior = _prior_adjudicated()
     if prior:
         assert sum(1 for n in first50 if n not in prior) >= 40
+
+
+def test_registry_growth_joins_driver_window():
+    """Registry-growth policy (r07 VERDICT item 5): a query added after the
+    r07 registry snapshot must either sit in the current round's
+    DRIVER_SAMPLE_FIRST window or carry an explicit deferral in
+    base.DEFERRED_NEW_NAMES — new code must not silently join the
+    never-adjudicated backlog."""
+    import os
+
+    from slr207_mapreduce_spark.plans.base import (
+        DEFERRED_NEW_NAMES,
+        DRIVER_SAMPLE_FIRST,
+    )
+
+    snap_path = os.path.join(os.path.dirname(__file__), "data", "registry_r07.txt")
+    with open(snap_path) as f:
+        snapshot = {line.strip() for line in f if line.strip()}
+    specs = _specs()
+    new_names = set(specs) - snapshot
+    uncovered = new_names - set(DRIVER_SAMPLE_FIRST) - set(DEFERRED_NEW_NAMES)
+    assert not uncovered, (
+        f"names added after the r07 snapshot must enter DRIVER_SAMPLE_FIRST "
+        f"or DEFERRED_NEW_NAMES: {sorted(uncovered)}"
+    )
+    # deferrals must be real registry names (no stale entries)
+    assert set(DEFERRED_NEW_NAMES) <= set(specs)
 
 
 def test_bench_queries_are_registered_and_oracled():

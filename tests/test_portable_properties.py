@@ -177,3 +177,37 @@ def test_gif_roundtrip_property(h, w, seed):
     idx = rng.integers(0, 256, size=(h, w), dtype="uint8")
     pal = gif_palette()
     assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx.astype("int64")])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_large_image_width_growth(seed):
+    """r07 ADVICE: a 13x13 image (169 px) can never push the LZW table past
+    512 entries, so the 10-12-bit code widths and the 4096-entry CLEAR
+    reset went untested. A 96x96 random-index image (9216 px of
+    near-incompressible 256-symbol content) adds a table entry every ~1-2
+    pixels, so the dictionary provably crosses widths 9->10->11->12 AND
+    hits the 4096-entry cap mid-stream, forcing the CLEAR-reset path in
+    both encoder and decoder: if either side mishandled a width bump or
+    the reset, their tables would desynchronize and the pixel-exact
+    round-trip below could not pass."""
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_palette,
+    )
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, size=(96, 96), dtype="uint8")
+    pal = gif_palette()
+    payload = encode_gif(idx, pal)
+    assert np.array_equal(decode_gif(payload), pal[idx.astype("int64")])
+    # Random 256-symbol content compresses poorly: new table entry per
+    # ~1-2 pixels, so 9216 px >> 4096 - 258 entries guarantees >=1 mid-
+    # stream dictionary reset. If the encoder stopped growing widths or
+    # never reset, the decoder's table would desynchronize and the
+    # round-trip above would already have failed — this is a belt-and-
+    # suspenders structural check that the cap path actually ran.
+    assert len(payload) > 4096  # enough codes to have crossed all widths

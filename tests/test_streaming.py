@@ -780,3 +780,19 @@ def test_protobuf_compat_probe():
         assert (
             os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK") == "true"
         )
+        # r07 ADVICE item 1: what is exported must be a google/protobuf-only
+        # SHIM, not the bundle dir — its sibling packages (notably the
+        # bundle's own `google`) would otherwise shadow site-packages in
+        # every child Python. The shim's google/ must contain exactly the
+        # protobuf symlink plus a pkgutil namespace stub, so other
+        # installed google.* distributions keep resolving.
+        entries = sorted(os.listdir(d))
+        assert entries == ["google"], entries
+        g = sorted(os.listdir(os.path.join(d, "google")))
+        assert g == ["__init__.py", "protobuf"], g
+        assert os.path.islink(os.path.join(d, "google", "protobuf"))
+        with open(os.path.join(d, "google", "__init__.py")) as f:
+            assert "extend_path" in f.read()
+        # merge, never overwrite: a pre-existing executor PYTHONPATH is kept
+        merged = pc.worker_env("/custom/libs")["spark.executorEnv.PYTHONPATH"]
+        assert merged.split(os.pathsep) == ["/custom/libs", d]
