@@ -31,6 +31,28 @@ from pyspark.sql import DataFrame
 # build/config (r06 ADVICE) — each distinct session now probes once.
 _CAPABLE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+# Spark minor versions this private surface has been validated against
+# (r07 verdict item 7). probe_report() compares the session's runtime
+# version to this pin so a Spark bump surfaces as an explicit
+# version-drift signal in tests — not just a silent bounded-leak
+# fallback discovered later under storage pressure.
+VALIDATED_SPARK_MINORS: tuple[str, ...] = ("4.1",)
+
+
+def probe_report(spark) -> dict:
+    """The capability verdict WITH its provenance: the runtime Spark
+    version, whether that minor is one the private surface was validated
+    against, and the probe outcome. tests/test_graph.py asserts on this so
+    a Spark upgrade fails with 'version drift' instead of a mystery
+    degradation."""
+    version = getattr(spark, "version", "unknown")
+    minor = ".".join(version.split(".")[:2])
+    return {
+        "spark_version": version,
+        "validated_minor": minor in VALIDATED_SPARK_MINORS,
+        "capable": capabilities(spark),
+    }
+
 
 def _probe(spark) -> bool:
     """Exercise the exact private surface the adapters use, end-to-end, on

@@ -85,9 +85,17 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    on_round=None,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``;
-    cluster_id = min node id reachable (deterministic canonical label)."""
+    cluster_id = min node id reachable (deterministic canonical label).
+
+    ``on_round(round_index, changed)`` is called after each propagation
+    round with the 1-based round number and how many labels changed —
+    observability for the O(diameter) convergence claim (the round count
+    must stay FLAT when the graph grows by replicating components, since
+    replication never increases any component's diameter; measured at the
+    emb_sf10 tier in SCALE.md and pinned by tests/test_graph.py)."""
     sc = edges.sparkSession.sparkContext
     # materialize once: the loop re-evaluates sym every round, and the
     # symmetrizing union would otherwise recompute the (possibly very
@@ -105,7 +113,7 @@ def connected_components(
     prev_ids: set[int] = set()
     converged = False
     try:
-        for _ in range(max_iter):
+        for round_idx in range(1, max_iter + 1):
             neighbor_min = (
                 sym.join(labels, sym.a == labels.node)
                 .groupBy(F.col("b").alias("node2"))
@@ -132,6 +140,8 @@ def connected_components(
             _release_ids(sc, prev_ids)
             prev_ids = new_ids
             labels = new_labels
+            if on_round is not None:
+                on_round(round_idx, changed)
             if changed == 0:
                 converged = True
                 break

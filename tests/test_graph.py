@@ -253,10 +253,20 @@ def test_private_api_adapter_probe_and_degradation(spark):
     bounded-leak contract: empty ids, no-op release, no exceptions."""
     from slr207_mapreduce_spark.internal import spark_private as sp
 
-    assert sp.capabilities(spark), (
-        "private checkpoint-release surface probe failed on this Spark "
-        "build — the graph operators are now on the bounded-leak path; "
-        "update internal/spark_private.py for this version"
+    report = sp.probe_report(spark)
+    assert report["capable"], (
+        f"private checkpoint-release surface probe failed on Spark "
+        f"{report['spark_version']} — the graph operators are now on the "
+        "bounded-leak path; update internal/spark_private.py for this version"
+    )
+    # Version pin (r07 verdict item 7): a Spark minor bump must fail HERE,
+    # by name, before anyone debugs a silent bounded-leak fallback. On a
+    # legitimate upgrade: re-run this test (the probe exercises the full
+    # private surface) and append the new minor to VALIDATED_SPARK_MINORS.
+    assert report["validated_minor"], (
+        f"Spark {report['spark_version']} is not in "
+        f"VALIDATED_SPARK_MINORS={sp.VALIDATED_SPARK_MINORS} — re-validate "
+        "internal/spark_private.py against this build and extend the pin"
     )
     ck = spark.range(3).localCheckpoint(eager=True)
     ids = sp.checkpointed_rdd_id(ck)
@@ -286,3 +296,31 @@ def test_private_api_adapter_probe_and_degradation(spark):
         assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     finally:
         sp._CAPABLE.pop(spark, None)
+
+
+def test_connected_components_rounds_flat_under_replication(spark):
+    """The O(diameter) claim behind the emb_sf10 SCALE.md row: replicating
+    a component K times (disjoint id ranges) grows N by K but leaves every
+    component's diameter unchanged, so the min-label propagation must
+    converge in EXACTLY the same number of rounds. on_round exposes the
+    count; a round count that grows with N here would mean label
+    propagation is coupling components (an engine bug)."""
+    from slr207_mapreduce_spark.operators.graph import connected_components
+
+    def path_edges(shift):
+        return [(shift + i, shift + i + 1) for i in range(6)]  # diameter 6
+
+    def rounds_for(n_copies):
+        edges = [e for c in range(n_copies) for e in path_edges(c * 1000)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seen = []
+        out = connected_components(
+            df, on_round=lambda r, changed: seen.append((r, changed))
+        )
+        n = out.count()
+        assert n == 7 * n_copies
+        assert seen[-1][1] == 0  # converged: last round changed nothing
+        return len(seen)
+
+    r1, r8 = rounds_for(1), rounds_for(8)
+    assert r1 == r8, f"round count grew with replication: {r1} -> {r8}"

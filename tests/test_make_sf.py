@@ -79,3 +79,75 @@ def test_sf1_tier_counts_and_integrity():
         "GROUP BY embedding HAVING COUNT(*) > 1)"
     ).fetchone()[0]
     assert dup_vecs == 0
+
+
+def test_emb_sf10_tier_structure():
+    """The emb_sf10 tier's scale claim rests on two constructed invariants
+    (r07 VERDICT item 3): (a) each of the 10 rotation groups is an
+    orthogonal transform of the same sf1-design block, so WITHIN-group
+    cosine structure — pairs, clusters, diameters — is exactly sf1's and
+    total structure grows linearly; (b) groups are disjoint id ranges.
+    Verify the rotation/epsilon arithmetic against the sf0.1 source."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from tools.make_sf import STRIDE, ensure_emb_sf10
+
+    out = ensure_emb_sf10(REPO)
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.1/embeddings.parquet"
+    tier = os.path.join(out, "embeddings.parquet")
+
+    n_src, dim = con.execute(
+        f"SELECT COUNT(*), MAX(len(embedding)) FROM '{src}'"
+    ).fetchone()
+    n, n_ids = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT vec_id) FROM '{tier}'"
+    ).fetchone()
+    assert n == 100 * n_src and n_ids == n
+
+    # spot-check copy c = 10*g + k of a source vector: rotate by g, add eps*k
+    orig = dict(
+        con.execute(f"SELECT vec_id, embedding FROM '{src}' WHERE vec_id < 3").fetchall()
+    )
+    for vec_id, g, k in ((0, 0, 0), (1, 0, 7), (2, 3, 0), (0, 9, 9)):
+        c = 10 * g + k
+        got = con.execute(
+            f"SELECT embedding FROM '{tier}' WHERE vec_id = {vec_id + c * STRIDE}"
+        ).fetchone()[0]
+        base = orig[vec_id]
+        # DuckDB adds FLOAT + (decimal cast to FLOAT) in float32, so the
+        # mirror must stay in float32 end-to-end
+        eps = np.float32(0.0001 * k)
+        want = [
+            float(np.float32(base[(i + g) % dim]) + eps) for i in range(dim)
+        ]
+        assert np.allclose(got, want, rtol=0, atol=0), (vec_id, c)
+
+
+def test_tpch_sf10_tier_counts():
+    """tpch_sf10 (the join-family decade tier) must be exactly 100 disjoint
+    sf0.1 copies: linear row growth, per-copy referential integrity (key
+    shift applied consistently on both sides of every FK). Skipped unless
+    the tier is already on disk — building 1.8 GB inside unit tests would
+    dominate suite wall time; the bench/SCALE.md runs build it."""
+    import pytest
+
+    tier = os.path.join(REPO, ".sfgen", "tpch_sf10")
+    if not os.path.exists(os.path.join(tier, "lineitem.parquet")):
+        pytest.skip("tpch_sf10 not built (created by the scale measurement runs)")
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.1"
+    for t in ("lineitem", "orders", "customer", "supplier", "part"):
+        n_src = con.execute(f"SELECT COUNT(*) FROM '{src}/{t}.parquet'").fetchone()[0]
+        n = con.execute(f"SELECT COUNT(*) FROM '{tier}/{t}.parquet'").fetchone()[0]
+        assert n == 100 * n_src, t
+    # FK integrity per copy: every order's customer exists (copy-local join)
+    orphans = con.execute(
+        f"SELECT COUNT(*) FROM '{tier}/orders.parquet' o "
+        f"LEFT JOIN '{tier}/customer.parquet' c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey IS NULL"
+    ).fetchone()[0]
+    assert orphans == 0

@@ -3,8 +3,10 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from slr207_mapreduce_spark.parity.wordcount import (
@@ -67,7 +69,17 @@ def test_topk_ordering_count_desc_key_asc(spark):
     assert got == [("d", 3), ("a", 2), ("b", 2)]  # ValueThenKeyComparator order
 
 
-@settings(max_examples=25, deadline=None)
+# Example budget scales with $SPARK_GRAFT_HYP_MAX (a multiplier, default
+# 1) so a periodic deep-fuzz pass — r07 verdict item 8 ran one at 10x,
+# recorded in COVERAGE.md — needs no code edit. The @example corpus pins
+# every §1.3 semantic corner permanently (digit-only and non-ASCII-only
+# tokens that encode() drops, the mixed survivor, the ° delimiter,
+# case-sensitivity, delimiter runs, non-delimiters - and "), so the
+# load-bearing cases run on EVERY invocation regardless of random draw.
+@settings(
+    max_examples=25 * int(os.environ.get("SPARK_GRAFT_HYP_MAX", "1")),
+    deadline=None,
+)
 @given(
     st.lists(
         st.text(
@@ -77,6 +89,12 @@ def test_topk_ordering_count_desc_key_asc(spark):
         max_size=8,
     )
 )
+@example(["123 à °"])            # every token encode-dropped
+@example(["été the The THE"])    # mixed survivor + case-sensitive keys
+@example(["a!!..''((b", "''"])   # delimiter runs collapse under `+`
+@example(["a-b", 'c"d', "x_y"])  # '-' and '"' are NOT delimiters; '_' is
+@example(["°début", "fin°"])     # ° at token boundaries
+@example([])                     # empty corpus
 def test_property_python_vs_spark_tokenize(spark_global, lines):
     df = spark_global.createDataFrame([(l,) for l in lines] or [("",)], ["value"])
     got = sorted([(r["word"], r["cnt"]) for r in word_count(df).collect()])
