@@ -90,12 +90,23 @@ def connected_components(
     """(node, cluster_id) for every node appearing in ``edges``;
     cluster_id = min node id reachable (deterministic canonical label).
 
-    ``on_round(round_index, changed)`` is called after each propagation
-    round with the 1-based round number and how many labels changed —
-    observability for the O(diameter) convergence claim (the round count
-    must stay FLAT when the graph grows by replicating components, since
-    replication never increases any component's diameter; measured at the
-    emb_sf10 tier in SCALE.md and pinned by tests/test_graph.py)."""
+    ``on_round(round_index, delta)`` is called after each propagation
+    round with the 1-based round number and the round's total label-mass
+    decrease (0 exactly when no label changed) — observability for the
+    O(diameter) convergence claim (the round count must stay FLAT when
+    the graph grows by replicating components, since replication never
+    increases any component's diameter; measured at the emb_sf10 /
+    docs_sf10 tiers in SCALE.md and pinned by tests/test_graph.py).
+
+    Convergence detection costs ONE scan+agg of the round's already-
+    materialized frame, not a join: labels are MONOTONE NON-INCREASING
+    under min-propagation, so the exact decimal sum of labels strictly
+    decreases until the fixed point, and an unchanged sum <=> zero labels
+    changed. The previous shape — a changed-count self-join of the new
+    and old label frames — re-shuffled every (node, label) row a second
+    time per round just to test convergence; at 100 TB that is a full
+    extra exchange per round for a boolean. decimal(38,0) keeps the sum
+    exact far beyond int64 (1e12 nodes x 1e12-scale ids < 1e38)."""
     sc = edges.sparkSession.sparkContext
     # materialize once: the loop re-evaluates sym every round, and the
     # symmetrizing union would otherwise recompute the (possibly very
@@ -110,6 +121,13 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    def _label_sum(df) -> int:
+        s = df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[
+            0
+        ]["s"]
+        return int(s) if s is not None else 0  # empty graph sums to 0
+
+    prev_sum = _label_sum(labels)
     prev_ids: set[int] = set()
     converged = False
     try:
@@ -128,21 +146,18 @@ def connected_components(
                     ).alias("label"),
                 )
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            # the superseded round is no longer referenced once `changed` is
+            cur_sum = _label_sum(new_labels)
+            delta = prev_sum - cur_sum  # 0 <=> fixed point (monotonicity)
+            # the superseded round is no longer referenced once the sum is
             # computed; the CURRENT round's blocks must stay (lineage is
             # truncated — the blocks ARE the data)
             _release_ids(sc, prev_ids)
             prev_ids = new_ids
             labels = new_labels
+            prev_sum = cur_sum
             if on_round is not None:
-                on_round(round_idx, changed)
-            if changed == 0:
+                on_round(round_idx, delta)
+            if delta == 0:
                 converged = True
                 break
         if not converged:

@@ -278,6 +278,139 @@ def wav_features(blob_df: DataFrame) -> DataFrame:
     )
 
 
+# --- REAL codec: G.711 mu-law companded audio (ITU-T G.711, from spec) ---
+#
+# Closes the "audio is uncompressed PCM only" gap the same way GIF/JPEG
+# closed images: a genuine standard COMPRESSED audio format implemented
+# from the specification, no library. mu-law is 8-bit logarithmic
+# companding (sign + 3-bit segment + 4-bit mantissa over a 14-bit
+# magnitude, bias 33, clip 8158) — STATELESS per sample, so unlike ADPCM
+# its decode(encode(x)) is a closed-form integer function of x that a SQL
+# oracle replays exactly, per sample, with bit arithmetic. The container
+# is a real RIFF/WAVE with format tag 7 (WAVE_FORMAT_MULAW, 8 bits/sample)
+# — the actual on-disk shape of telephony corpora.
+
+_ULAW_BIAS = 33  # 14-bit-domain bias (ITU G.711 / CCITT reference)
+_ULAW_CLIP = 8158  # max 14-bit magnitude before bias
+
+
+def mulaw_compress(samples):
+    """int16 array -> uint8 mu-law codes, vectorized, spec arithmetic:
+    drop to 14-bit (arithmetic >> 2), clip magnitude to 8158, add bias 33,
+    segment = floor(log2(m)) - 5 via exact integer thresholds, mantissa =
+    the 4 bits below the segment's leading bit, complement the result."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    x = s >> 2  # arithmetic shift == floor(s/4): int16 -> 14-bit domain
+    neg = x < 0
+    m = np.minimum(np.where(neg, -x, x), _ULAW_CLIP) + _ULAW_BIAS
+    # m in [33, 8191]: segment by exact power-of-two thresholds (no float)
+    seg = np.searchsorted(
+        np.array([64, 128, 256, 512, 1024, 2048, 4096]), m, side="right"
+    )
+    mant = (m >> (seg + 1)) & 0xF
+    u = (np.where(neg, 0x80, 0) | (seg << 4) | mant) ^ 0xFF  # complemented
+    return u.astype(np.uint8)
+
+
+def mulaw_expand(codes):
+    """uint8 mu-law codes -> int16 samples (the exact inverse companding:
+    magnitude = ((2*mantissa + 33) << segment) - 33, back to 16-bit *4)."""
+    import numpy as np
+
+    u = np.asarray(codes, dtype=np.int64) ^ 0xFF
+    seg = (u >> 4) & 0x7
+    mant = u & 0xF
+    mag = (((2 * mant + _ULAW_BIAS) << seg) - _ULAW_BIAS) * 4
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def encode_wav_mulaw(samples, rate: int) -> bytes:
+    """Mono mu-law WAV bytes (RIFF, format tag 7, 8 bits/sample) from an
+    int16 array — compression happens here (2:1 vs PCM16)."""
+    data = mulaw_compress(samples).tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, rate, rate, 1, 8)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav_mulaw(payload: bytes):
+    """(sample_rate, int16 numpy array) from mono mu-law WAV bytes;
+    validates RIFF layout and the mu-law format tag loudly."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (size, fmt_tag, channels, rate, _br, _ba, bits) = struct.unpack(
+        "<IHHIIHH", payload[16:36]
+    )
+    if (size, fmt_tag, channels, bits) != (16, 7, 1, 8):
+        raise ValueError(f"unsupported mu-law layout: {(size, fmt_tag, channels, bits)}")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (n_bytes,) = struct.unpack("<I", payload[40:44])
+    return rate, mulaw_expand(np.frombuffer(payload[44 : 44 + n_bytes], dtype=np.uint8))
+
+
+def synth_mulaw_blobs(docs: DataFrame, rate: int = 8000) -> DataFrame:
+    """(doc_id, payload): real mu-law WAV bytes for the FULL-RANGE test
+    signal s_i = ((doc_id*37 + i*97) % 65536) - 32768 over n = 160 +
+    doc_id % 41 samples. Unlike the PCM query's +-1024 signal, this sweep
+    exercises every segment 0-7 AND the clip branch (|s| up to 32768 >
+    4*8158), and stays closed-form for the SQL oracle."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 160 + d % 41
+                i = np.arange(n, dtype="int64")
+                s = ((d * 37 + i * 97) % 65536) - 32768
+                out.append(encode_wav_mulaw(s.astype(np.int16), rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def mulaw_features(blob_df: DataFrame) -> DataFrame:
+    """REAL decode: parse each mu-law WAV payload, expand to linear, emit
+    exact integer features of the DECODED signal (the oracle replays
+    decode(encode(s)) closed-form, so any segment/mantissa/bias/clip/
+    complement bug in either direction breaks the hash match)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "peak_abs": [],
+                "sum_abs": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav_mulaw(bytes(payload))
+                a = np.abs(s.astype("int64"))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["peak_abs"].append(int(a.max()) if len(a) else 0)
+                rows["sum_abs"].append(int(a.sum()))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=WAV_FEATURE_SCHEMA
+    )
+
+
 # --- REAL codec: binary PPM (P6) images + integer nearest resize ---------
 
 

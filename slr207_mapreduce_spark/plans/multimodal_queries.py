@@ -203,6 +203,67 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mulaw_roundtrip",
+    oracle="""
+    WITH samples AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 37 + t.i * 97) % 65536) - 32768 AS s
+      FROM documents d,
+           LATERAL (SELECT UNNEST(range(160 + d.doc_id % 41)) AS i) t
+    ),
+    mag AS (
+      SELECT doc_id,
+             (CAST(floor(s / 4.0) AS BIGINT) < 0) AS neg,
+             LEAST(ABS(CAST(floor(s / 4.0) AS BIGINT)), 8158) + 33 AS m
+      FROM samples
+    ),
+    seg AS (
+      SELECT doc_id, neg, m,
+             CASE WHEN m < 64 THEN 0 WHEN m < 128 THEN 1 WHEN m < 256 THEN 2
+                  WHEN m < 512 THEN 3 WHEN m < 1024 THEN 4 WHEN m < 2048 THEN 5
+                  WHEN m < 4096 THEN 6 ELSE 7 END AS g
+      FROM mag
+    ),
+    dec AS (
+      SELECT doc_id,
+             (CASE WHEN neg THEN -1 ELSE 1 END)
+               * (((2 * ((m >> (g + 1)) & 15) + 33) << g) - 33) * 4 AS y
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(y)) AS BIGINT) AS peak_abs,
+           CAST(SUM(ABS(y)) AS BIGINT) AS sum_abs
+    FROM dec GROUP BY doc_id
+    """,
+    doc="REAL COMPRESSED audio codec round-trip — ITU-T G.711 mu-law "
+    "implemented from the spec (closing the 'audio is uncompressed PCM "
+    "only' gap the way GIF/JPEG closed images): a full-range int16 sweep "
+    "(all 8 log segments + the 8158 clip branch) is companded to 8-bit "
+    "codes (drop to 14-bit, bias 33, segment via exact power-of-two "
+    "thresholds, 4-bit mantissa, ones-complement) inside a genuine "
+    "RIFF/WAVE container with format tag 7, then a second Arrow-batched "
+    "stage validates the container, EXPANDS the codes back to linear, "
+    "and emits exact integer features of the decoded signal. mu-law is "
+    "stateless per sample, so the oracle replays decode(encode(s)) as "
+    "closed-form integer bit arithmetic in SQL — a wrong bias, segment "
+    "boundary, mantissa shift, clip, complement, or format tag breaks "
+    "the hash match. (ADPCM-class predictive codecs stay out of scope: "
+    "their per-sample state chain has no closed SQL form.)",
+    tags=("multimodal", "codec"),
+)
+def multimodal_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        mulaw_features,
+        synth_mulaw_blobs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return mulaw_features(synth_mulaw_blobs(d, rate=8000))
+
+
+@register(
     "multimodal_ppm_resize_roundtrip",
     oracle="""
     WITH od AS (

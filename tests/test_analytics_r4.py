@@ -558,3 +558,56 @@ def test_gif_decoder_rejects_malformed():
     short = _wrap_gif(_pack_lsb([256, 1, 257]), 4, 2, pal)
     with _pt.raises(ValueError):
         decode_gif(short)
+
+
+def test_mulaw_codec_conformance_and_properties():
+    """G.711 mu-law codec, pinned three independent ways: (a) HAND-PACKED
+    conformance vectors computed from the spec arithmetic without the
+    encoder (0 -> 0xFF and -32768 -> 0x00 are the textbook anchors: mu-law
+    complements, so +0 is all-ones and the most-negative code is all-
+    zeros); (b) exhaustive properties over ALL 65536 int16 inputs —
+    companding idempotence (decoded values are fixed points) and the
+    spec's error envelope (quantization error grows with the log segment:
+    <= 19 below +-512, <= 644 at full scale where the 8158 clip engages);
+    (c) container round-trip with loud rejection of a PCM16 header."""
+    import numpy as np
+    import pytest
+
+    from slr207_mapreduce_spark.operators.multimodal import (
+        decode_wav_mulaw,
+        encode_wav_mulaw,
+        encode_wav_pcm16,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    # (a) conformance vectors: (sample, code, decoded) from spec arithmetic
+    for s, code, decoded in (
+        (0, 0xFF, 0),        # +0: sign 0, seg 0, mant 0, complemented
+        (4, 0xFE, 8),        # 14-bit x=1 -> m=34 -> mant 1
+        (-4, 0x7E, -8),      # sign bit only difference
+        (32767, 0x80, 32124),   # clip branch: seg 7, mant 15
+        (-32768, 0x00, -32124),  # most negative = all-zeros code
+    ):
+        got_code = int(mulaw_compress(np.array([s], dtype=np.int16))[0])
+        assert got_code == code, (s, hex(got_code))
+        got_dec = int(mulaw_expand(np.array([code], dtype=np.uint8))[0])
+        assert got_dec == decoded, (code, got_dec)
+
+    # (b) exhaustive: every int16 value
+    s = np.arange(-32768, 32768, dtype=np.int16)
+    y = mulaw_expand(mulaw_compress(s))
+    assert np.array_equal(mulaw_expand(mulaw_compress(y)), y)  # idempotent
+    err = np.abs(y.astype(np.int64) - s.astype(np.int64))
+    assert err.max() <= 644
+    assert err[np.abs(s.astype(np.int64)) < 512].max() <= 19
+
+    # (c) container: tag-7 round-trip; PCM16 header rejected loudly
+    sig = np.array([0, 4, -4, 1000, -1000, 32767, -32768], dtype=np.int16)
+    payload = encode_wav_mulaw(sig, 8000)
+    assert len(payload) == 44 + len(sig)  # 8 bits/sample: half of PCM16
+    rate, back = decode_wav_mulaw(payload)
+    assert rate == 8000
+    assert np.array_equal(back, mulaw_expand(mulaw_compress(sig)))
+    with pytest.raises(ValueError):
+        decode_wav_mulaw(encode_wav_pcm16(sig, 8000))  # tag 1 != tag 7
