@@ -444,6 +444,12 @@ def knn_ivf(
         return acc
 
     cnorm = np.sqrt(_seq_self_dot(cmat)) if len(crows) else np.zeros(0)
+    if len(crows) and not np.all(cnorm > 0):
+        bad = cids[cnorm == 0].tolist()
+        raise ValueError(
+            f"knn_ivf: zero-norm centroid vector(s) {bad[:5]} — every cell "
+            "assignment would be undefined; drop or re-embed these rows"
+        )
 
     def assign(batches):
         for pdf in batches:
@@ -455,12 +461,18 @@ def knn_ivf(
             # Sequential-in-j accumulation == the aggregate() fold, bitwise.
             for j in range(vmat.shape[1]):
                 dots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
-            ccos = dots / (np.sqrt(_seq_self_dot(vmat))[:, None] * cnorm[None, :])
+            vnorm = np.sqrt(_seq_self_dot(vmat))
+            # Zero-norm corpus rows: cosine (and hence the cell argmax) is
+            # undefined — excluded from the inverted lists by the same
+            # family-wide contract as knn_bruteforce (r07 ADVICE); np.where
+            # keeps the one-division shape bit-identical for valid rows.
+            valid = vnorm > 0
+            ccos = dots / (np.where(valid, vnorm, 1.0)[:, None] * cnorm[None, :])
             # Centroids are cid-ascending, so argmax's first-max rule IS the
             # struct-max (ccos, -cid) smallest-cid tie-break.
             best = np.argmax(ccos, axis=1)
             yield pd.DataFrame(
-                {"neighbor_id": nid, "cid": cids[best]}
+                {"neighbor_id": nid[valid], "cid": cids[best[valid]]}
             )
 
     cells = corpus.selectExpr(

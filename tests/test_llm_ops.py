@@ -356,3 +356,28 @@ def test_zero_norm_embeddings_excluded_by_contract(spark):
     pairs = cosine_neardup_pairs(emb, threshold=-1.0, bits=1).collect()
     assert pairs, "sanity: defined pairs must survive"
     assert all(r["id_a"] != 2 and r["id_b"] != 2 for r in pairs)
+
+
+def test_zero_norm_excluded_from_ivf_lists(spark):
+    """Family-wide zero-norm contract, IVF leg: a zero-norm corpus vector
+    never enters an inverted list (its cell argmax is undefined), and a
+    zero-norm CENTROID fails loudly (every assignment would be
+    undefined)."""
+    import pytest as _pytest
+
+    from slr207_mapreduce_spark.operators.similarity import knn_ivf
+
+    rows = [(i, [float(i + 1), 1.0, 0.0]) for i in range(6)]
+    rows[2] = (2, [0.0, 0.0, 0.0])  # zero-norm non-centroid
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_ivf(
+        emb, emb.where(F.col("vec_id") == 1), k=5, nprobe=1, centroid_stride=5
+    ).collect()
+    assert out and all(r["neighbor_id"] != 2 for r in out)
+
+    bad = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="zero-norm centroid"):
+        knn_ivf(bad, bad.where(F.col("vec_id") == 1), k=1, centroid_stride=5)
