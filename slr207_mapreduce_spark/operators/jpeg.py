@@ -922,3 +922,237 @@ def jpeg_color_features(blob_df):
             yield pd.DataFrame(rows)
 
     return blob_df.select("doc_id", "payload").mapInPandas(feats, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# REAL compressed-VIDEO container: MJPEG inside RIFF AVI.
+#
+# Completes the compressed-codec triad (images: GIF/JPEG; audio: G.711
+# mu-law; video: this) from public-spec material: the AVI RIFF layout
+# (Microsoft "AVI RIFF File Reference": 'hdrl' with MainAVIHeader +
+# per-stream AVIStreamHeader/BITMAPINFOHEADER, 'movi' with '00dc'
+# compressed-frame chunks, 'idx1' index) around the baseline JPEG encoder
+# above as the per-frame codec — MJPEG is exactly "a JPEG per frame", so
+# the constant-block oracle construction carries over unchanged. The
+# demuxer SEEKS over unsampled frames via chunk sizes (never decodes
+# them) and cross-checks the idx1 index against the movi walk — the real
+# access pattern of frame-sampling a video corpus.
+# --------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """RIFF chunk with the spec's even-byte padding (JPEG payloads are
+    frequently odd-sized; a writer that forgets the pad byte desyncs every
+    subsequent chunk — the classic AVI writer bug, caught by the tests)."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Real AVI bytes for a list of equal-size (h, w) uint8 grayscale
+    frames, each compressed with the baseline JPEG encoder ('MJPG'
+    fourcc, one '00dc' chunk per frame, keyframe-flagged idx1)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("MJPEG AVI needs at least one frame")
+    h, w = np.asarray(frames[0]).shape
+    jpegs = [encode_jpeg_gray(np.asarray(f, dtype="uint8")) for f in frames]
+    if any(np.asarray(f).shape != (h, w) for f in frames):
+        raise ValueError("AVI streams have fixed frame dimensions")
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec (informational)
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        len(jpegs),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max(len(j) for j in jpegs),  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4h",
+        b"vids", b"MJPG",
+        0, 0, 0,  # flags, priority, language
+        0,  # initial frames
+        1, fps,  # scale, rate -> fps frames/sec
+        0, len(jpegs),  # start, length (frames)
+        max(len(j) for j in jpegs),  # suggested buffer
+        0xFFFFFFFF & -1,  # quality: -1 = default
+        0,  # sample size: 0 = variable (one frame per chunk)
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    # movi payload + idx1 offsets (relative to the 'movi' fourcc, per the
+    # common convention: first chunk header sits at offset 4)
+    movi_payload = b""
+    idx_entries = []
+    for j in jpegs:
+        idx_entries.append((4 + len(movi_payload), len(j)))
+        movi_payload += _riff_chunk(b"00dc", j)
+    movi = _riff_list(b"movi", movi_payload)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+            for off, size in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_riff(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, data_start, data_size) for each
+    chunk in [pos, end), honoring even padding."""
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if fourcc == b"LIST":
+            yield fourcc, payload[pos + 8 : pos + 12], pos + 12, size - 4
+        else:
+            yield fourcc, None, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
+    """[(frame_idx, (h, w) uint8 array)] for every ``every_n``-th frame of
+    an MJPEG AVI. Validates the header chain (RIFF/'AVI ', single 'vids'
+    stream with the 'MJPG' handler, MJPG BITMAPINFOHEADER), SEEKS over
+    unsampled '00dc' chunks via their size fields without decoding, and
+    cross-checks the idx1 index (count + per-frame offsets) against the
+    movi walk — a corrupt index or a missing pad byte fails loudly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    n_frames = None
+    handler_ok = False
+    movi_span = None
+    idx = None
+    for fourcc, ltype, start, size in _walk_riff(payload, 12, len(payload)):
+        if fourcc == b"LIST" and ltype == b"hdrl":
+            for f2, l2, s2, z2 in _walk_riff(payload, start, start + size):
+                if f2 == b"avih":
+                    hdr = struct.unpack("<14I", payload[s2 : s2 + 56])
+                    n_frames, n_streams = hdr[4], hdr[6]
+                    if n_streams != 1:
+                        raise ValueError(f"expected 1 stream, got {n_streams}")
+                elif f2 == b"LIST" and l2 == b"strl":
+                    for f3, _l3, s3, _z3 in _walk_riff(payload, s2, s2 + z2):
+                        if f3 == b"strh":
+                            fcc_type, fcc_handler = struct.unpack(
+                                "<4s4s", payload[s3 : s3 + 8]
+                            )
+                            if fcc_type != b"vids" or fcc_handler != b"MJPG":
+                                raise ValueError(
+                                    f"unsupported stream {fcc_type}/{fcc_handler}"
+                                )
+                        elif f3 == b"strf":
+                            comp = payload[s3 + 16 : s3 + 20]
+                            if comp != b"MJPG":
+                                raise ValueError(f"unsupported biCompression {comp}")
+                            handler_ok = True
+        elif fourcc == b"LIST" and ltype == b"movi":
+            movi_span = (start, start + size)
+        elif fourcc == b"idx1":
+            idx = [
+                struct.unpack("<4sIII", payload[p : p + 16])
+                for p in range(start, start + size, 16)
+            ]
+    if not handler_ok or movi_span is None or n_frames is None:
+        raise ValueError("missing hdrl/strl/movi structure")
+    out = []
+    frame_idx = 0
+    for fourcc, _lt, start, size in _walk_riff(payload, *movi_span):
+        if fourcc != b"00dc":
+            raise ValueError(f"unexpected movi chunk {fourcc}")
+        if idx is not None:
+            ck, _flags, off, isize = idx[frame_idx]
+            # idx offsets are relative to the 'movi' fourcc, which sits 4
+            # bytes before the list payload; this chunk's header is at
+            # absolute start-8, so its relative offset is start-movi_start-4
+            if ck != b"00dc" or isize != size or off != start - movi_span[0] - 4:
+                raise ValueError(f"idx1 disagrees with movi at frame {frame_idx}")
+        if frame_idx % every_n == 0:  # else: SEEK past without decoding
+            out.append((frame_idx, decode_jpeg_gray(payload[start : start + size])))
+        frame_idx += 1
+    if frame_idx != n_frames or (idx is not None and len(idx) != n_frames):
+        raise ValueError(f"frame count mismatch: header {n_frames}, movi {frame_idx}")
+    return out
+
+
+def synth_mjpeg_blobs(docs):
+    """(doc_id, payload): real MJPEG AVI bytes — n = 3 + doc_id % 5 frames
+    of w = 8·(1 + doc_id % 3), h = 8·(1 + doc_id % 2), each frame built
+    from CONSTANT 8×8 blocks with gray (doc_id·7 + frame·11 + 13·b) % 256,
+    the value-preserving construction the JPEG round-trip query uses."""
+    import numpy as np
+    import pandas as pd
+
+    blob_schema, _ = _spark_types()
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+                b = np.arange((h // 8) * (w // 8), dtype="int64")
+                frames = []
+                for f in range(3 + d % 5):
+                    vals = ((d * 7 + f * 11 + 13 * b) % 256).reshape(h // 8, w // 8)
+                    frames.append(
+                        np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                            "uint8"
+                        )
+                    )
+                out.append(encode_avi_mjpeg(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=blob_schema)
+
+
+def mjpeg_features(blob_df, every_n: int = 2):
+    """REAL demux + decode: one feature row per SAMPLED frame (exact gray
+    sums; unsampled frames are seeked over, never decoded)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_gray", LongType()),
+        ]
+    )
+
+    def feats(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in schema.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f_idx, img in decode_avi_mjpeg_frames(bytes(payload), every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f_idx)
+                    rows["height"].append(img.shape[0])
+                    rows["width"].append(img.shape[1])
+                    rows["sum_gray"].append(int(img.astype("int64").sum()))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(feats, schema=schema)

@@ -81,10 +81,11 @@ def register(
 # bpe_train_merges, scalar_bitwise_ops / lateral_column_alias / to_json /
 # explode_outer / zorder_key / binary_encodings — plus the two rows-only
 # entries (events_approx_percentiles, dedup_minhash_ml) and the round-8
-# addition multimodal_mulaw_roundtrip (deferred via DEFERRED_NEW_NAMES).
-# Put all 21 in the r09 window (rows-only entries still get the driver's
-# weaker check) and fill the rest with high-value re-runs; that closes
-# the tail at 249/249 cumulative.
+# additions multimodal_mulaw_roundtrip + multimodal_mjpeg_avi_roundtrip
+# (deferred via DEFERRED_NEW_NAMES). Put all 22 in the r09 window
+# (rows-only entries still get the driver's weaker check) and fill the
+# rest with high-value re-runs; that closes the tail at 250/250
+# cumulative.
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
 # DRIVER_SAMPLE_FIRST for the round it lands in, or be listed here with a
@@ -93,10 +94,11 @@ def register(
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = (
     # r08 window is fully allocated to the VERDICT-r07 adjudication-endgame
-    # backlog (45 never-seen names); the new G.711 codec query joins the
-    # r09 window alongside the 20 remaining backlog names (it is counted
+    # backlog (45 never-seen names); the two new codec queries join the
+    # r09 window alongside the 20 remaining backlog names (both counted
     # in the ROUND-9 ROTATION PLAN below).
     "multimodal_mulaw_roundtrip",
+    "multimodal_mjpeg_avi_roundtrip",
 )
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (

@@ -355,6 +355,54 @@ def multimodal_video_frame_sample_roundtrip(
 
 
 @register(
+    "multimodal_mjpeg_avi_roundtrip",
+    oracle="""
+    WITH od AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 3) AS w,
+             8 * (1 + doc_id % 2) AS h,
+             3 + doc_id % 5 AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, tf.f
+      FROM od, LATERAL (SELECT UNNEST(range(nf)) AS f) tf
+      WHERE tf.f % 2 = 0
+    ),
+    bl AS (
+      SELECT doc_id, w, h, f, tb.b
+      FROM fr, LATERAL (SELECT UNNEST(range((w // 8) * (h // 8))) AS b) tb
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(64 * SUM((doc_id * 7 + f * 11 + 13 * b) % 256) AS BIGINT) AS sum_gray
+    FROM bl GROUP BY doc_id, f, w, h
+    """,
+    doc="REAL COMPRESSED video round-trip — MJPEG inside a genuine RIFF "
+    "AVI container (public-spec layout: MainAVIHeader + vids/MJPG stream "
+    "headers, '00dc' frame chunks with even-byte padding, keyframe idx1), "
+    "each frame compressed with the from-spec baseline JPEG encoder. "
+    "Completes the compressed-codec triad (images GIF/JPEG, audio G.711 "
+    "mu-law, video this). The demuxer SEEKS over unsampled frames via "
+    "chunk sizes — decoding every 2nd frame only — and cross-checks the "
+    "idx1 index against the movi walk, so a wrong pad byte, stream "
+    "handler, chunk size, or index offset fails loudly. Constant 8x8 "
+    "blocks keep the lossy per-frame pipeline value-preserving, so the "
+    "oracle replays the frame/pixel generator in plain SQL.",
+    tags=("multimodal", "codec"),
+)
+def multimodal_mjpeg_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.jpeg import (
+        mjpeg_features,
+        synth_mjpeg_blobs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return mjpeg_features(synth_mjpeg_blobs(d), every_n=2)
+
+
+@register(
     "multimodal_cross_modal_join",
     oracle="""
     WITH audio AS (

@@ -611,3 +611,55 @@ def test_mulaw_codec_conformance_and_properties():
     assert np.array_equal(back, mulaw_expand(mulaw_compress(sig)))
     with pytest.raises(ValueError):
         decode_wav_mulaw(encode_wav_pcm16(sig, 8000))  # tag 1 != tag 7
+
+
+def test_mjpeg_avi_container_roundtrip_and_validation():
+    """MJPEG-in-AVI container: (a) frame-exact round-trip with every-Nth
+    sampling (seek path) over frames whose JPEG chunks include ODD sizes —
+    the even-padding rule is what desyncs naive writers; (b) idx1
+    corruption, wrong stream handler, and frame-count lies all fail
+    loudly; (c) the sampled index set is exactly range(0, n, every_n)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+
+    rng_vals = [0, 203, 90, 1, 255, 128, 64]  # value 0 @ 8x16 -> 317-byte
+    frames = [np.full((8, 16), v, dtype="uint8") for v in rng_vals]  # odd JPEG
+    # ensure the odd-size padding path is actually exercised
+    assert any(len(encode_jpeg_gray(f)) % 2 for f in frames), (
+        "fixture must include an odd-sized JPEG chunk"
+    )
+    payload = encode_avi_mjpeg(frames, fps=5)
+    for every_n in (1, 2, 3):
+        out = decode_avi_mjpeg_frames(payload, every_n=every_n)
+        assert [i for i, _ in out] == list(range(0, len(frames), every_n))
+        for i, img in out:
+            assert np.array_equal(img, frames[i]), i
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(b"RIFF" + payload[4:8] + b"WAVE" + payload[12:])
+    # corrupt one idx1 size field -> index/movi cross-check must fire
+    idx_pos = payload.rindex(b"idx1")
+    bad = bytearray(payload)
+    bad[idx_pos + 8 + 12 : idx_pos + 8 + 16] = struct.pack("<I", 1)
+    with pytest.raises(ValueError, match="idx1 disagrees"):
+        decode_avi_mjpeg_frames(bytes(bad))
+    # wrong handler: flip strh fccHandler MJPG -> XVID
+    hpos = payload.index(b"vids") + 4
+    bad2 = bytearray(payload)
+    bad2[hpos : hpos + 4] = b"XVID"
+    with pytest.raises(ValueError, match="unsupported stream"):
+        decode_avi_mjpeg_frames(bytes(bad2))
+    # header lies about the frame count
+    avih_pos = payload.index(b"avih") + 8
+    bad3 = bytearray(payload)
+    bad3[avih_pos + 16 : avih_pos + 20] = struct.pack("<I", len(frames) + 1)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        decode_avi_mjpeg_frames(bytes(bad3))
