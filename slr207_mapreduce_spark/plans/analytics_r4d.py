@@ -1044,3 +1044,66 @@ def events_sessionization_capped_segmented(
 
     e = load_table(spark, "events", sf_dir)
     return capped_sessions_segmented(e, gap_s=_SESS_GAP_S, cap_s=_SESS_CAP_S)
+
+
+# --- schema evolution (mergeSchema semantics at the operator level) -------
+
+
+@register(
+    "pipeline_schema_evolution_union",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang,
+             (n_chars > 500) AS long_flag
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    unified AS (
+      SELECT doc_id, n_chars, NULL AS lang, NULL AS long_flag FROM v1
+      UNION ALL
+      SELECT doc_id, n_chars, lang, long_flag FROM v2
+    )
+    SELECT COALESCE(lang, 'legacy') AS lang_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) FILTER (WHERE long_flag) AS BIGINT) AS n_long
+    FROM unified
+    GROUP BY COALESCE(lang, 'legacy')
+    """,
+    doc="Schema evolution: a corpus written in batches whose schema GREW "
+    "over time (v1 rows lack the later lang/long_flag columns) is unified "
+    "with unionByName(allowMissingColumns=True) — missing columns nulled, "
+    "never positional-matched — and stays aggregable downstream with "
+    "legacy rows bucketed explicitly. This is the operator-level twin of "
+    "parquet's mergeSchema scan option (same null-fill semantics, pinned "
+    "against a real two-batch parquet directory read in "
+    "tests/test_skew_and_io.py::test_merge_schema_scan_matches_union); "
+    "the registered query stays hermetic (no file writes in the driver's "
+    "session). At 100 TB schema evolution is the NORM for multi-year "
+    "corpora: the union is still one scan per batch + one exchange for "
+    "the final aggregate, and Catalyst prunes the missing-column nulls "
+    "like any literal.",
+    tags=("pipeline", "schema", "ingest"),
+)
+def pipeline_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    v1 = d.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    v2 = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "lang",
+        (F.col("n_chars") > 500).alias("long_flag"),
+    )
+    unified = v1.unionByName(v2, allowMissingColumns=True)
+    return unified.groupBy(
+        F.coalesce(F.col("lang"), F.lit("legacy")).alias("lang_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_if(F.col("long_flag")).cast("long").alias("n_long"),
+    )

@@ -81,11 +81,11 @@ def register(
 # bpe_train_merges, scalar_bitwise_ops / lateral_column_alias / to_json /
 # explode_outer / zorder_key / binary_encodings — plus the two rows-only
 # entries (events_approx_percentiles, dedup_minhash_ml) and the round-8
-# additions multimodal_mulaw_roundtrip + multimodal_mjpeg_avi_roundtrip
-# (deferred via DEFERRED_NEW_NAMES). Put all 22 in the r09 window
-# (rows-only entries still get the driver's weaker check) and fill the
-# rest with high-value re-runs; that closes the tail at 250/250
-# cumulative.
+# additions multimodal_mulaw_roundtrip + multimodal_mjpeg_avi_roundtrip +
+# pipeline_schema_evolution_union (deferred via DEFERRED_NEW_NAMES).
+# Put all 23 in the r09 window (rows-only entries still get the driver's
+# weaker check) and fill the rest with high-value re-runs; that closes
+# the tail at 251/251 cumulative.
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
 # DRIVER_SAMPLE_FIRST for the round it lands in, or be listed here with a
@@ -99,6 +99,7 @@ DEFERRED_NEW_NAMES: tuple[str, ...] = (
     # in the ROUND-9 ROTATION PLAN below).
     "multimodal_mulaw_roundtrip",
     "multimodal_mjpeg_avi_roundtrip",
+    "pipeline_schema_evolution_union",
 )
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (

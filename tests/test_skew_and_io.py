@@ -433,3 +433,37 @@ def test_narrow_scan_rebalances_oversized_row_groups(spark, tmp_path):
     # Non-file sources: indeterminable → None (guard falls back to the
     # partition count alone).
     assert _parquet_row_group_parallelism(spark.range(10).toDF("doc_id")) is None
+
+
+def test_merge_schema_scan_matches_union(spark, tmp_path):
+    """Scan-level schema evolution: two parquet batches written with
+    DIFFERENT schemas (the later batch added columns) read back with
+    mergeSchema=true must produce exactly the null-filled union that
+    pipeline_schema_evolution_union computes operator-side — same rows,
+    same by-NAME column matching, missing columns null. This is the
+    file-backed twin the registered (hermetic) query cites."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.createDataFrame(
+        [(0, 100), (2, 250)], "doc_id long, n_chars long"
+    )
+    v2 = spark.createDataFrame(
+        [(1, 700, "en", True), (3, 80, "fr", False)],
+        "doc_id long, n_chars long, lang string, long_flag boolean",
+    )
+    base = str(tmp_path / "evolving")
+    v1.write.parquet(base + "/batch=v1")
+    v2.write.parquet(base + "/batch=v2")
+
+    scanned = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base)
+        .select("doc_id", "n_chars", "lang", "long_flag")
+    )
+    expected = v1.unionByName(v2, allowMissingColumns=True)
+    got = {tuple(r) for r in scanned.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+    # legacy rows must carry NULLs, not positional garbage
+    legacy = scanned.where(F.col("doc_id") % 2 == 0).collect()
+    assert all(r["lang"] is None and r["long_flag"] is None for r in legacy)
