@@ -151,3 +151,54 @@ def test_tpch_sf10_tier_counts():
         "WHERE c.c_custkey IS NULL"
     ).fetchone()[0]
     assert orphans == 0
+
+
+def test_docs_and_events_sf10_tier_counts():
+    """Late-added integrity pins for the r07 sf10 tiers (the r08 tiers got
+    theirs at birth): docs_sf10 must hold exactly 100 schema-consistent
+    copies with the designed duplicate structure (copies 1-9 near-dup
+    suffixes, copies 10-99 per-token markers — no shared shingles), and
+    events_sf10 exactly 100 disjoint user populations with untouched
+    timestamps. Skipped until the tiers exist on disk (the scale runs
+    build them)."""
+    import pytest
+
+    docs = os.path.join(REPO, ".sfgen", "docs_sf10", "documents.parquet")
+    events = os.path.join(REPO, ".sfgen", "events_sf10", "events.parquet")
+    if not (os.path.exists(docs) and os.path.exists(events)):
+        pytest.skip("sf10 tiers not built (created by the scale measurement runs)")
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.1"
+
+    n_src = con.execute(f"SELECT COUNT(*) FROM '{src}/documents.parquet'").fetchone()[0]
+    n, n_ids, bad_len = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT doc_id), "
+        f"COUNT(*) FILTER (WHERE n_chars <> LENGTH(text)) FROM '{docs}'"
+    ).fetchone()
+    assert (n, n_ids, bad_len) == (100 * n_src, 100 * n_src, 0)
+    # copy 0 is byte-identical to the source; copy 42 shares no tokens
+    diff0 = con.execute(
+        f"SELECT COUNT(*) FROM (SELECT text FROM '{docs}' WHERE doc_id < 10000000 "
+        f"EXCEPT SELECT text FROM '{src}/documents.parquet')"
+    ).fetchone()[0]
+    assert diff0 == 0
+    shared = con.execute(
+        f"""SELECT COUNT(*) FROM (
+          SELECT UNNEST(string_split(text, ' ')) AS t FROM '{docs}'
+          WHERE doc_id >= 420000000 AND doc_id < 420010000
+          INTERSECT
+          SELECT UNNEST(string_split(text, ' ')) FROM '{src}/documents.parquet'
+          USING SAMPLE 1000 ROWS (reservoir, 7)
+        )"""
+    ).fetchone()[0]
+    assert shared == 0  # per-token 'c42' markers leave no shared vocabulary
+
+    n_esrc = con.execute(f"SELECT COUNT(*) FROM '{src}/events.parquet'").fetchone()[0]
+    ne, ne_ids, ts_diff = con.execute(
+        f"""SELECT COUNT(*), COUNT(DISTINCT event_id),
+            (SELECT COUNT(*) FROM (
+               SELECT ts FROM '{events}' WHERE event_id < 10000000
+               EXCEPT SELECT ts FROM '{src}/events.parquet'))
+            FROM '{events}'"""
+    ).fetchone()
+    assert (ne, ne_ids, ts_diff) == (100 * n_esrc, 100 * n_esrc, 0)
