@@ -88,8 +88,13 @@ def _build_shim(candidate: str) -> str | None:
     Returns the shim dir, or None if it cannot be built (no symlink
     support, read-only tmp): the caller then skips the candidate rather
     than exporting the whole bundle."""
+    import hashlib
+
     src = os.path.join(candidate, "google", "protobuf")
-    digest = "%08x" % (hash(os.path.abspath(candidate)) & 0xFFFFFFFF)
+    # hashlib, not hash(): the builtin is salted per process
+    # (PYTHONHASHSEED), which would mint a fresh tempdir every session
+    # instead of reusing one deterministic shim per candidate path.
+    digest = hashlib.md5(os.path.abspath(candidate).encode()).hexdigest()[:8]
     shim = os.path.join(
         tempfile.gettempdir(), f"slr207_protobuf_shim_{os.getuid()}_{digest}"
     )
