@@ -125,7 +125,21 @@ def connected_components(
         s = df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[
             0
         ]["s"]
-        return int(s) if s is not None else 0  # empty graph sums to 0
+        if s is None:
+            # null sum = empty frame (trivially converged, return 0) OR a
+            # >10^38 decimal overflow, which non-ANSI Spark also reports as
+            # null — indistinguishable by value, and two consecutive
+            # overflow-nulls would read as a false fixed point. Unreachable
+            # with int64 labels (max possible sum ~2^126 < 10^38 needs more
+            # distinct nodes than int64 holds), but fail loudly rather than
+            # mis-cluster if a future label type changes that.
+            if not df.isEmpty():
+                raise ArithmeticError(
+                    "label-sum overflowed decimal(38,0) — convergence "
+                    "detection would be unsound; shrink label magnitudes"
+                )
+            return 0
+        return int(s)
 
     prev_sum = _label_sum(labels)
     prev_ids: set[int] = set()
