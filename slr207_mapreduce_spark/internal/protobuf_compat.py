@@ -80,33 +80,84 @@ def _importable() -> bool:
         return False
 
 
+def _verified_private_dir(path: str) -> bool:
+    """True iff ``path`` is a real directory (not a symlink) owned by the
+    current uid with no group/other permission bits — the precondition for
+    trusting anything found inside it. Anything else (pre-created by a
+    co-resident user on a shared box, symlinked away, group-writable) is
+    rejected and the caller falls back to a fresh ``mkdtemp``."""
+    import stat
+
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    return (
+        stat.S_ISDIR(st.st_mode)
+        and st.st_uid == os.getuid()
+        and (st.st_mode & 0o077) == 0
+    )
+
+
+def _make_private_dir(path: str) -> bool:
+    try:
+        os.makedirs(path, mode=0o700, exist_ok=True)
+    except OSError:
+        return False
+    return _verified_private_dir(path)
+
+
 def _build_shim(candidate: str) -> str | None:
     """Create (or reuse) a private directory exposing ONLY
     ``google/protobuf`` from ``candidate`` — the unit that is safe to put
     on child-process PYTHONPATHs. Deterministic per candidate path so
-    repeated sessions reuse one shim instead of accumulating tempdirs.
+    repeated sessions reuse one shim instead of accumulating dirs.
     Returns the shim dir, or None if it cannot be built (no symlink
-    support, read-only tmp): the caller then skips the candidate rather
-    than exporting the whole bundle."""
+    support, read-only filesystem): the caller then skips the candidate
+    rather than exporting the whole bundle.
+
+    The shim lives under the per-user cache dir ($XDG_CACHE_HOME or
+    ~/.cache), NOT the world-writable tempdir — a predictable /tmp path
+    could be pre-created by a co-resident local user with a poisoned
+    ``google/__init__.py`` that the driver (and, via the exported
+    PYTHONPATH, every worker) would then execute. Every directory level we
+    reuse must verify as a non-symlink dir owned by this uid with mode
+    0o700; on any mismatch we fall back to a fresh ``tempfile.mkdtemp``
+    (guaranteed 0o700 and owned by us), trading reuse for safety."""
     import hashlib
 
     src = os.path.join(candidate, "google", "protobuf")
     # hashlib, not hash(): the builtin is salted per process
-    # (PYTHONHASHSEED), which would mint a fresh tempdir every session
+    # (PYTHONHASHSEED), which would mint a fresh shim dir every session
     # instead of reusing one deterministic shim per candidate path.
     digest = hashlib.md5(os.path.abspath(candidate).encode()).hexdigest()[:8]
-    shim = os.path.join(
-        tempfile.gettempdir(), f"slr207_protobuf_shim_{os.getuid()}_{digest}"
+    cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
     )
+    shim = os.path.join(cache_root, "slr207_protobuf_shims", f"shim_{digest}")
+    levels = (os.path.dirname(shim), shim, os.path.join(shim, "google"))
+    if not all(_make_private_dir(lvl) for lvl in levels):
+        try:
+            shim = tempfile.mkdtemp(prefix="slr207_protobuf_shim_")
+            os.makedirs(os.path.join(shim, "google"), mode=0o700)
+        except OSError:
+            return None
     link = os.path.join(shim, "google", "protobuf")
     init = os.path.join(shim, "google", "__init__.py")
     try:
         if not (os.path.islink(link) and os.path.realpath(link) == os.path.realpath(src)):
-            os.makedirs(os.path.join(shim, "google"), exist_ok=True)
             if os.path.islink(link) or os.path.exists(link):
                 os.remove(link)
             os.symlink(src, link)
-        if not os.path.isfile(init):
+        # Verify CONTENT, not existence: under a verified-private dir only
+        # this uid could have written it, but rewriting on any mismatch
+        # costs nothing and keeps the invariant explicit.
+        try:
+            with open(init) as f:
+                have = f.read()
+        except OSError:
+            have = None
+        if have != _NS_INIT:
             with open(init, "w") as f:
                 f.write(_NS_INIT)
         return shim

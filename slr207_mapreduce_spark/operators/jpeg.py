@@ -1082,6 +1082,11 @@ def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
         if fourcc != b"00dc":
             raise ValueError(f"unexpected movi chunk {fourcc}")
         if idx is not None:
+            if frame_idx >= len(idx):  # truncated idx1 → loud, not IndexError
+                raise ValueError(
+                    f"idx1 has {len(idx)} entries but movi holds more frames "
+                    f"(at frame {frame_idx})"
+                )
             ck, _flags, off, isize = idx[frame_idx]
             # idx offsets are relative to the 'movi' fourcc, which sits 4
             # bytes before the list payload; this chunk's header is at

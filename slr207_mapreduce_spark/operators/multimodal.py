@@ -6,20 +6,19 @@ frame-sample run as Arrow-batched pandas functions over ``mapInPandas`` —
 the only Spark-idiomatic shape for per-blob Python work (vectorized batch
 transfer, no per-row pickling, partition-parallel).
 
-Codec status: PCM WAV is a REAL codec (encode_wav_pcm16/decode_wav_pcm16
-below — RIFF parsing with struct + numpy, no library needed; exercised
-end-to-end by the oracled multimodal_wav_roundtrip query). Library-bound
-formats (JPEG/MP3/MP4) stay gated: ``decode_image`` raises
-NotImplementedError unless PIL is importable, and their tested paths use
-``fake_decode_features`` — a deterministic md5-derived stand-in with the
-exact same Spark-side plumbing (schema, batching, partitioning). Swapping
-in a real library codec changes only the inner python function, as the
-WAV path demonstrates.
+Codec status: every registered query decodes REAL bytes — PNG, GIF/LZW,
+baseline JPEG (operators/jpeg.py), PCM WAV, G.711 mu-law, P6 PPM, the RAWV
+frame container, and MJPEG-in-AVI all have from-spec encoders/decoders in
+this package, so feature extraction / resize / frame indexing run over
+genuine container bytes end-to-end (r08 VERDICT item 5 retired the last
+md5-derived stand-ins). External-library formats (e.g. PIL-backed ones)
+stay gated: ``decode_image`` raises NotImplementedError unless PIL is
+importable — swapping a library codec into any of the mapInPandas paths
+changes only the inner python function.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,13 +42,15 @@ BLOB_META_SCHEMA = StructType(
     ]
 )
 
-FEATURE_SCHEMA = StructType(
+IMAGE_FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
         StructField("n_bytes", LongType()),
-        StructField("digest", StringType()),  # md5 of payload
-        StructField("fake_width", IntegerType()),  # stub features
-        StructField("fake_height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
     ]
 )
 
@@ -81,8 +82,8 @@ def decode_image(payload: bytes):
     """Real image decode — requires PIL, absent in this container."""
     if not _have_pil():
         raise NotImplementedError(
-            "image decode needs PIL; this environment stubs it — use "
-            "fake_decode_features for the plumbing-equivalent path"
+            "image decode needs PIL; this environment gates it — the "
+            "from-spec codecs (PPM/PNG/GIF/JPEG) cover the tested paths"
         )
     from io import BytesIO
 
@@ -91,90 +92,145 @@ def decode_image(payload: bytes):
     return Image.open(BytesIO(payload))
 
 
-def fake_decode_features(blobs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in decoder: md5-derived pseudo width/height.
-    Exactly the batch shape a real decoder uses (iterator of Arrow-backed
-    pandas frames in, frames out — constant memory per batch)."""
-    for pdf in blobs:
-        payloads = pdf["payload"]
-        digests = [hashlib.md5(bytes(p)).hexdigest() for p in payloads]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": [len(bytes(p)) for p in payloads],
-                "digest": digests,
-                "fake_width": [int(d[:4], 16) % 1920 + 1 for d in digests],
-                "fake_height": [int(d[4:8], 16) % 1080 + 1 for d in digests],
-            }
-        )
+def ppm_image_features(blob_df: DataFrame) -> DataFrame:
+    """FULL-decode feature extraction over real P6 PPM payloads: parse the
+    header (positional — see decode_ppm), materialize the pixel array, and
+    emit exact per-channel sums + dims + payload size. This is the
+    feature-extraction stage of a media pipeline over genuine container
+    bytes; constant memory per Arrow batch, nothing but (doc_id, features)
+    ever leaves the scan stage (replaces the retired md5-stub path —
+    r08 VERDICT item 5)."""
 
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in IMAGE_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                img = decode_ppm(raw).astype("int64")
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                rows["n_bytes"].append(len(raw))
+                rows["sum_r"].append(int(img[:, :, 0].sum()))
+                rows["sum_g"].append(int(img[:, :, 1].sum()))
+                rows["sum_b"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
 
-def extract_features(blob_df: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over the blob table."""
     return blob_df.select("doc_id", "payload").mapInPandas(
-        fake_decode_features, schema=FEATURE_SCHEMA
+        feats, schema=IMAGE_FEATURE_SCHEMA
     )
 
 
-RESIZE_SCHEMA = StructType(
+THUMBNAIL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("in_w", IntegerType()),
         StructField("in_h", IntegerType()),
         StructField("out_w", IntegerType()),
         StructField("out_h", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
     ]
 )
 
 
-def fake_resize(target: int):
-    """Aspect-preserving fit-resize stub (decode is md5-derived dims, the
-    geometry arithmetic is the real thing a PIL ``thumbnail`` computes):
-    scale = min(target/w, target/h), out = max(1, floor(dim*scale)).
-    Pure IEEE f64 ops → bit-identical to the SQL oracle."""
+def thumbnail_nearest(img, target: int):
+    """PIL-``thumbnail`` geometry over a REAL decoded image, then a real
+    nearest-neighbor resample: scale = min(t/w, t/h) in IEEE f64,
+    out = max(1, floor(dim * scale)) — bit-identical to the SQL oracle's
+    DOUBLE arithmetic — and source index (i*h)//oh, (j*w)//ow in exact
+    integer math. Distinct from resize_nearest_fit, whose geometry is the
+    all-integer dim*target//max(w,h) form."""
+    import math
 
-    def _batches(blobs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    import numpy as np
 
-        t = float(target)
-        for pdf in blobs:
-            digests = [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]]
-            w = np.array([int(d[:4], 16) % 1920 + 1 for d in digests], dtype="float64")
-            h = np.array([int(d[4:8], 16) % 1080 + 1 for d in digests], dtype="float64")
-            scale = np.minimum(t / w, t / h)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "in_w": w.astype("int32"),
-                    "in_h": h.astype("int32"),
-                    "out_w": np.maximum(1, np.floor(w * scale)).astype("int32"),
-                    "out_h": np.maximum(1, np.floor(h * scale)).astype("int32"),
-                }
-            )
-
-    return _batches
+    h, w, _ = img.shape
+    scale = min(float(target) / w, float(target) / h)
+    ow = max(1, int(math.floor(w * scale)))
+    oh = max(1, int(math.floor(h * scale)))
+    yi = (np.arange(oh, dtype="int64") * h) // oh
+    xi = (np.arange(ow, dtype="int64") * w) // ow
+    return img[yi][:, xi]
 
 
-def resize_stub(blob_df: DataFrame, target: int = 224) -> DataFrame:
-    """mapInPandas resize over the blob table (real plumbing, stub codec)."""
+def ppm_thumbnail_features(blob_df: DataFrame, target: int = 4) -> DataFrame:
+    """REAL decode + float-geometry thumbnail: parse each P6 payload,
+    shrink it with PIL's thumbnail arithmetic (IEEE f64 scale, floor,
+    1-px clamp), and emit exact per-channel sums over the resampled
+    pixels, so the geometry AND the resample are both oracle-checked."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in THUMBNAIL_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                small = thumbnail_nearest(img, target).astype("int64")
+                rows["doc_id"].append(doc_id)
+                rows["in_h"].append(img.shape[0])
+                rows["in_w"].append(img.shape[1])
+                rows["out_h"].append(small.shape[0])
+                rows["out_w"].append(small.shape[1])
+                rows["sum_r"].append(int(small[:, :, 0].sum()))
+                rows["sum_g"].append(int(small[:, :, 1].sum()))
+                rows["sum_b"].append(int(small[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
     return blob_df.select("doc_id", "payload").mapInPandas(
-        fake_resize(target), schema=RESIZE_SCHEMA
+        feats, schema=THUMBNAIL_SCHEMA
     )
 
 
-def frame_sample_stub(blob_df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame index.
-    The decode itself is stubbed (frame count derived from payload length —
-    deterministic); schema/explode shape is the real one."""
-    n_frames = (F.length("payload") / F.lit(64)).cast("int") + 1
-    return (
-        blob_df.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias(
-                "frame_idx"
-            ),
-        )
-        .withColumn("frame_uri", F.concat(F.lit("frame://"), "doc_id", F.lit("#"), "frame_idx"))
+FRAME_INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("byte_offset", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_uri", StringType()),
+    ]
+)
+
+
+def iter_frame_index(payload: bytes):
+    """Yield (frame_idx, byte_offset, frame_bytes) by walking a RAWV
+    container's length prefixes WITHOUT decoding any frame — the demuxer
+    index scan a seek-based sampler runs first. byte_offset addresses the
+    frame's PPM bytes within the payload."""
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV frame stream")
+    (n_frames,) = struct.unpack("<I", payload[4:8])
+    pos = 8
+    for idx in range(n_frames):
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        yield idx, pos, ln
+        pos += ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+
+
+def video_frame_index(blob_df: DataFrame) -> DataFrame:
+    """Frame MANIFEST extraction: one row per contained frame with its
+    byte offset and size, read from the real container framing only (no
+    pixel decode — the cheap first pass that plans which byte ranges a
+    sampler will fetch; replaces the retired length-heuristic stub)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FRAME_INDEX_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off, ln in iter_frame_index(bytes(payload)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["byte_offset"].append(off)
+                    rows["frame_bytes"].append(ln)
+                    rows["frame_uri"].append(f"rawv://{int(doc_id)}#{idx}@{off}")
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=FRAME_INDEX_SCHEMA
     )
 
 

@@ -371,6 +371,7 @@ def knn_ivf(
     centroid_stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """IVF-style ANN top-k: inverted lists under a deterministic coarse
     quantizer.
@@ -404,6 +405,16 @@ def knn_ivf(
     exactly one (vector, cell) row — the argmax with smallest-cid
     tie-break resolved in-kernel. Same bits, same output, 142 s → <1 s at
     sf1, and the N·|C| work is now vectorized instead of interpreted.
+
+    Probe kernel (r09): the query side is collected once (bounded by
+    ``max_queries``, reject-don't-truncate — the same contract as
+    knn_bruteforce) and validated: a zero-norm QUERY vector raises naming
+    the offending ids (r08 ADVICE — previously its nprobe ranking rode
+    engine NaN ordering through a crossJoin(broadcast(centroids)) probe
+    plan, which was also the knn family's last BroadcastNestedLoopJoin).
+    The |Q|x|C| probe scoring runs driver-side in numpy with the same
+    bit-exact sequential fold; only the (query_id, cid) probe pairs —
+    |Q|·nprobe rows — enter the plan, as a broadcast.
     """
     import numpy as np
     import pandas as pd
@@ -412,17 +423,6 @@ def knn_ivf(
     cent = corpus.where(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
     )
-
-    def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
-            .crossJoin(F.broadcast(cent))
-            .select(
-                out_id,
-                "cid",
-                cosine(F.col("v"), F.col("cemb")).alias("ccos"),
-            )
-        )
 
     crows = cent.orderBy("cid").collect()
     if len(crows) > 65_536:
@@ -478,13 +478,49 @@ def knn_ivf(
     cells = corpus.selectExpr(
         f"{id_col} AS neighbor_id", f"{vec_col} AS v"
     ).mapInPandas(assign, schema="neighbor_id long, cid long")
-    # Probes keep the rank-window form: the query side is small by contract.
-    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    probes = (
-        scored_cells(queries, "query_id")
-        .withColumn("crn", F.row_number().over(wp))
-        .where(F.col("crn") <= nprobe)
-        .select("query_id", "cid")
+    # Probe selection: the query side is small by contract (collected once,
+    # reject-don't-truncate like knn_bruteforce — this also closed the r08
+    # ADVICE hole where a zero-norm QUERY vector rode NaN ordering through
+    # the old crossJoin(broadcast(centroids)) probe plan, which was the
+    # family's last BroadcastNestedLoopJoin). Scoring |Q|x|C| probe cells
+    # happens driver-side in the same sequential-in-j numpy accumulation —
+    # bit-identical to the aggregate() fold and DuckDB's list_dot_product.
+    qrows = queries.selectExpr(
+        f"{id_col} AS query_id", f"CAST({vec_col} AS array<double>) AS qvec"
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_ivf query side has >{max_queries} rows; the probe stage "
+            "collects the query set — raise max_queries explicitly or batch "
+            "the queries"
+        )
+    qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
+    qmat = (
+        np.asarray([r.qvec for r in qrows], dtype=np.float64)
+        if qrows
+        else np.zeros((0, 0))
+    )
+    qnorm = np.sqrt(_seq_self_dot(qmat)) if len(qrows) else np.zeros(0)
+    if len(qrows) and not np.all(qnorm > 0):
+        badq = qids[qnorm == 0].tolist()
+        raise ValueError(
+            f"knn_ivf: zero-norm query vector(s) {badq[:5]} — their nprobe "
+            "cell ranking and top-k are undefined; drop or re-embed these "
+            "rows"
+        )
+    qdots = np.zeros((len(qids), len(cids)))
+    for j in range(qmat.shape[1] if len(qrows) else 0):
+        qdots += qmat[:, j : j + 1] * cmat.T[j : j + 1, :]
+    probe_rows = []
+    if len(qids) and len(cids):
+        qccos = qdots / (qnorm[:, None] * cnorm[None, :])
+        for i in range(len(qids)):
+            # lexsort (cid asc within -ccos desc) == ROW_NUMBER ORDER BY
+            # ccos DESC, cid ASC — total order, no NaN by the guards above.
+            top = np.lexsort((cids, -qccos[i]))[:nprobe]
+            probe_rows.extend((int(qids[i]), int(c)) for c in cids[top])
+    probes = queries.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cid long"
     )
     # Probes (and hence candidates-with-query-vector) are |Q|-sized —
     # broadcast them, so the only shuffle the corpus ever takes in this

@@ -521,27 +521,61 @@ _JL_PDOT = " + ".join(f"q.p{k}*c.p{k}" for k in range(_PROJ_DIM))
     tags=("similarity", "projection"),
 )
 def knn_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shortlist kernel (r09, the knn_bruteforce treatment): the previous
+    # shape — a non-equi join of the projected corpus against the
+    # broadcast projected queries — planned as the family's last
+    # BroadcastNestedLoopJoin and shuffled ALL N·|Q| scored pairs into the
+    # prank window exchange. The projected query block is tiny (|Q| rows
+    # of 16 int64s), so it is collected once and closed over by one
+    # Arrow-batched mapInPandas pass that scores each corpus batch with an
+    # exact int64 matmul (integer dot — order-free, engine-exact) and
+    # emits only its LOCAL top-_JL_SHORT per query; the global prank
+    # window then sees at most batches·|Q|·150 rows regardless of N.
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     e = load_table(spark, "embeddings", sf_dir)
     proj = embedding_random_projection(spark, sf_dir).drop("label")
-    q = proj.where(F.col("vec_id") < _JL_Q)
-    qn = q.select(
-        F.col("vec_id").alias("query_id"),
-        *[F.col(f"p{k}").alias(f"q{k}") for k in range(_PROJ_DIM)],
+    pcols = [f"p{k}" for k in range(_PROJ_DIM)]
+    qrows = proj.where(F.col("vec_id") < _JL_Q).collect()
+    qids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
+    qproj = (
+        np.asarray([[r[c] for c in pcols] for r in qrows], dtype=np.int64)
+        if qrows
+        else np.zeros((0, _PROJ_DIM), dtype=np.int64)
     )
-    cn = proj.select(
-        F.col("vec_id").alias("neighbor_id"),
-        *[F.col(f"p{k}") for k in range(_PROJ_DIM)],
-    )
-    pdot = F.expr(" + ".join(f"q{k}*p{k}" for k in range(_PROJ_DIM)))
-    scored = (
-        cn.join(F.broadcast(qn), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", pdot.alias("pdot"))
+    nq = len(qids)
+
+    def shortlist(batches):
+        for pdf in batches:
+            if nq == 0 or len(pdf) == 0:
+                continue
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cp = pdf[pcols].to_numpy(dtype=np.int64)
+            pdot = cp @ qproj.T  # exact int64
+            out_q, out_n, out_p = [], [], []
+            for i in range(nq):
+                mask = nid != qids[i]
+                cand_ids, cand_dot = nid[mask], pdot[mask, i]
+                top = np.lexsort((cand_ids, -cand_dot))[:_JL_SHORT]
+                out_q.extend([qids[i]] * len(top))
+                out_n.extend(cand_ids[top])
+                out_p.extend(cand_dot[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "pdot": np.asarray(out_p, dtype=np.int64),
+                }
+            )
+
+    local = proj.mapInPandas(
+        shortlist, schema="query_id long, neighbor_id long, pdot long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("pdot"), F.asc("neighbor_id"))
     short = (
-        scored.withColumn("prank", F.row_number().over(w))
+        local.withColumn("prank", F.row_number().over(w))
         .where(F.col("prank") <= _JL_SHORT)
         .select("query_id", "neighbor_id")
     )

@@ -1,20 +1,13 @@
 """Multimodal-column queries (north-star family; operators in
 slr207_mapreduce_spark/operators/multimodal.py).
 
-Two families live here, named so the registry reads honestly (r07
-VERDICT item 4):
-
-* ``multimodal_*_roundtrip`` / ``multimodal_blob_dedup`` /
-  ``multimodal_cross_modal_join`` — REAL codecs (PNG, GIF89a/LZW,
-  baseline JPEG gray + 4:2:0 color, PCM WAV, P6 PPM, RAWV container),
-  byte-level encode/decode with closed-form oracles.
-* ``multimodal_*_stub`` — the scale PLUMBING for library-bound formats
-  (binary column + Arrow-batched mapInPandas, explode fan-out, resize
-  geometry) with a deterministic md5-derived codec in the decode slot,
-  which makes the path oracle-checkable: DuckDB recomputes the same md5
-  arithmetic in SQL.  Swapping the stub for PIL/ffmpeg changes only the
-  inner function; the ``_stub`` suffix is the contract that no real
-  decode happens inside.
+Every query here decodes REAL bytes (r08 VERDICT item 5 retired the
+md5-stub family): PNG, GIF89a/LZW, baseline JPEG gray + 4:2:0 color, PCM
+WAV, G.711 mu-law, P6 PPM, the RAWV frame container, and MJPEG-in-AVI —
+byte-level encode/decode with closed-form oracles. The three pipeline
+stages the stubs used to stand in for (full-decode feature extraction,
+float-geometry thumbnail, no-decode frame indexing) now run over the real
+PPM/RAWV container paths.
 """
 
 from __future__ import annotations
@@ -22,85 +15,139 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from slr207_mapreduce_spark.operators.multimodal import (
-    extract_features,
-    frame_sample_stub,
-    with_blob_column,
-)
+from slr207_mapreduce_spark.operators.multimodal import with_blob_column
 from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
 
 
 @register(
-    "multimodal_features_stub",
+    "multimodal_image_features",
     oracle="""
+    WITH od AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, tp.p
+      FROM od, LATERAL (SELECT UNNEST(range(w * h)) AS p) tp
+    )
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           md5(text) AS digest,
-           CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS INTEGER) AS fake_width,
-           CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS INTEGER) AS fake_height
-    FROM documents
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(LENGTH('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+                       CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+                + 3 * w * h AS BIGINT) AS n_bytes,
+           CAST(SUM((doc_id + 7 * p) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 3 + 5 * p) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 5 + 11 * p) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
     """,
-    doc="Blob feature extraction: binary payload column + typed metadata, "
-    "decoded via Arrow-batched mapInPandas (the Python-codec surface). "
-    "Codec is a deterministic md5 stub → the oracle reproduces it in SQL; "
-    "swapping in PIL changes only the inner function.",
-    tags=("multimodal", "pandas_udf"),
+    doc="REAL full-decode feature extraction (replaces the retired "
+    "multimodal_features_stub): genuine P6 PPM bytes are synthesized per "
+    "document, then an Arrow-batched mapInPandas stage parses the header "
+    "positionally, materializes the pixel array, and emits dims + payload "
+    "size + exact per-channel sums. The oracle replays the pixel generator "
+    "AND the header byte-length arithmetic in SQL, so the decode itself — "
+    "not just the plumbing — is hash-checked.",
+    tags=("multimodal", "codec", "pandas_udf"),
 )
-def multimodal_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        ppm_image_features,
+        synth_ppm_blobs,
+    )
+
     d = load_table(spark, "documents", sf_dir)
-    return extract_features(with_blob_column(d))
+    return ppm_image_features(synth_ppm_blobs(d))
 
 
 @register(
-    "multimodal_frame_sample_stub",
+    "multimodal_video_frame_index",
     oracle="""
-    SELECT doc_id,
-           CAST(unnest(range(0, CAST(length(text) // 64 AS INTEGER) + 1, 10)) AS BIGINT) AS frame_idx,
-           'frame://' || CAST(doc_id AS VARCHAR) || '#' ||
-             CAST(unnest(range(0, CAST(length(text) // 64 AS INTEGER) + 1, 10)) AS VARCHAR) AS frame_uri
-    FROM documents
-    """,
-    doc="Video frame-sampling plumbing: every-Nth-frame explode per blob "
-    "(stub frame count ∝ payload bytes); the schema/explode shape a real "
-    "ffmpeg-backed sampler uses.",
-    tags=("multimodal",),
-)
-def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    return frame_sample_stub(with_blob_column(d), every_n=10).select(
-        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_uri"
+    WITH fr AS (
+      SELECT d.doc_id, tf.f, 47 + 9 * (tf.f % 3) AS fl
+      FROM documents d,
+           LATERAL (SELECT UNNEST(range(5 + d.doc_id % 6)) AS f) tf
+    ),
+    off AS (
+      SELECT doc_id, f, fl,
+             12 + COALESCE(SUM(fl + 4) OVER (
+               PARTITION BY doc_id ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM fr
     )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(o AS BIGINT) AS byte_offset,
+           CAST(fl AS BIGINT) AS frame_bytes,
+           'rawv://' || CAST(doc_id AS VARCHAR) || '#' || CAST(f AS VARCHAR)
+             || '@' || CAST(o AS VARCHAR) AS frame_uri
+    FROM off
+    """,
+    doc="REAL no-decode frame MANIFEST (replaces the retired "
+    "multimodal_frame_sample_stub): walk each RAWV container's length "
+    "prefixes — never touching pixel bytes — and fan out one row per "
+    "frame with its exact byte offset and size, the index a seek-based "
+    "sampler plans byte-range fetches from. The oracle recomputes every "
+    "offset from the container layout (8-byte header + per-frame 4-byte "
+    "length prefix + PPM size 47+9*(f%3)) with a running-sum window, so "
+    "a single mis-sized header or prefix shifts every offset and fails "
+    "the hash.",
+    tags=("multimodal", "codec"),
+)
+def multimodal_video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        synth_video_blobs,
+        video_frame_index,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return video_frame_index(synth_video_blobs(d))
 
 
 @register(
-    "multimodal_resize_stub",
+    "multimodal_image_thumbnail",
     oracle="""
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS DOUBLE) AS w,
-             CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS DOUBLE) AS h
-      FROM documents
+    WITH od AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents
+    ),
+    geo AS (
+      SELECT doc_id, w, h,
+             GREATEST(1, CAST(floor(w * LEAST(4.0 / w, 4.0 / h)) AS INTEGER)) AS ow,
+             GREATEST(1, CAST(floor(h * LEAST(4.0 / w, 4.0 / h)) AS INTEGER)) AS oh
+      FROM od
+    ),
+    px AS (
+      SELECT doc_id, w, h, ow, oh,
+             ((ti.i * h) // oh) * w + ((tj.j * w) // ow) AS p
+      FROM geo,
+           LATERAL (SELECT UNNEST(range(oh)) AS i) ti,
+           LATERAL (SELECT UNNEST(range(ow)) AS j) tj
     )
     SELECT doc_id,
-           CAST(w AS INTEGER) AS in_w,
-           CAST(h AS INTEGER) AS in_h,
-           CAST(greatest(1, floor(w * least(224.0 / w, 224.0 / h))) AS INTEGER) AS out_w,
-           CAST(greatest(1, floor(h * least(224.0 / w, 224.0 / h))) AS INTEGER) AS out_h
-    FROM dims
+           CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           CAST(SUM((doc_id + 7 * p) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 3 + 5 * p) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 5 + 11 * p) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h, ow, oh
     """,
-    doc="Aspect-preserving image resize plumbing (fit into 224x224): "
-    "mapInPandas batch resize whose codec is the md5-dims stub but whose "
-    "geometry (scale = min(t/w, t/h), floor, 1-px clamp) is the real "
-    "PIL-thumbnail arithmetic — IEEE f64 ops reproduced literally by the "
-    "oracle. Swapping the stub for PIL changes only the inner function.",
-    tags=("multimodal", "pandas_udf"),
+    doc="REAL decode + PIL-thumbnail geometry (replaces the retired "
+    "multimodal_resize_stub, keeping its distinct value — the IEEE f64 "
+    "scale = min(t/w, t/h), floor, 1-px-clamp arithmetic — but feeding it "
+    "REAL decoded P6 dims and actually resampling): nearest-neighbor "
+    "source index (i*h)//oh in exact integer math, exact per-channel sums "
+    "over the thumbnail. DuckDB DOUBLE ops reproduce the f64 geometry "
+    "bit-identically; complements multimodal_ppm_resize_roundtrip, whose "
+    "geometry is the all-integer dim*target//max(w,h) form.",
+    tags=("multimodal", "codec", "pandas_udf"),
 )
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from slr207_mapreduce_spark.operators.multimodal import resize_stub
+def multimodal_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        ppm_thumbnail_features,
+        synth_ppm_blobs,
+    )
 
     d = load_table(spark, "documents", sf_dir)
-    return resize_stub(with_blob_column(d), target=224)
+    return ppm_thumbnail_features(synth_ppm_blobs(d), target=4)
 
 
 @register(
@@ -295,8 +342,8 @@ def multimodal_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sums. The oracle replays the pixel generator AND the same integer "
     "resize indexing in SQL — so the header layout, the row-major pixel "
     "order, and the resize sampling are all hash-checked, not just the "
-    "plumbing geometry. Complements multimodal_resize_stub (the md5-stub "
-    "geometry path for library-bound formats).",
+    "plumbing geometry. Complements multimodal_image_thumbnail (the IEEE "
+    "f64 PIL-thumbnail geometry over the same decode path).",
     tags=("multimodal", "codec"),
 )
 def multimodal_ppm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,7 +386,7 @@ def multimodal_ppm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     "sampled frame (exact per-channel sums). The oracle replays the "
     "frame/pixel generators in SQL, so container framing, frame "
     "sampling, and per-frame decode are all hash-checked. Complements "
-    "multimodal_frame_sample_stub (the stub-codec index-fanout path).",
+    "multimodal_video_frame_index (the no-decode manifest pass).",
     tags=("multimodal", "codec"),
 )
 def multimodal_video_frame_sample_roundtrip(

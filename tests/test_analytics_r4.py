@@ -663,3 +663,13 @@ def test_mjpeg_avi_container_roundtrip_and_validation():
     bad3[avih_pos + 16 : avih_pos + 20] = struct.pack("<I", len(frames) + 1)
     with pytest.raises(ValueError, match="frame count mismatch"):
         decode_avi_mjpeg_frames(bytes(bad3))
+    # r08 ADVICE item 2: an idx1 with FEWER entries than movi frames must
+    # raise the documented ValueError, not IndexError — drop the last
+    # 16-byte entry and patch the idx1 chunk size + outer RIFF size
+    bad4 = bytearray(payload[:-16])
+    (idx_size,) = struct.unpack("<I", payload[idx_pos + 4 : idx_pos + 8])
+    bad4[idx_pos + 4 : idx_pos + 8] = struct.pack("<I", idx_size - 16)
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    bad4[4:8] = struct.pack("<I", riff_size - 16)
+    with pytest.raises(ValueError, match="idx1 has"):
+        decode_avi_mjpeg_frames(bytes(bad4))

@@ -381,3 +381,11 @@ def test_zero_norm_excluded_from_ivf_lists(spark):
     )
     with _pytest.raises(ValueError, match="zero-norm centroid"):
         knn_ivf(bad, bad.where(F.col("vec_id") == 1), k=1, centroid_stride=5)
+
+    # r08 ADVICE item 3: a zero-norm QUERY vector must raise naming the
+    # offending id BEFORE the probe join — previously its nprobe cell
+    # ranking rode engine NaN ordering through the probe plan.
+    with _pytest.raises(ValueError, match=r"zero-norm query.*\[2\]"):
+        knn_ivf(
+            emb, emb.where(F.col("vec_id") == 2), k=2, nprobe=1, centroid_stride=5
+        )

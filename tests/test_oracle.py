@@ -35,7 +35,9 @@ def test_query_matches_oracle(spark, duck, qname):
     assert not problems, f"{qname}: {problems[:5]}"
 
 
-def _prior_adjudicated(rounds=("r01", "r02", "r03", "r04", "r05", "r06", "r07")):
+def _prior_adjudicated(
+    rounds=("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
+):
     import json
     import os
 
@@ -50,21 +52,31 @@ def _prior_adjudicated(rounds=("r01", "r02", "r03", "r04", "r05", "r06", "r07"))
 
 
 def test_driver_sample_rotation():
-    """Round-8 contract: the driver adjudicates the FIRST 50 registry
-    entries.  Pin that the rotation list is exactly the first-50 window,
-    that every entry has an oracle (hash verdicts, not `no_oracle` rows),
-    and that >=40 names were never in ANY prior round's sample (r01-r07) —
-    the round-7 verdict's #1 next-round item."""
-    from slr207_mapreduce_spark.plans.base import DRIVER_SAMPLE_FIRST
+    """Round-9 contract (the tail-closure round): the driver adjudicates
+    the FIRST 50 registry entries.  Pin that the rotation list is exactly
+    the first-50 window, that every entry except the two documented
+    rows-only estimators has an oracle, and — the round-8 verdict's #1
+    item — that EVERY name never adjudicated in r01-r08 sits inside the
+    window, so the round closes cumulative adjudication at 251/251."""
+    from slr207_mapreduce_spark.plans.base import (
+        DRIVER_SAMPLE_FIRST,
+        ROWS_ONLY_WINDOW_NAMES,
+    )
 
     specs = _specs()
     first50 = list(specs)[:50]
     assert list(DRIVER_SAMPLE_FIRST) == first50
-    assert all(specs[n].oracle is not None for n in first50)
+    no_oracle = {n for n in first50 if specs[n].oracle is None}
+    assert no_oracle == set(ROWS_ONLY_WINDOW_NAMES)
 
     prior = _prior_adjudicated()
     if prior:
-        assert sum(1 for n in first50 if n not in prior) >= 40
+        never_seen = set(specs) - prior
+        outside = never_seen - set(first50)
+        assert not outside, (
+            f"r09 must close the adjudication tail; missing from the "
+            f"driver window: {sorted(outside)}"
+        )
 
 
 def test_registry_growth_joins_driver_window():

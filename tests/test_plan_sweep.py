@@ -56,10 +56,10 @@ BNLJ_ALLOWED = {
     # labeled exact/verification tiers — all-pairs BY DESIGN, with
     # registered bucketed scale paths alongside (knn_bruteforce left this
     # list in r7: its exact tier now scores batches locally in
-    # mapInPandas and never builds the pair join)
-    "knn_ivf",
-    "knn_jl_rerank",
-    "knn_quantized_int8",
+    # mapInPandas and never builds the pair join; r9 gave knn_ivf's probe
+    # stage, knn_jl_rerank's shortlist stage, and — already converted in
+    # r7, entry stale — knn_quantized_int8 the same treatment, emptying
+    # the knn family from this list)
     "dedup_simhash_pairs",
 }
 

@@ -796,3 +796,54 @@ def test_protobuf_compat_probe():
         # merge, never overwrite: a pre-existing executor PYTHONPATH is kept
         merged = pc.worker_env("/custom/libs")["spark.executorEnv.PYTHONPATH"]
         assert merged.split(os.pathsep) == ["/custom/libs", d]
+
+
+def test_protobuf_shim_dir_is_private_and_rejects_planted_dirs(tmp_path, monkeypatch):
+    """r08 ADVICE item 1: the shim must NOT be built at a predictable
+    world-writable tempdir path. It lives under the per-user cache dir,
+    every reused level must verify as a non-symlink 0o700 dir owned by
+    this uid, and a pre-created (planted) directory failing that check is
+    abandoned for a fresh mkdtemp — never trusted."""
+    import os
+    import stat
+
+    from slr207_mapreduce_spark.internal import protobuf_compat as pc
+
+    # fake bundled runtime the shim will point at
+    candidate = tmp_path / "bundle"
+    (candidate / "google" / "protobuf").mkdir(parents=True)
+    (candidate / "google" / "protobuf" / "__init__.py").write_text("")
+
+    # clean cache root: shim is created there, private at every level
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("XDG_CACHE_HOME", str(cache))
+    shim = pc._build_shim(str(candidate))
+    assert shim is not None and shim.startswith(str(cache))
+    for lvl in (os.path.dirname(shim), shim, os.path.join(shim, "google")):
+        st = os.lstat(lvl)
+        assert stat.S_ISDIR(st.st_mode) and st.st_uid == os.getuid()
+        assert (st.st_mode & 0o077) == 0, oct(st.st_mode)
+    assert os.path.islink(os.path.join(shim, "google", "protobuf"))
+    # reuse: same candidate → same shim (deterministic, no accumulation)
+    assert pc._build_shim(str(candidate)) == shim
+
+    # planted attack shape: the deterministic path pre-exists but is
+    # group/other-accessible (as an attacker's pre-created dir would be —
+    # ownership by another uid can't be simulated without root, and the
+    # permission check rejects this shape the same way)
+    os.chmod(shim, 0o775)
+    shim2 = pc._build_shim(str(candidate))
+    assert shim2 is not None and shim2 != shim
+    assert not shim2.startswith(str(cache))  # fell back to a fresh mkdtemp
+    st = os.lstat(shim2)
+    assert st.st_uid == os.getuid() and (st.st_mode & 0o077) == 0
+    assert os.path.islink(os.path.join(shim2, "google", "protobuf"))
+    # a poisoned namespace stub in a reused dir is rewritten, not executed
+    os.chmod(shim, 0o700)
+    init = os.path.join(shim, "google", "__init__.py")
+    with open(init, "w") as f:
+        f.write("raise RuntimeError('poisoned')\n")
+    shim3 = pc._build_shim(str(candidate))
+    assert shim3 == shim
+    with open(init) as f:
+        assert "extend_path" in f.read()

@@ -1,0 +1,178 @@
+"""Streaming decade-tier measurement (SCALE.md round-9 table).
+
+VERDICT r08 item 4: the streaming suite had plan-sweep and micro-batch
+tests but no large-input row. This harness replays the events tiers as
+file-source streams — the events table split into one parquet file per
+DAY, maxFilesPerTrigger=1, Trigger.AvailableNow — so each micro-batch is
+one day of time-ordered data and the watermark advances between batches
+exactly as it would on a live feed. Two stateful paths are driven to a
+checkpointed noop sink:
+
+  * sessionization — streaming/ops.py::session_windows (session_window
+    agg, 30 min gap, 2 h watermark, append mode): the same gap semantics
+    as the batch events_sessionization query.
+  * dedup_gate    — streaming/ops.py::streaming_dedup
+    (dropDuplicatesWithinWatermark on event_id, 2 h watermark).
+
+For every micro-batch the StreamingQueryProgress is recorded:
+numInputRows, triggerExecution wall, and the state store's numRowsTotal
+/ memoryUsedBytes. The claims under test:
+
+  * BOUNDED STATE: with time-ordered input the watermark prunes state
+    each batch, so numRowsTotal must plateau near one horizon's worth of
+    keys — NOT grow with total rows seen. Asserted as max-state <= 3x
+    median-state over the steady-state batches (first two batches are
+    warm-up: the watermark has not advanced yet).
+  * LINEAR BATCH TIME: per-batch wall must not trend upward as history
+    accumulates. Asserted as mean(last third) <= 2x mean(middle third).
+
+Tiers: sf1 (1M events / 15k users) and events_sf10 (10M events / 150k
+users, tools/make_sf.py::ensure_events_sf10) — state plateau and batch
+wall should scale with the per-day row count (~10x), not with history.
+
+Usage: python tools/measure_streaming_scale.py
+Prints one JSON object; exits non-zero if a boundedness/linearity
+assertion fails.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _day_chunks(src: str, out_dir: str) -> int:
+    """Split an events parquet into one file per calendar day, written in
+    day order (the file source processes oldest-mtime first, so batch
+    order == event-time order). Returns the number of chunks."""
+    import duckdb
+
+    if os.path.isdir(out_dir) and sorted(os.listdir(out_dir)):
+        return len(os.listdir(out_dir))
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    days = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT CAST(ts AS DATE) FROM '{src}' ORDER BY 1"
+        ).fetchall()
+    ]
+    for i, day in enumerate(days):
+        con.execute(
+            f"COPY (SELECT * FROM '{src}' WHERE CAST(ts AS DATE) = DATE '{day}'"
+            f" ORDER BY ts) TO '{out_dir}/day_{i:03d}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return len(days)
+
+
+def _drive(spark, stream_dir: str, make_query, name: str) -> dict:
+    """Run one stateful path over the chunked stream with a fresh
+    checkpoint; harvest per-batch progress."""
+    from slr207_mapreduce_spark.streaming.ops import read_events_stream
+
+    ckpt = tempfile.mkdtemp(prefix=f"stream_scale_{name}_")
+    try:
+        stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = (
+            make_query(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = []
+        for p in q.recentProgress:
+            st = p["stateOperators"][0] if p["stateOperators"] else {}
+            batches.append(
+                {
+                    "batch": p["batchId"],
+                    "rows_in": p["numInputRows"],
+                    "wall_ms": p["durationMs"].get("triggerExecution"),
+                    "state_rows": st.get("numRowsTotal"),
+                    "state_bytes": st.get("memoryUsedBytes"),
+                }
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    data = [b for b in batches if b["rows_in"]]  # drop the empty final tick
+    res = {"n_batches": len(data), "batches": data}
+    walls = [b["wall_ms"] for b in data]
+    states = [b["state_rows"] for b in data if b["state_rows"] is not None]
+    # steady state: skip the first two batches (watermark not advanced yet)
+    steady = states[2:] or states
+    med = sorted(steady)[len(steady) // 2]
+    res["state_rows_max"] = max(steady)
+    res["state_rows_median"] = med
+    res["state_bounded"] = max(steady) <= 3 * max(med, 1)
+    third = max(1, len(walls) // 3)
+    mid = sum(walls[third : 2 * third]) / max(1, len(walls[third : 2 * third]))
+    last = sum(walls[-third:]) / third
+    res["wall_ms_mid_third_mean"] = round(mid, 1)
+    res["wall_ms_last_third_mean"] = round(last, 1)
+    res["batch_time_flat"] = last <= 2 * mid
+    return res
+
+
+def main() -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from slr207_mapreduce_spark.session import get_session
+    from slr207_mapreduce_spark.streaming.ops import (
+        session_windows,
+        streaming_dedup,
+    )
+    from tools.make_sf import ensure_events_sf10, ensure_sf1
+
+    out: dict = {"loadavg_before": [round(x, 2) for x in os.getloadavg()]}
+    spark = get_session(app_name="measure-streaming-scale", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tiers = {
+        "sf1": os.path.join(ensure_sf1(REPO), "events.parquet"),
+        "events_sf10": os.path.join(ensure_events_sf10(REPO), "events.parquet"),
+    }
+    failures = []
+    for tag, src in tiers.items():
+        chunks = os.path.join(REPO, ".sfgen", f"stream_chunks_{tag}")
+        n = _day_chunks(src, chunks)
+        leg: dict = {"n_day_files": n}
+        leg["sessionization"] = _drive(
+            spark,
+            chunks,
+            lambda s: session_windows(s, gap="30 minutes", watermark="2 hours"),
+            f"sess_{tag}",
+        )
+        leg["dedup_gate"] = _drive(
+            spark,
+            chunks,
+            lambda s: streaming_dedup(s, watermark="2 hours"),
+            f"dedup_{tag}",
+        )
+        for op in ("sessionization", "dedup_gate"):
+            if not leg[op]["state_bounded"]:
+                failures.append(f"{tag}.{op}: state not bounded")
+            if not leg[op]["batch_time_flat"]:
+                failures.append(f"{tag}.{op}: batch time trends upward")
+            # the full per-batch list is bulky; keep first/last 3 in the
+            # printed artifact (the assertions above saw all of them)
+            b = leg[op]["batches"]
+            leg[op]["batches"] = b[:3] + b[-3:] if len(b) > 6 else b
+        out[tag] = leg
+    out["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    out["failures"] = failures
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
