@@ -9,8 +9,15 @@ anti-patterns the per-round judge checks by hand:
   whose PURPOSE is the row-UDF surface may carry one; everything else must
   stay JVM-side or Arrow-batched.
 - ``BroadcastNestedLoopJoin`` — acceptable only where the broadcast side is
-  bounded by construction (1-row scalar-subquery/profile frames, labeled
-  exact/verification tiers, deliberate cross joins); per-query allowlist.
+  bounded by construction. Two mechanisms (r09 — replaces the pure name
+  allowlist that had grown to 15): (a) SHAPE-PROVED — the build-side
+  subtree provably emits <= 1 row (a global aggregate with no grouping
+  keys, or a limit-1 node, under cardinality-preserving operators), which
+  auto-passes: joining a 1-row frame to every row is the standard plan for
+  "compare each row to a corpus-level scalar" and is scale-free by
+  construction; (b) a small per-query allowlist for the deliberate
+  cross-join / all-pairs-verification-tier queries whose non-key join is
+  the point. A BNLJ that is neither shape-proved nor named fails.
 - Mid-plan global ``Sort`` — a global range-partition sort whose output
   feeds FURTHER joins/aggregates/windows (not a final presentation
   ``orderBy``, which the driver's sorted compare makes harmless) without a
@@ -35,31 +42,20 @@ from tests.conftest import SF_SMOKE
 # fall off the vectorized path.
 PY_UDF_ALLOWED = {"udf_encode_tokens", "udtf_positioned_words"}
 
-# BroadcastNestedLoopJoin sites, each with a bounded broadcast side:
+# BNLJ name allowlist — ONLY for joins that are non-equi BY DESIGN and whose
+# broadcast side is bounded by data semantics rather than plan shape (the
+# shape-proved 1-row sides — scalar/profile frames behind q11, q22, the
+# histogram/HLL/drift/quantile/dataset-card/BM25/tf-idf/ntile/triangle
+# queries — auto-pass via _bnlj_unbounded and left this list in r09; the
+# knn family left in r07/r09 when its kernels went batch-local).
 BNLJ_ALLOWED = {
-    # uncorrelated scalar subquery -> 1-row broadcast (standard plan shape)
-    "q11_important_part_value",
-    "q22_global_sales_opportunity",
-    "agg_histogram_equidepth",
-    "agg_hll_portable",
-    "stats_profile_drift",
-    "pipeline_quality_quantile",
-    "pipeline_dataset_card",
-    "text_bm25",
-    "text_keyword_tfidf_topk",
-    "window_ntile",
-    "graph_triangle_count",
     # deliberate cross join (tiny fixed side)
     "join_cross",
     "join_range_nonequi",
     "events_promo_overlap_join",
-    # labeled exact/verification tiers — all-pairs BY DESIGN, with
-    # registered bucketed scale paths alongside (knn_bruteforce left this
-    # list in r7: its exact tier now scores batches locally in
-    # mapInPandas and never builds the pair join; r9 gave knn_ivf's probe
-    # stage, knn_jl_rerank's shortlist stage, and — already converted in
-    # r7, entry stale — knn_quantized_int8 the same treatment, emptying
-    # the knn family from this list)
+    # labeled all-pairs candidate tier over the tiny signature frame
+    # (doc_id + 16-bit simhash — the banded-index scale paths are the
+    # registered dedup_minhash_lsh / streaming near-dup gate alongside)
     "dedup_simhash_pairs",
 }
 
@@ -106,6 +102,66 @@ def _midplan_global_sort(simple: str) -> bool:
     return False
 
 
+_ONE_ROW_AGGS = {"HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec"}
+# Operators that never increase cardinality — safe to look through when
+# proving the build side emits <= 1 row. Generate/Expand/joins are
+# deliberately absent: anything that can fan out breaks the proof.
+_CARDINALITY_SAFE = {
+    "ProjectExec",
+    "FilterExec",
+    "ShuffleExchangeExec",
+    "BroadcastExchangeExec",
+    "SortExec",
+    "CoalesceExec",
+    "ReusedExchangeExec",
+    "AQEShuffleReadExec",
+    "InputAdapter",
+    "WholeStageCodegenExec",
+}
+
+
+def _proved_one_row(node) -> bool:
+    """True iff this subtree's OUTPUT is provably <= 1 row: a global
+    aggregate (no grouping keys — always exactly one row) or a limit-1
+    node, reached only through cardinality-preserving operators."""
+    name = node.getClass().getSimpleName()
+    if name in _ONE_ROW_AGGS:
+        try:
+            return node.groupingExpressions().isEmpty()
+        except Exception:
+            return False
+    if name in ("GlobalLimitExec", "TakeOrderedAndProjectExec"):
+        try:
+            return node.limit() <= 1
+        except Exception:
+            return False
+    if name in _CARDINALITY_SAFE and node.children().size() == 1:
+        return _proved_one_row(node.children().apply(0))
+    return False
+
+
+def _bnlj_unbounded(df) -> list[str]:
+    """BroadcastNestedLoopJoin nodes whose BUILD side is NOT shape-proved
+    <= 1 row. A 1-row build side makes a BNLJ the standard, scale-free
+    plan for joining every row to a corpus-level scalar frame (scalar
+    subqueries, profile/quantile frames, argmax rows) — those auto-pass;
+    anything else must be named in BNLJ_ALLOWED or fixed."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        ch = [node.children().apply(i) for i in range(node.children().size())]
+        if node.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+            build = ch[0] if str(node.buildSide()) == "BuildLeft" else ch[1]
+            if not _proved_one_row(build):
+                hits.append(node.toString().splitlines()[0][:120])
+        for c in ch:
+            walk(c)
+
+    walk(plan)
+    return hits
+
+
 def _smj_tiny_sides(df) -> list[list[str]]:
     """SortMergeJoin nodes where one child subtree scans ONLY region/nation
     — those sides are tiny at every scale factor and must broadcast."""
@@ -145,8 +201,15 @@ def test_full_registry_plan_sweep(spark):
             probs.append("CartesianProduct")
         if "BatchEvalPython" in extended and name not in PY_UDF_ALLOWED:
             probs.append("row-at-a-time PythonUDF")
-        if "BroadcastNestedLoopJoin" in simple and name not in BNLJ_ALLOWED:
-            probs.append("BroadcastNestedLoopJoin (not allowlisted)")
+        if (
+            "BroadcastNestedLoopJoin" in simple
+            and name not in BNLJ_ALLOWED
+            and _bnlj_unbounded(df)
+        ):
+            probs.append(
+                "BroadcastNestedLoopJoin (build side not shape-proved <=1 "
+                "row, query not allowlisted)"
+            )
         if _midplan_global_sort(simple):
             probs.append("mid-plan global Sort without limit")
         tiny = _smj_tiny_sides(df)
@@ -177,3 +240,19 @@ def test_allowlists_reference_registered_queries():
     names = set(all_queries())
     assert PY_UDF_ALLOWED <= names
     assert BNLJ_ALLOWED <= names
+
+
+def test_bnlj_allowlist_entries_still_need_exemption(spark):
+    """Every BNLJ_ALLOWED entry must still carry a BNLJ the shape proof
+    does NOT cover — if a re-plan makes its build side 1-row (or removes
+    the BNLJ entirely), the name is a stale exemption and gets pruned
+    (this is how the knn family left the list in r07/r09)."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    specs = all_queries()
+    stale = []
+    for name in sorted(BNLJ_ALLOWED):
+        df = specs[name].build(spark, SF_SMOKE)
+        if not _bnlj_unbounded(df):
+            stale.append(name)
+    assert not stale, f"stale BNLJ allowlist entries (prune them): {stale}"
