@@ -33,7 +33,10 @@ the feature rows (same shape as the PNG/GIF/WAV paths).
 
 from __future__ import annotations
 
+import functools
 import struct
+
+from slr207_mapreduce_spark.operators.multimodal import fan_out_for_kernel
 
 # --------------------------------------------------------------------------
 # Spec constants (ITU-T T.81 Annex K: typical quantization-independent
@@ -86,15 +89,29 @@ _DC_ENC = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
 _AC_ENC = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
 
 
+@functools.lru_cache(maxsize=1)
 def _dct_mat():
     """Orthonormal 8-point DCT-II matrix (A.3.3): T @ f @ T.T = F with the
-    1/4·C(u)C(v) normalization folded in."""
+    1/4·C(u)C(v) normalization folded in. Cached + frozen — MJPEG calls
+    this once per FRAME otherwise, and the rebuild showed up in profiles."""
     import numpy as np
 
     x = np.arange(8)
     T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
     T[0, :] /= np.sqrt(2.0)
+    T.flags.writeable = False
     return T
+
+
+@functools.lru_cache(maxsize=1)
+def _zigzag_idx():
+    """ZIGZAG as a frozen numpy index array (fancy-indexing a per-block
+    Python list rebuild was measurable at MJPEG frame counts)."""
+    import numpy as np
+
+    z = np.asarray(ZIGZAG, dtype="int64")
+    z.flags.writeable = False
+    return z
 
 
 def _category(v: int) -> int:
@@ -150,7 +167,9 @@ def encode_jpeg_gray(img) -> bytes:
     if not h or not w or h > 0xFFFF or w > 0xFFFF:
         raise ValueError("bad JPEG dimensions")
     ph, pw = -h % 8, -w % 8
-    f = np.pad(a, ((0, ph), (0, pw)), mode="edge").astype("float64") - 128.0
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    f = a.astype("float64") - 128.0
     T = _dct_mat()
     bh, bw = f.shape[0] // 8, f.shape[1] // 8
     # All blocks transformed in one einsum, then rounded to the quantized
@@ -170,36 +189,11 @@ def encode_jpeg_gray(img) -> bytes:
 
     bw_ = _BitWriter()
     pred = 0
+    zz = _zigzag_idx()
     for by in range(bh):
         for bx in range(bw):
-            z = q[by, bx].reshape(-1)[list(ZIGZAG)]
-            diff = int(z[0]) - pred
-            pred = int(z[0])
-            cat = _category(diff)
-            code, ln = _DC_ENC[cat]
-            bw_.write(code, ln)
-            if cat:
-                bw_.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            last = int(np.max(np.nonzero(z)[0])) if np.any(z[1:]) else 0
-            for k in range(1, 64):
-                v = int(z[k])
-                if v == 0:
-                    if k > last:
-                        code, ln = _AC_ENC[0x00]  # EOB
-                        bw_.write(code, ln)
-                        break
-                    run += 1
-                    if run == 16:
-                        code, ln = _AC_ENC[0xF0]  # ZRL
-                        bw_.write(code, ln)
-                        run = 0
-                    continue
-                cat = _category(v)
-                code, ln = _AC_ENC[(run << 4) | cat]
-                bw_.write(code, ln)
-                bw_.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
+            z = q[by, bx].reshape(-1)[zz]
+            pred = _emit_block(bw_, z, pred, _DC_ENC, _AC_ENC)
     out += bw_.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -259,9 +253,12 @@ class _BitReader:
         self.pos += 2
 
 
+@functools.lru_cache(maxsize=64)
 def _decode_tree(bits, vals):
     """(length, code) -> symbol map plus per-length first-code/index
-    tables for the canonical fast path (F.2.2.3's DECODE procedure)."""
+    tables for the canonical fast path (F.2.2.3's DECODE procedure).
+    Args must be hashable (tuples); cached — MJPEG streams re-declare the
+    identical Annex-K tables in every frame's DHT segment."""
     maxcode, valptr, mincode = [-1] * 17, [0] * 17, [0] * 17
     code, k = 0, 0
     for ln in range(1, 17):
@@ -344,9 +341,9 @@ def decode_jpeg_gray(payload: bytes):
             p = 0
             while p < len(seg):
                 cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
+                bits = tuple(seg[p + 1 : p + 17])
                 n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
+                vals = tuple(seg[p + 17 : p + 17 + n])
                 htrees[(cls, tid)] = _decode_tree(bits, vals)
                 p += 17 + n
         elif m == 0xDD:  # DRI
@@ -475,7 +472,7 @@ def synth_jpeg_blobs(docs):
                 out.append(encode_jpeg_gray(img.astype("uint8")))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=blob_schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
 
 
 def jpeg_features(blob_df):
@@ -594,7 +591,11 @@ def _emit_block(bw_, z, pred, dc_enc, ac_enc):
     if cat:
         bw_.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
     run = 0
-    last = int(np.max(np.nonzero(z)[0])) if np.any(z[1:]) else 0
+    # index of the last nonzero AC coefficient (0 when the block is
+    # DC-only) — one flatnonzero instead of any+nonzero+max; identical
+    # value: a trailing index > 0 can only come from a nonzero AC.
+    nz = np.flatnonzero(z)
+    last = int(nz[-1]) if nz.size else 0
     for k in range(1, 64):
         v = int(z[k])
         if v == 0:
@@ -634,7 +635,8 @@ def encode_jpeg_color(rgb) -> bytes:
     if not h or not w or h > 0xFFFF or w > 0xFFFF:
         raise ValueError("bad JPEG dimensions")
     ph, pw = -h % 16, -w % 16
-    a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
     y, cb, cr = rgb_to_ycbcr_int(a)
     # 2x2 box subsample of the integer chroma planes
     def sub(p):
@@ -755,9 +757,9 @@ def _decode_baseline_multi(payload: bytes):
             p = 0
             while p < len(seg):
                 cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
+                bits = tuple(seg[p + 1 : p + 17])
                 n = sum(bits)
-                htrees[(cls, tid)] = _decode_tree(bits, list(seg[p + 17 : p + 17 + n]))
+                htrees[(cls, tid)] = _decode_tree(bits, tuple(seg[p + 17 : p + 17 + n]))
                 p += 17 + n
         elif m == 0xDD:
             restart = struct.unpack(">H", seg[:2])[0]
@@ -883,7 +885,7 @@ def synth_jpeg_color_blobs(docs):
                 out.append(encode_jpeg_color(img.astype("uint8")))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=blob_schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
 
 
 def jpeg_color_features(blob_df):
@@ -1129,7 +1131,7 @@ def synth_mjpeg_blobs(docs):
                 out.append(encode_avi_mjpeg(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=blob_schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
 
 
 def mjpeg_features(blob_df, every_n: int = 2):

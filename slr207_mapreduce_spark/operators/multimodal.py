@@ -275,6 +275,25 @@ def decode_wav_pcm16(payload: bytes):
     return rate, np.frombuffer(payload[44 : 44 + n_bytes], dtype="<i2")
 
 
+def fan_out_for_kernel(keys: DataFrame) -> DataFrame:
+    """Round-robin the narrow key projection feeding a Python-kernel
+    (codec) stage out to the session's full parallelism.
+
+    The codec pipelines are CPU-bound per ROW, not per byte: a key-only
+    scan of the documents table is a few MB, so the size-based split
+    planner hands it to a handful of partitions — and the expensive
+    mapInPandas kernel above it inherits that under-parallelism (measured:
+    the sf1 MJPEG pipeline ran 12-wide on 32 cores). Shuffling the keys is
+    ~8 bytes/row, ~free; the kernel stage becomes embarrassingly parallel.
+    At scale the guard makes this a no-op: inputs already at or above
+    defaultParallelism pass through untouched, so no extra exchange
+    appears where the scan is already wide."""
+    target = keys.sparkSession.sparkContext.defaultParallelism
+    if keys.rdd.getNumPartitions() >= target:
+        return keys
+    return keys.repartition(target)
+
+
 def synth_wav_blobs(docs: DataFrame, rate: int = 8000) -> DataFrame:
     """(doc_id, payload): real WAV bytes for the deterministic test signal
     s_i = ((doc_id*31 + i*17) % 2048) - 1024 over n = 160 + doc_id % 41
@@ -296,7 +315,7 @@ def synth_wav_blobs(docs: DataFrame, rate: int = 8000) -> DataFrame:
                 out.append(encode_wav_pcm16(s.astype("<i2"), rate))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 WAV_FEATURE_SCHEMA = StructType(
@@ -432,7 +451,7 @@ def synth_mulaw_blobs(docs: DataFrame, rate: int = 8000) -> DataFrame:
                 out.append(encode_wav_mulaw(s.astype(np.int16), rate))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 def mulaw_features(blob_df: DataFrame) -> DataFrame:
@@ -553,7 +572,7 @@ def synth_ppm_blobs(docs: DataFrame) -> DataFrame:
                 out.append(encode_ppm(img.astype("uint8")))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 PPM_RESIZE_SCHEMA = StructType(
@@ -660,7 +679,7 @@ def synth_video_blobs(docs: DataFrame) -> DataFrame:
                 out.append(encode_frame_stream(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 FRAME_FEATURE_SCHEMA = StructType(
@@ -869,7 +888,7 @@ def synth_png_blobs(docs: DataFrame) -> DataFrame:
                 out.append(encode_png(img.astype("uint8")))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 PNG_FEATURE_SCHEMA = StructType(
@@ -1167,7 +1186,7 @@ def synth_gif_blobs(docs: DataFrame) -> DataFrame:
                 out.append(encode_gif(idx, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 def gif_features(blob_df: DataFrame) -> DataFrame:
