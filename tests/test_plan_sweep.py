@@ -69,18 +69,15 @@ TINY_TABLES = {"region", "nation"}
 # graph_degree_hubs 4→2 this way). Audited exceptions only:
 SCAN_BUDGET_DEFAULT = 3
 SCAN_BUDGET_EXCEPTIONS = {
-    # IVF: centroid derivation + assignment + candidate fetch are
-    # separate passes by design; production materializes the lists.
-    # (knn_pq_adc left this list in r7: the vectorized ADC kernel cut it
-    # to 3 scans, within the default budget.)
-    "knn_ivf": 5,
     # corpus-vs-batch operators read the same physical table as two
     # logical tables (distinct filters) plus verification joins
+    # (knn_pq_adc left this list in r7 when the vectorized ADC kernel cut
+    # it to 3 scans; knn_ivf and knn_jl_rerank left in r9 when their
+    # probe/shortlist stages went batch-local — each now scans once)
     "pipeline_incremental_dedup": 5,
     "dedup_minhash_estimator_error": 5,
     # labeled verification tiers / rerank paths
     "dedup_ngram_jaccard": 4,
-    "knn_jl_rerank": 4,
     "knn_lsh_bucketed": 4,
 }
 
@@ -240,6 +237,34 @@ def test_allowlists_reference_registered_queries():
     names = set(all_queries())
     assert PY_UDF_ALLOWED <= names
     assert BNLJ_ALLOWED <= names
+
+
+def test_scan_budget_exceptions_still_need_exemption(spark):
+    """Every SCAN_BUDGET_EXCEPTIONS entry must still scan some fact table
+    MORE than the default budget — a re-plan that brings a query within
+    budget leaves a stale exemption that would silently mask a future
+    regression back to re-scanning (knn_pq_adc r7, knn_ivf/knn_jl_rerank
+    r9 were pruned exactly this way)."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    specs = all_queries()
+    stale = []
+    for name in sorted(SCAN_BUDGET_EXCEPTIONS):
+        df = specs[name].build(spark, SF_SMOKE)
+        jvm = df._sc._jvm
+        formatted = jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        scans = Counter(
+            re.findall(r"InMemoryFileIndex \[[^\]]*?(\w+)\.parquet", formatted)
+        )
+        if not any(
+            n > SCAN_BUDGET_DEFAULT
+            for t, n in scans.items()
+            if t not in TINY_TABLES
+        ):
+            stale.append(name)
+    assert not stale, f"stale scan-budget exceptions (prune them): {stale}"
 
 
 def test_bnlj_allowlist_entries_still_need_exemption(spark):
