@@ -467,3 +467,27 @@ def test_merge_schema_scan_matches_union(spark, tmp_path):
     # legacy rows must carry NULLs, not positional garbage
     legacy = scanned.where(F.col("doc_id") % 2 == 0).collect()
     assert all(r["lang"] is None and r["long_flag"] is None for r in legacy)
+
+
+def test_fan_out_for_kernel_widens_narrow_and_skips_wide(spark):
+    """The blob-codec pipelines are CPU-bound per ROW, so their key-only
+    input must not inherit the size-based split planner's width (r09: the
+    sf1 MJPEG kernel ran 12-wide on 32 cores). fan_out_for_kernel
+    round-robins a narrow input to defaultParallelism, is a no-op on
+    already-wide inputs (no extra exchange at scale), and never changes
+    the row set."""
+    from slr207_mapreduce_spark.operators.multimodal import fan_out_for_kernel
+
+    target = spark.sparkContext.defaultParallelism
+
+    narrow = spark.range(0, 1000).coalesce(1).select(F.col("id").alias("doc_id"))
+    widened = fan_out_for_kernel(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert sorted(r.doc_id for r in widened.collect()) == list(range(1000))
+
+    wide = spark.range(0, 1000, numPartitions=target + 4).select(
+        F.col("id").alias("doc_id")
+    )
+    passed_through = fan_out_for_kernel(wide)
+    assert passed_through.rdd.getNumPartitions() == target + 4
+    assert passed_through is wide  # no-op, not a new exchange
