@@ -199,6 +199,33 @@ def main() -> int:
         except Exception as e:
             out["longdoc"] = {"error": f"{type(e).__name__}: {e}"}
 
+    # codec tier (r09): the multimodal family runs pure-Python kernels
+    # inside blob-parallel mapInPandas — a regression here (lost
+    # parallel fan-out, a de-cached table rebuild) is invisible to the
+    # JVM-side headline set. Runs at the headline SF (5k docs), separate
+    # key so "value" stays comparable across rounds.
+    if os.environ.get("SPARK_GRAFT_CODEC", "1") != "0":
+        try:
+            codec_queries = [
+                "multimodal_jpeg_roundtrip",
+                "multimodal_jpeg_color_roundtrip",
+                "multimodal_mjpeg_avi_roundtrip",
+                "multimodal_mulaw_roundtrip",
+                "multimodal_gif_roundtrip",
+            ]
+            codec_timings: dict[str, float] = {}
+            for name in codec_queries:
+                run(name)  # warm
+                codec_timings[name] = round(min(run(name) for _ in range(2)), 3)
+            out["codec"] = {
+                "sf": sf,
+                "queries": codec_timings,
+                "value": round(sum(codec_timings.values()), 3),
+                "runs_per_query": 2,
+            }
+        except Exception as e:  # must never break the headline bench
+            out["codec"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps(out))
     return 0
 
