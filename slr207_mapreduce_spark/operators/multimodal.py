@@ -285,13 +285,13 @@ def fan_out_for_kernel(keys: DataFrame) -> DataFrame:
     mapInPandas kernel above it inherits that under-parallelism (measured:
     the sf1 MJPEG pipeline ran 12-wide on 32 cores). Shuffling the keys is
     ~8 bytes/row, ~free; the kernel stage becomes embarrassingly parallel.
-    At scale the guard makes this a no-op: inputs already at or above
-    defaultParallelism pass through untouched, so no extra exchange
-    appears where the scan is already wide."""
-    target = keys.sparkSession.sparkContext.defaultParallelism
-    if keys.rdd.getNumPartitions() >= target:
-        return keys
-    return keys.repartition(target)
+    Delegates to operators/skew.py::parallelize_narrow_scan, whose guards
+    (partition count AND parquet row-group count vs defaultParallelism)
+    make this a no-op wherever the scan is already wide — so at scale no
+    extra exchange appears."""
+    from slr207_mapreduce_spark.operators.skew import parallelize_narrow_scan
+
+    return parallelize_narrow_scan(keys)
 
 
 def synth_wav_blobs(docs: DataFrame, rate: int = 8000) -> DataFrame:

@@ -614,7 +614,12 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "bpe", "tokenize"),
 )
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    from slr207_mapreduce_spark.operators.skew import parallelize_narrow_scan
+
+    # The merge cascade is CPU-bound per ROW (a replace() chain over every
+    # word), so a small corpus arriving as 1-2 splits would run it 1-2
+    # wide; the rebalance is a no-op whenever the scan is already wide.
+    d = parallelize_narrow_scan(load_table(spark, "documents", sf_dir))
     return d.select(
         "doc_id",
         F.expr("filter(split(text, ' '), t -> length(t) > 0)").alias("words"),

@@ -290,7 +290,14 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "lm", "quality"),
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    from slr207_mapreduce_spark.operators.skew import parallelize_narrow_scan
+
+    # Tokenization (posexplode of up-to-100k-token docs) is scan-stage
+    # work; hash-partitioning by doc_id first makes it full-width AND the
+    # bigram window reuses the exchange (no second shuffle on doc_id).
+    docs = parallelize_narrow_scan(
+        load_table(spark, "documents", sf_dir), by="doc_id"
+    )
     tk = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
