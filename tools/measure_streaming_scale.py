@@ -139,6 +139,8 @@ def _drive(spark, stream_dir: str, make_query, name: str) -> dict:
 
 
 def main() -> int:
+    import argparse
+
     from pyspark.sql import functions as F  # noqa: F401
 
     from slr207_mapreduce_spark.session import get_session
@@ -148,9 +150,26 @@ def main() -> int:
     )
     from tools.make_sf import ensure_events_sf10, ensure_sf1
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--provider",
+        choices=("default", "rocksdb"),
+        default="default",
+        help="state store provider: 'default' (HDFS-backed) or 'rocksdb' "
+        "(the off-heap provider the typed-state engine requires — the one "
+        "a 100 TB deployment runs; see streaming/stateful.py)",
+    )
+    args = ap.parse_args()
+
     out: dict = {"loadavg_before": [round(x, 2) for x in os.getloadavg()]}
     spark = get_session(app_name="measure-streaming-scale", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.provider == "rocksdb":
+        from slr207_mapreduce_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     try:
         prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     except Exception:
