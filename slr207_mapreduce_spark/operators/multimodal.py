@@ -632,19 +632,13 @@ def encode_frame_stream(frames) -> bytes:
 
 def iter_sampled_frames(payload: bytes, every_n: int):
     """Yield (frame_idx, decoded frame) for frames 0, every_n, 2*every_n…;
-    unsampled frames are SKIPPED by their length prefix, never decoded."""
-    if payload[:4] != b"RAWV":
-        raise ValueError("not a RAWV frame stream")
-    (n_frames,) = struct.unpack("<I", payload[4:8])
-    pos = 8
-    for idx in range(n_frames):
-        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
-        pos += 4
+    unsampled frames are SKIPPED by their length prefix, never decoded.
+    The container walk is iter_frame_index — ONE implementation of the
+    RAWV framing (r09 review: two independent walkers would let a framing
+    change land in only one of the manifest and sampling passes)."""
+    for idx, off, ln in iter_frame_index(payload):
         if idx % every_n == 0:
-            yield idx, decode_ppm(payload[pos : pos + ln])
-        pos += ln
-    if pos != len(payload):
-        raise ValueError("trailing bytes after last frame")
+            yield idx, decode_ppm(payload[off : off + ln])
 
 
 def synth_video_blobs(docs: DataFrame) -> DataFrame:

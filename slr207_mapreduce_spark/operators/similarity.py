@@ -134,10 +134,13 @@ def knn_bruteforce(
     qnorm = np.sqrt(_seq_self_dot(qmat))
     nq = len(qids)
     if nq and not np.all(qnorm > 0):
-        bad = qids[qnorm == 0].tolist()
+        # ~(norm > 0) also catches NaN/Inf components (NaN norm fails the
+        # > 0 test but would slip past an == 0 id lookup and report [])
+        bad = qids[~(qnorm > 0)].tolist()
         raise ValueError(
-            f"knn_bruteforce: zero-norm query vector(s) {bad[:5]} — cosine "
-            "top-k is undefined for them; drop or re-embed these rows"
+            f"knn_bruteforce: zero-norm or non-finite query vector(s) "
+            f"{bad[:5]} — cosine top-k is undefined for them; drop or "
+            "re-embed these rows"
         )
 
     def score_batches(batches):
@@ -445,10 +448,11 @@ def knn_ivf(
 
     cnorm = np.sqrt(_seq_self_dot(cmat)) if len(crows) else np.zeros(0)
     if len(crows) and not np.all(cnorm > 0):
-        bad = cids[cnorm == 0].tolist()
+        bad = cids[~(cnorm > 0)].tolist()  # ~(>0) also catches NaN/Inf
         raise ValueError(
-            f"knn_ivf: zero-norm centroid vector(s) {bad[:5]} — every cell "
-            "assignment would be undefined; drop or re-embed these rows"
+            f"knn_ivf: zero-norm or non-finite centroid vector(s) {bad[:5]} "
+            "— every cell assignment would be undefined; drop or re-embed "
+            "these rows"
         )
 
     def assign(batches):
@@ -502,11 +506,11 @@ def knn_ivf(
     )
     qnorm = np.sqrt(_seq_self_dot(qmat)) if len(qrows) else np.zeros(0)
     if len(qrows) and not np.all(qnorm > 0):
-        badq = qids[qnorm == 0].tolist()
+        badq = qids[~(qnorm > 0)].tolist()  # ~(>0) also catches NaN/Inf
         raise ValueError(
-            f"knn_ivf: zero-norm query vector(s) {badq[:5]} — their nprobe "
-            "cell ranking and top-k are undefined; drop or re-embed these "
-            "rows"
+            f"knn_ivf: zero-norm or non-finite query vector(s) {badq[:5]} — "
+            "their nprobe cell ranking and top-k are undefined; drop or "
+            "re-embed these rows"
         )
     qdots = np.zeros((len(qids), len(cids)))
     for j in range(qmat.shape[1] if len(qrows) else 0):

@@ -348,7 +348,7 @@ def test_zero_norm_embeddings_excluded_by_contract(spark):
     assert neighbors == {1, 3, 4}  # everything else ranks normally
 
     # query side: undefined top-k fails loudly, naming the offending id
-    with _pytest.raises(ValueError, match=r"zero-norm query.*\[2\]"):
+    with _pytest.raises(ValueError, match=r"zero-norm or non-finite query.*\[2\]"):
         knn_bruteforce(emb, emb.where(F.col("vec_id") == 2), k=2).collect()
 
     # pair kernel: no emitted pair touches the zero-norm row, even at a
@@ -379,13 +379,43 @@ def test_zero_norm_excluded_from_ivf_lists(spark):
         [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
-    with _pytest.raises(ValueError, match="zero-norm centroid"):
+    with _pytest.raises(ValueError, match="zero-norm or non-finite centroid"):
         knn_ivf(bad, bad.where(F.col("vec_id") == 1), k=1, centroid_stride=5)
 
     # r08 ADVICE item 3: a zero-norm QUERY vector must raise naming the
     # offending id BEFORE the probe join — previously its nprobe cell
     # ranking rode engine NaN ordering through the probe plan.
-    with _pytest.raises(ValueError, match=r"zero-norm query.*\[2\]"):
+    with _pytest.raises(ValueError, match=r"zero-norm or non-finite query.*\[2\]"):
         knn_ivf(
             emb, emb.where(F.col("vec_id") == 2), k=2, nprobe=1, centroid_stride=5
         )
+
+
+def test_nan_query_vector_named_not_empty(spark):
+    """r09 review: a NaN-component query vector fails the norm>0 check but
+    slipped past the old `norm == 0` id lookup, raising 'zero-norm query
+    vector(s) []' with NO offending ids. The guards now select via
+    ~(norm > 0), so NaN/Inf vectors are named like zero-norm ones."""
+    import pytest as _pytest
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [float("nan"), 1.0, 0.0]),  # NaN component -> NaN norm
+        (3, [0.8, 0.2, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+        (5, [0.5, 0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    good = emb.where(F.col("vec_id") != 2)
+    nan_q = emb.where(F.col("vec_id") == 2)
+
+    with _pytest.raises(ValueError, match=r"non-finite query.*\[2\]"):
+        knn_bruteforce(good, nan_q, k=2).collect()
+    with _pytest.raises(ValueError, match=r"non-finite query.*\[2\]"):
+        knn_ivf(good, nan_q, k=2, nprobe=1, centroid_stride=5)

@@ -54,14 +54,29 @@ sys.path.insert(0, REPO)
 
 
 def _day_chunks(src: str, out_dir: str) -> int:
-    """Split an events parquet into one file per calendar day, written in
-    day order (the file source processes oldest-mtime first, so batch
-    order == event-time order). Returns the number of chunks."""
-    import duckdb
+    """Split an events parquet into one file per calendar day, with mtimes
+    pinned in strictly increasing day order (the file source processes
+    oldest-mtime first; pinning removes the tie-break ambiguity of
+    same-second writes, which would let a day arrive behind the advanced
+    watermark and be silently dropped as late). Returns the chunk count.
 
-    if os.path.isdir(out_dir) and sorted(os.listdir(out_dir)):
-        return len(os.listdir(out_dir))
-    os.makedirs(out_dir, exist_ok=True)
+    An interrupted build must not be reused: completeness is recorded in a
+    `_CHUNKS_OK` sentinel (written last, holding the expected count) and a
+    reuse requires the sentinel AND a matching day-file count — otherwise
+    the directory is rebuilt from scratch."""
+    import duckdb
+    import shutil
+
+    sentinel = os.path.join(out_dir, "_CHUNKS_OK")
+    if os.path.isdir(out_dir) and os.path.exists(sentinel):
+        with open(sentinel) as f:
+            expected = int(f.read().strip())
+        have = [n for n in os.listdir(out_dir) if n.startswith("day_")]
+        if len(have) == expected:
+            return expected
+    if os.path.isdir(out_dir):  # stale or partial — rebuild
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
     days = [
@@ -71,11 +86,16 @@ def _day_chunks(src: str, out_dir: str) -> int:
         ).fetchall()
     ]
     for i, day in enumerate(days):
+        path = f"{out_dir}/day_{i:03d}.parquet"
         con.execute(
             f"COPY (SELECT * FROM '{src}' WHERE CAST(ts AS DATE) = DATE '{day}'"
-            f" ORDER BY ts) TO '{out_dir}/day_{i:03d}.parquet' (FORMAT PARQUET)"
+            f" ORDER BY ts) TO '{path}' (FORMAT PARQUET)"
         )
+        t = 1_000_000_000 + 60 * i  # deterministic, strictly increasing
+        os.utime(path, (t, t))
     con.close()
+    with open(sentinel, "w") as f:
+        f.write(str(len(days)))
     return len(days)
 
 
@@ -112,8 +132,16 @@ def _drive(spark, stream_dir: str, make_query, name: str) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
     data = [b for b in batches if b["rows_in"]]  # drop the empty final tick
     res = {"n_batches": len(data), "batches": data}
-    walls = [b["wall_ms"] for b in data]
+    walls = [b["wall_ms"] for b in data if b["wall_ms"] is not None]
     states = [b["state_rows"] for b in data if b["state_rows"] is not None]
+    if not states or not walls:
+        # degenerate progress (provider reported no state operators or no
+        # trigger walls) — record a self-describing failure instead of
+        # crashing after minutes of streaming
+        res["error"] = "no state/wall metrics in progress records"
+        res["state_bounded"] = False
+        res["batch_time_flat"] = False
+        return res
     # steady state: skip the first two batches (watermark not advanced yet)
     steady = states[2:] or states
     med = sorted(steady)[len(steady) // 2]
@@ -164,6 +192,11 @@ def main() -> int:
     out: dict = {"loadavg_before": [round(x, 2) for x in os.getloadavg()]}
     spark = get_session(app_name="measure-streaming-scale", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress is a ring buffer (default 100 entries): a tier with
+    # more day files than that would silently truncate the per-batch
+    # record and shift the warm-up skip mid-stream. Raise the cap AND
+    # cross-check n_batches against the day-file count below.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
     if args.provider == "rocksdb":
         from slr207_mapreduce_spark.streaming.stateful import ROCKSDB_PROVIDER
 
@@ -198,6 +231,12 @@ def main() -> int:
             f"dedup_{tag}",
         )
         for op in ("sessionization", "dedup_gate"):
+            if leg[op]["n_batches"] != n:
+                failures.append(
+                    f"{tag}.{op}: {leg[op]['n_batches']} batches recorded "
+                    f"for {n} day files (progress truncation or dropped "
+                    "late data)"
+                )
             if not leg[op]["state_bounded"]:
                 failures.append(f"{tag}.{op}: state not bounded")
             if not leg[op]["batch_time_flat"]:

@@ -67,7 +67,11 @@ def main() -> int:
         the measured operators scan real files like a production CDC feed
         instead of re-deriving the fixture per run."""
         path = os.path.join(REPO, ".sfgen", f"cdc_{tag}", "changelog.parquet")
-        if not os.path.exists(path):
+        # require the _SUCCESS marker, not bare existence: an interrupted
+        # write leaves a partial directory that every later run would
+        # silently measure (the in-run equality checks would eventually
+        # flag it, but the recorded rows/walls would be from wrong data)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
             orders = spark.read.parquet(os.path.join(tier_dir, "orders.parquet"))
             base = orders.select(
                 F.col("o_orderkey").alias("key"),
