@@ -133,10 +133,12 @@ def knn_bruteforce(
 
     qnorm = np.sqrt(_seq_self_dot(qmat))
     nq = len(qids)
-    if nq and not np.all(qnorm > 0):
-        # ~(norm > 0) also catches NaN/Inf components (NaN norm fails the
-        # > 0 test but would slip past an == 0 id lookup and report [])
-        bad = qids[~(qnorm > 0)].tolist()
+    qvalid = np.isfinite(qnorm) & (qnorm > 0)
+    if nq and not np.all(qvalid):
+        # isfinite & >0: a NaN component gives a NaN norm (fails > 0); an
+        # ±Inf component gives an +Inf norm, which PASSES > 0 — isfinite
+        # is what actually catches it (r09 ADVICE)
+        bad = qids[~qvalid].tolist()
         raise ValueError(
             f"knn_bruteforce: zero-norm or non-finite query vector(s) "
             f"{bad[:5]} — cosine top-k is undefined for them; drop or "
@@ -447,8 +449,11 @@ def knn_ivf(
         return acc
 
     cnorm = np.sqrt(_seq_self_dot(cmat)) if len(crows) else np.zeros(0)
-    if len(crows) and not np.all(cnorm > 0):
-        bad = cids[~(cnorm > 0)].tolist()  # ~(>0) also catches NaN/Inf
+    cvalid = np.isfinite(cnorm) & (cnorm > 0)
+    if len(crows) and not np.all(cvalid):
+        # isfinite catches ±Inf components (Inf norm passes > 0); the > 0
+        # test catches zero-norm and NaN (r09 ADVICE)
+        bad = cids[~cvalid].tolist()
         raise ValueError(
             f"knn_ivf: zero-norm or non-finite centroid vector(s) {bad[:5]} "
             "— every cell assignment would be undefined; drop or re-embed "
@@ -505,8 +510,11 @@ def knn_ivf(
         else np.zeros((0, 0))
     )
     qnorm = np.sqrt(_seq_self_dot(qmat)) if len(qrows) else np.zeros(0)
-    if len(qrows) and not np.all(qnorm > 0):
-        badq = qids[~(qnorm > 0)].tolist()  # ~(>0) also catches NaN/Inf
+    qvalid = np.isfinite(qnorm) & (qnorm > 0)
+    if len(qrows) and not np.all(qvalid):
+        # isfinite catches ±Inf components (Inf norm passes > 0); the > 0
+        # test catches zero-norm and NaN (r09 ADVICE)
+        badq = qids[~qvalid].tolist()
         raise ValueError(
             f"knn_ivf: zero-norm or non-finite query vector(s) {badq[:5]} — "
             "their nprobe cell ranking and top-k are undefined; drop or "

@@ -57,26 +57,19 @@ def register(
 # agg/events/udf/warehouse rotation, r08 the adjudication endgame (each
 # 50/50 green; cumulative 230/251 after r08 per VERDICT r08).
 #
-# Round 9 (this list) CLOSES the adjudication tail per VERDICT r08 item 1:
-# every name with zero driver evidence across r01-r08 is in the window —
-# the 18 oracled tail names (pipeline_* sampling/redact/fuzzy/phonetic/
-# dataset-card block, text_bigram_lm / trigram_novelty / bpe_train_merges,
-# scalar_bitwise_ops / lateral_column_alias / to_json / explode_outer /
-# zorder_key / binary_encodings), the 2 rows-only estimators
-# (events_approx_percentiles, dedup_minhash_ml — the driver's weaker
-# rows-only check still counts as adjudication), the 3 r08 additions
-# deferred via DEFERRED_NEW_NAMES (mu-law, MJPEG/AVI, schema-evolution
-# union; MJPEG pre-flighted at 6.1 s vanilla sf0.01), and the 3 round-9
-# rebased multimodal queries that replace the retired md5 `_stub` trio
-# (VERDICT r08 item 5: image_features / image_thumbnail /
-# video_frame_index, now on real PPM/RAWV decode paths).  The remaining
-# slots are high-value re-runs: the 5 multi-round sentinels, the full
-# real-codec family, the iterative graph/CC queries, the big TPC-H joins,
-# the (re-planned this round) knn family, and the warehouse/CDC pair.
-# After this window adjudicates, cumulative = 251/251 — every registered
-# query driver-adjudicated.
-# tests/test_oracle.py::test_driver_sample_rotation pins this contract
-# (window ⊇ registry − union(CORRECTNESS_r01..r08)).
+# Round 10 (this list): the FRESHNESS rotation (r09 VERDICT item 1). With
+# cumulative adjudication closed at 251/251 in r09, the window's job is now
+# re-adjudicating the names whose only driver evidence predates the r07
+# Arrow-kernel and r09 fan-out refactors. Policy, pinned by
+# tests/test_oracle.py::test_driver_sample_rotation: the 45 non-sentinel
+# slots are EXACTLY the 45 stalest registry names under the deterministic
+# order (last-adjudicated round, name) with never-adjudicated names
+# treated as round 0 — so min(last-adjudicated round) over the registry
+# rises every round and staleness can never silently accumulate again.
+# For r10 that is: knn_recall_report (new this round, never adjudicated),
+# all 43 names last seen in r03 (the early agg_*/join_*/setop_*/window_*/
+# scalar_*/wordcount_* blocks), and asof_purchase_last_view (first r05
+# name in the tie-break order).
 #
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
@@ -86,78 +79,70 @@ def register(
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = ()
 
-# The two rows-only estimators below (events_approx_percentiles,
-# dedup_minhash_ml) are the ONLY window entries without an oracle — the
-# rotation test allowlists exactly these two.
+# The two rows-only estimators below (agg_approx_count_distinct,
+# agg_hll_mergeable_sketches — both in the r03-stale block) are the ONLY
+# window entries without an oracle — the rotation test allowlists exactly
+# these two.
 ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = (
-    "events_approx_percentiles",
-    "dedup_minhash_ml",
+    "agg_approx_count_distinct",
+    "agg_hll_mergeable_sketches",
 )
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (driver-green in r01-r08)
+    # sentinels (driver-green in r01-r09)
     "wordcount_topk",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # --- the 23-name adjudication tail (never driver-seen in r01-r08) ---
-    # rows-only estimators
-    "events_approx_percentiles",
-    "dedup_minhash_ml",
-    # r08 DEFERRED_NEW_NAMES
-    "multimodal_mulaw_roundtrip",
-    "multimodal_mjpeg_avi_roundtrip",
-    "pipeline_schema_evolution_union",
-    # pipeline tail
-    "pipeline_dedup_report",
-    "pipeline_sample_exact_k",
-    "pipeline_weighted_sample",
-    "pipeline_fractional_sample",
-    "pipeline_redact",
-    "pipeline_fuzzy_name_pairs",
-    "pipeline_phonetic_blocking",
-    "pipeline_dataset_card",
-    "pipeline_quality_percentile_by_source",
-    # text tail
-    "text_bigram_lm",
-    "text_trigram_novelty",
-    "text_bpe_train_merges",
-    # scalar tail
-    "scalar_bitwise_ops",
-    "scalar_lateral_column_alias",
-    "scalar_to_json",
-    "scalar_explode_outer",
-    "scalar_zorder_key",
-    "scalar_binary_encodings",
-    # --- round-9 rebased multimodal queries (replace the md5 stub trio) ---
-    "multimodal_image_features",
-    "multimodal_image_thumbnail",
-    "multimodal_video_frame_index",
-    # --- high-value re-runs: real-codec family ---
-    "multimodal_png_roundtrip",
-    "multimodal_gif_roundtrip",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_jpeg_color_roundtrip",
-    "multimodal_wav_roundtrip",
-    "multimodal_ppm_resize_roundtrip",
-    "multimodal_video_frame_sample_roundtrip",
-    # iterative graph/CC
-    "dedup_clusters",
-    "dedup_semantic_clusters",
-    "graph_pagerank",
-    # big TPC-H joins
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_volume_customers",
-    # knn family (re-planned in round 9: BNLJ delisting + zero-norm guard)
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_jl_rerank",
-    "knn_quantized_int8",
-    # warehouse/CDC pair
-    "cdc_latest_state",
-    "warehouse_incremental_agg_merge",
+    # --- new this round (never adjudicated; stalest by definition) ---
+    "knn_recall_report",
+    # --- the 43 names last driver-adjudicated in r03 (pre-Arrow tree) ---
+    "agg_approx_count_distinct",
+    "agg_basic_stats",
+    "agg_collect_sorted",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_exact_moments",
+    "agg_group_by_all",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_hll_mergeable_sketches",
+    "agg_rollup",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_null_safe",
+    "join_range_nonequi",
+    "join_right_outer",
+    "q10_returned_items",
+    "scalar_date_funcs",
+    "scalar_regexp_split",
+    "scalar_string_funcs",
+    "setop_distinct",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_by_name",
+    "setop_union_distinct",
+    "window_first_last_nth",
+    "window_lag_lead",
+    "window_ntile",
+    "window_percent_rank_cume_dist",
+    "window_rank_dense_rank",
+    "window_rank_topn_per_group",
+    "window_running_frame",
+    "window_sliding_frame",
+    "wordcount_full",
+    "wordcount_top50",
+    "wordcount_top7",
+    # --- first r05 name in (last-round, name) tie-break order ---
+    "asof_purchase_last_view",
 )
 
 
@@ -204,6 +189,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics_r4,
         analytics_r4c,
         analytics_r4d,
+        recall_report,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -1,0 +1,161 @@
+"""ANN recall-quality audit tier (round-10 VERDICT item 4).
+
+The knn family's per-tier queries are each exactness-oracled (DuckDB
+reproduces the approximate algorithm bit-for-bit), and the test suite pins
+one recall number (knn_jl_rerank ~0.74) — but nothing measured recall
+systematically ACROSS the approximate tiers. This module registers
+``knn_recall_report``: for the shared query set, every approximate tier's
+recall@k against ``knn_bruteforce``'s exact answer, computed in one query.
+
+The recall JOIN/AGG itself is exact even though the tier inputs are
+approximate, so the whole report is fully DuckDB-oracled: the oracle
+composes each tier's registered oracle SQL verbatim as a nested CTE (the
+tier SQL is read from the registry at import time, so the report can never
+drift from what the per-tier queries actually compute).
+
+Tiers and their references:
+
+- knn_lsh_bucketed / knn_ivf / knn_pq_adc / knn_jl_rerank: queries
+  vec_id < 10, k = 5, corpus = all embeddings → reference is the
+  registered knn_bruteforce (same query set, same k).
+- knn_quantized_int8: its registered configuration is queries vec_id < 5,
+  corpus vec_id >= 5, k = 3 → reference is exact f64-cosine top-3 over the
+  SAME corpus split (recall of the integer-code ranking against true
+  cosine — the quantization-loss measurement).
+
+Scale shape: each tier's own plan is the scale story (broadcast-bounded
+small sides, banded candidates — see operators/similarity.py); the report
+adds only |Q|·k-row joins and single-row aggregates on top. SCALE.md
+records recall stability at sf0.1 vs sf1.
+
+Reference parity note: the reference engine (SLR207 MapReduce, 1.3k lines
+of Java wordcount plumbing) has no ANN surface; this is part of the
+LLM-data-pipeline extension the brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Importing the tier modules guarantees their registration has happened
+# before this module reads the registry (all_queries() also imports them
+# first, but the report must be import-order-robust).
+from slr207_mapreduce_spark.plans import analytics_r4d  # noqa: F401
+from slr207_mapreduce_spark.plans import similarity_queries  # noqa: F401
+from slr207_mapreduce_spark.plans.base import REGISTRY, register
+from slr207_mapreduce_spark.operators.similarity import (
+    COSINE_SQL,
+    knn_bruteforce,
+)
+from slr207_mapreduce_spark.sources.tables import load_table
+
+# (tier name, n_queries, k) — the bruteforce-referenced tiers share the
+# registered query set (vec_id < 10) and k=5.
+_BF_TIERS: tuple[tuple[str, int, int], ...] = (
+    ("knn_lsh_bucketed", 10, 5),
+    ("knn_ivf", 10, 5),
+    ("knn_pq_adc", 10, 5),
+    ("knn_jl_rerank", 10, 5),
+)
+_INT8_NQ, _INT8_K = 5, 3  # knn_quantized_int8's registered configuration
+
+
+def _int8_reference_sql() -> str:
+    """Exact f64-cosine top-3 for queries vec_id<5 over corpus vec_id>=5 —
+    knn_bruteforce_sql with a corpus-side predicate (the registered helper
+    only parameterizes the query side)."""
+    cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, c.vec_id ASC) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {_INT8_NQ} AND c.vec_id >= {_INT8_NQ}
+    ) WHERE rank <= {_INT8_K}
+    """
+
+
+def _recall_oracle() -> str:
+    ctes = [f"bf AS ({REGISTRY['knn_bruteforce'].oracle})"]
+    for tier, _, _ in _BF_TIERS:
+        ctes.append(f"{tier} AS ({REGISTRY[tier].oracle})")
+    ctes.append(f"knn_quantized_int8 AS ({REGISTRY['knn_quantized_int8'].oracle})")
+    ctes.append(f"bf_int8 AS ({_int8_reference_sql()})")
+    rows = [
+        f"""SELECT '{tier}' AS tier, {nq} AS n_queries, {k} AS k,
+               COUNT(*) AS hits
+        FROM {tier} t JOIN bf b
+          ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id"""
+        for tier, nq, k in _BF_TIERS
+    ]
+    rows.append(
+        f"""SELECT 'knn_quantized_int8' AS tier, {_INT8_NQ} AS n_queries,
+               {_INT8_K} AS k, COUNT(*) AS hits
+        FROM knn_quantized_int8 t JOIN bf_int8 b
+          ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id"""
+    )
+    union = "\n      UNION ALL ".join(rows)
+    return f"""
+    WITH {','.join(ctes)},
+    tier_hits AS (
+      {union}
+    )
+    SELECT tier,
+           CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(k AS BIGINT) AS k,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(hits AS DOUBLE) / (n_queries * k) AS recall_at_k
+    FROM tier_hits
+    """
+
+
+@register(
+    "knn_recall_report",
+    oracle=_recall_oracle(),
+    doc="Recall@k of every approximate ANN tier against the exact "
+    "brute-force answer, one row per tier: LSH/IVF/PQ-ADC/JL-rerank at "
+    "their registered configs vs knn_bruteforce (k=5, 10 queries), and "
+    "the int8-quantized tier vs exact cosine over its corpus split (k=3). "
+    "The recall join/agg is exact (the driver hash-checks it) even though "
+    "the tier inputs are approximate — the systematic quality audit the "
+    "per-tier exactness oracles cannot provide.",
+    tags=("similarity", "audit"),
+)
+def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = (
+        REGISTRY["knn_bruteforce"]
+        .build(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    e = load_table(spark, "embeddings", sf_dir)
+    bf_int8 = knn_bruteforce(
+        e.where(F.col("vec_id") >= _INT8_NQ),
+        e.where(F.col("vec_id") < _INT8_NQ),
+        k=_INT8_K,
+    ).select("query_id", "neighbor_id")
+
+    def tier_row(tier: str, nq: int, k: int, ref: DataFrame) -> DataFrame:
+        hits = (
+            REGISTRY[tier]
+            .build(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .join(ref, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        return hits.select(
+            F.lit(tier).alias("tier"),
+            F.lit(nq).cast("long").alias("n_queries"),
+            F.lit(k).cast("long").alias("k"),
+            F.col("hits").cast("long").alias("hits"),
+            (F.col("hits") / F.lit(nq * k)).alias("recall_at_k"),
+        )
+
+    out = None
+    for tier, nq, k in _BF_TIERS:
+        row = tier_row(tier, nq, k, bf)
+        out = row if out is None else out.unionByName(row)
+    return out.unionByName(
+        tier_row("knn_quantized_int8", _INT8_NQ, _INT8_K, bf_int8)
+    )

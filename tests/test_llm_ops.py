@@ -394,8 +394,10 @@ def test_zero_norm_excluded_from_ivf_lists(spark):
 def test_nan_query_vector_named_not_empty(spark):
     """r09 review: a NaN-component query vector fails the norm>0 check but
     slipped past the old `norm == 0` id lookup, raising 'zero-norm query
-    vector(s) []' with NO offending ids. The guards now select via
-    ~(norm > 0), so NaN/Inf vectors are named like zero-norm ones."""
+    vector(s) []' with NO offending ids. r09 ADVICE closed the remaining
+    hole: a ±Inf COMPONENT gives an +Inf norm that PASSES > 0, so the
+    guards now test `isfinite(norm) & (norm > 0)` — NaN, ±Inf, and
+    zero-norm vectors are all rejected by name."""
     import pytest as _pytest
 
     from slr207_mapreduce_spark.operators.similarity import (
@@ -410,12 +412,29 @@ def test_nan_query_vector_named_not_empty(spark):
         (3, [0.8, 0.2, 0.0]),
         (4, [-1.0, 0.0, 0.0]),
         (5, [0.5, 0.5, 0.0]),
+        (6, [float("inf"), 1.0, 0.0]),  # Inf component -> +Inf norm (> 0!)
+        (7, [float("-inf"), 1.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    good = emb.where(F.col("vec_id") != 2)
+    good = emb.where(F.col("vec_id") < 6).where(F.col("vec_id") != 2)
     nan_q = emb.where(F.col("vec_id") == 2)
+    inf_q = emb.where(F.col("vec_id").isin(6, 7))
 
     with _pytest.raises(ValueError, match=r"non-finite query.*\[2\]"):
         knn_bruteforce(good, nan_q, k=2).collect()
     with _pytest.raises(ValueError, match=r"non-finite query.*\[2\]"):
         knn_ivf(good, nan_q, k=2, nprobe=1, centroid_stride=5)
+    with _pytest.raises(ValueError, match=r"non-finite query.*\[6, 7\]"):
+        knn_bruteforce(good, inf_q, k=2).collect()
+    with _pytest.raises(ValueError, match=r"non-finite query.*\[6, 7\]"):
+        knn_ivf(good, inf_q, k=2, nprobe=1, centroid_stride=5)
+    # an Inf-component CENTROID is likewise rejected by the corpus-side
+    # guard (stride 6 picks vec_ids 0 and 6 as centroids)
+    with _pytest.raises(ValueError, match=r"non-finite centroid.*\[6\]"):
+        knn_ivf(
+            emb.where(F.col("vec_id") != 2).where(F.col("vec_id") != 7),
+            emb.where(F.col("vec_id") == 0),
+            k=2,
+            nprobe=1,
+            centroid_stride=6,
+        )

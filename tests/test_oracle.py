@@ -35,29 +35,34 @@ def test_query_matches_oracle(spark, duck, qname):
     assert not problems, f"{qname}: {problems[:5]}"
 
 
-def _prior_adjudicated(
-    rounds=("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08")
-):
+def _last_adjudicated():
+    """name -> latest round number with driver evidence, over every
+    CORRECTNESS_r*.json present in the repo root."""
+    import glob
     import json
     import os
+    import re
 
     repo = os.path.join(os.path.dirname(__file__), "..")
-    prior = set()
-    for rnd in rounds:
-        path = os.path.join(repo, f"CORRECTNESS_{rnd}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                prior |= set(json.load(f))
-    return prior
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def test_driver_sample_rotation():
-    """Round-9 contract (the tail-closure round): the driver adjudicates
-    the FIRST 50 registry entries.  Pin that the rotation list is exactly
-    the first-50 window, that every entry except the two documented
-    rows-only estimators has an oracle, and — the round-8 verdict's #1
-    item — that EVERY name never adjudicated in r01-r08 sits inside the
-    window, so the round closes cumulative adjudication at 251/251."""
+    """Round-10 contract — the FRESHNESS rotation (r09 VERDICT item 1).
+
+    The driver adjudicates the FIRST 50 registry entries. With cumulative
+    adjudication closed at 251/251 in r09, the window must now be: the 5
+    standing sentinels + EXACTLY the 45 stalest registry names under the
+    deterministic order (last-adjudicated round, name), never-adjudicated
+    names sorting first as round 0. This makes min(last-adjudicated round)
+    over the registry rise every round — staleness can never silently
+    accumulate again."""
     from slr207_mapreduce_spark.plans.base import (
         DRIVER_SAMPLE_FIRST,
         ROWS_ONLY_WINDOW_NAMES,
@@ -69,21 +74,37 @@ def test_driver_sample_rotation():
     no_oracle = {n for n in first50 if specs[n].oracle is None}
     assert no_oracle == set(ROWS_ONLY_WINDOW_NAMES)
 
-    prior = _prior_adjudicated()
-    if prior:
-        never_seen = set(specs) - prior
-        outside = never_seen - set(first50)
-        assert not outside, (
-            f"r09 must close the adjudication tail; missing from the "
-            f"driver window: {sorted(outside)}"
-        )
+    last = _last_adjudicated()
+    if not last:
+        return  # fresh checkout without driver artifacts
+    sentinels = first50[:5]
+    rest_sorted = sorted(
+        (n for n in specs if n not in sentinels),
+        key=lambda n: (last.get(n, 0), n),
+    )
+    expected = set(rest_sorted[:45])
+    actual = set(first50) - set(sentinels)
+    assert actual == expected, (
+        f"window must hold the 45 stalest names; "
+        f"missing={sorted(expected - actual)} extra={sorted(actual - expected)}"
+    )
+    # Monotone freshness: every name OUTSIDE the window is strictly
+    # fresher than the stalest name in the registry (ties at the stalest
+    # round must all be inside), so this round's adjudication raises the
+    # registry-wide minimum.
+    stalest = min(last.get(n, 0) for n in specs)
+    outside_min = min(last.get(n, 0) for n in specs if n not in first50)
+    assert outside_min > stalest or stalest == outside_min == max(
+        last.get(n, 0) for n in specs
+    ), "window misses a name tied at the stalest adjudication round"
 
 
 def test_registry_growth_joins_driver_window():
     """Registry-growth policy (r07 VERDICT item 5): a query added after the
-    r07 registry snapshot must either sit in the current round's
-    DRIVER_SAMPLE_FIRST window or carry an explicit deferral in
-    base.DEFERRED_NEW_NAMES — new code must not silently join the
+    r07 registry snapshot must sit in the current round's
+    DRIVER_SAMPLE_FIRST window, carry an explicit deferral in
+    base.DEFERRED_NEW_NAMES, or already be driver-adjudicated in a prior
+    round's CORRECTNESS artifact — new code must not silently join the
     never-adjudicated backlog."""
     import os
 
@@ -97,10 +118,16 @@ def test_registry_growth_joins_driver_window():
         snapshot = {line.strip() for line in f if line.strip()}
     specs = _specs()
     new_names = set(specs) - snapshot
-    uncovered = new_names - set(DRIVER_SAMPLE_FIRST) - set(DEFERRED_NEW_NAMES)
+    adjudicated = set(_last_adjudicated())
+    uncovered = (
+        new_names
+        - set(DRIVER_SAMPLE_FIRST)
+        - set(DEFERRED_NEW_NAMES)
+        - adjudicated
+    )
     assert not uncovered, (
-        f"names added after the r07 snapshot must enter DRIVER_SAMPLE_FIRST "
-        f"or DEFERRED_NEW_NAMES: {sorted(uncovered)}"
+        f"names added after the r07 snapshot must enter DRIVER_SAMPLE_FIRST, "
+        f"DEFERRED_NEW_NAMES, or already be adjudicated: {sorted(uncovered)}"
     )
     # deferrals must be real registry names (no stale entries)
     assert set(DEFERRED_NEW_NAMES) <= set(specs)

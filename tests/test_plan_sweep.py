@@ -42,21 +42,25 @@ from tests.conftest import SF_SMOKE
 # fall off the vectorized path.
 PY_UDF_ALLOWED = {"udf_encode_tokens", "udtf_positioned_words"}
 
-# BNLJ name allowlist — ONLY for joins that are non-equi BY DESIGN and whose
+# BNLJ allowlist — ONLY for joins that are non-equi BY DESIGN and whose
 # broadcast side is bounded by data semantics rather than plan shape (the
 # shape-proved 1-row sides — scalar/profile frames behind q11, q22, the
 # histogram/HLL/drift/quantile/dataset-card/BM25/tf-idf/ntile/triangle
 # queries — auto-pass via _bnlj_unbounded and left this list in r09; the
 # knn family left in r07/r09 when its kernels went batch-local).
+# Maps name -> the EXPECTED count of unproved BNLJ nodes (r10, ADVICE r09
+# item 3): the sweep now audits allowlisted plans too, so an allowlisted
+# query growing a SECOND unbounded BNLJ fails instead of hiding behind
+# its name.
 BNLJ_ALLOWED = {
     # deliberate cross join (tiny fixed side)
-    "join_cross",
-    "join_range_nonequi",
-    "events_promo_overlap_join",
+    "join_cross": 1,
+    "join_range_nonequi": 1,
+    "events_promo_overlap_join": 1,
     # labeled all-pairs candidate tier over the tiny signature frame
     # (doc_id + 16-bit simhash — the banded-index scale paths are the
     # registered dedup_minhash_lsh / streaming near-dup gate alongside)
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs": 1,
 }
 
 TINY_TABLES = {"region", "nation"}
@@ -79,6 +83,11 @@ SCAN_BUDGET_EXCEPTIONS = {
     # labeled verification tiers / rerank paths
     "dedup_ngram_jaccard": 4,
     "knn_lsh_bucketed": 4,
+    # the ANN recall-audit tier re-RUNS all five approximate tiers plus
+    # two exact references inside one query by design (r10 VERDICT item
+    # 4) — its scan count is the SUM of the audited tiers' (each
+    # individually within budget), not a branchy re-read of one plan
+    "knn_recall_report": 19,
 }
 
 
@@ -198,15 +207,18 @@ def test_full_registry_plan_sweep(spark):
             probs.append("CartesianProduct")
         if "BatchEvalPython" in extended and name not in PY_UDF_ALLOWED:
             probs.append("row-at-a-time PythonUDF")
-        if (
-            "BroadcastNestedLoopJoin" in simple
-            and name not in BNLJ_ALLOWED
-            and _bnlj_unbounded(df)
-        ):
-            probs.append(
-                "BroadcastNestedLoopJoin (build side not shape-proved <=1 "
-                "row, query not allowlisted)"
-            )
+        if "BroadcastNestedLoopJoin" in simple:
+            # run the shape proof unconditionally (r10, ADVICE r09 item 3):
+            # the allowlist excuses at most its recorded count of unproved
+            # nodes, so an allowlisted query growing an extra unbounded
+            # BNLJ is still flagged
+            unproved = _bnlj_unbounded(df)
+            if len(unproved) > BNLJ_ALLOWED.get(name, 0):
+                probs.append(
+                    f"BroadcastNestedLoopJoin x{len(unproved)} (build side "
+                    f"not shape-proved <=1 row; allowlist covers "
+                    f"{BNLJ_ALLOWED.get(name, 0)})"
+                )
         if _midplan_global_sort(simple):
             probs.append("mid-plan global Sort without limit")
         tiny = _smj_tiny_sides(df)
@@ -236,7 +248,7 @@ def test_allowlists_reference_registered_queries():
 
     names = set(all_queries())
     assert PY_UDF_ALLOWED <= names
-    assert BNLJ_ALLOWED <= names
+    assert set(BNLJ_ALLOWED) <= names
 
 
 def test_scan_budget_exceptions_still_need_exemption(spark):
@@ -268,16 +280,17 @@ def test_scan_budget_exceptions_still_need_exemption(spark):
 
 
 def test_bnlj_allowlist_entries_still_need_exemption(spark):
-    """Every BNLJ_ALLOWED entry must still carry a BNLJ the shape proof
-    does NOT cover — if a re-plan makes its build side 1-row (or removes
-    the BNLJ entirely), the name is a stale exemption and gets pruned
-    (this is how the knn family left the list in r07/r09)."""
+    """Every BNLJ_ALLOWED entry must still carry EXACTLY its recorded count
+    of unproved BNLJ nodes — fewer means the exemption is over-generous
+    (tighten or prune, as when the knn family left the list in r07/r09);
+    more is caught by the main sweep."""
     from slr207_mapreduce_spark.plans.base import all_queries
 
     specs = all_queries()
     stale = []
-    for name in sorted(BNLJ_ALLOWED):
+    for name, expected in sorted(BNLJ_ALLOWED.items()):
         df = specs[name].build(spark, SF_SMOKE)
-        if not _bnlj_unbounded(df):
-            stale.append(name)
-    assert not stale, f"stale BNLJ allowlist entries (prune them): {stale}"
+        n = len(_bnlj_unbounded(df))
+        if n < expected:
+            stale.append(f"{name}: expected {expected}, plan has {n}")
+    assert not stale, f"over-generous BNLJ allowlist entries (tighten): {stale}"

@@ -232,10 +232,16 @@ def main() -> int:
         )
         for op in ("sessionization", "dedup_gate"):
             if leg[op]["n_batches"] != n:
+                # NOTE this check detects progress-ring truncation or batch
+                # merging ONLY: watermark-dropped late rows still count in
+                # numInputRows, so a day file arriving behind the watermark
+                # produces a rows_in>0 batch and n_batches stays n (r09
+                # ADVICE — late-drop detection would need per-batch
+                # numRowsDroppedByWatermark from stateOperators progress)
                 failures.append(
                     f"{tag}.{op}: {leg[op]['n_batches']} batches recorded "
-                    f"for {n} day files (progress truncation or dropped "
-                    "late data)"
+                    f"for {n} day files (progress-ring truncation or "
+                    "batch merging)"
                 )
             if not leg[op]["state_bounded"]:
                 failures.append(f"{tag}.{op}: state not bounded")
