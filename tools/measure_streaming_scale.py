@@ -53,12 +53,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _day_chunks(src: str, out_dir: str) -> int:
+def _day_chunks(src: str, out_dir: str, max_days: int | None = None) -> int:
     """Split an events parquet into one file per calendar day, with mtimes
     pinned in strictly increasing day order (the file source processes
     oldest-mtime first; pinning removes the tie-break ambiguity of
     same-second writes, which would let a day arrive behind the advanced
     watermark and be silently dropped as late). Returns the chunk count.
+    ``max_days`` truncates to the first N days (the pytest smoke mode).
 
     An interrupted build must not be reused: completeness is recorded in a
     `_CHUNKS_OK` sentinel (written last, holding the expected count) and a
@@ -72,7 +73,7 @@ def _day_chunks(src: str, out_dir: str) -> int:
         with open(sentinel) as f:
             expected = int(f.read().strip())
         have = [n for n in os.listdir(out_dir) if n.startswith("day_")]
-        if len(have) == expected:
+        if len(have) == expected and (max_days is None or expected == max_days):
             return expected
     if os.path.isdir(out_dir):  # stale or partial — rebuild
         shutil.rmtree(out_dir)
@@ -85,6 +86,8 @@ def _day_chunks(src: str, out_dir: str) -> int:
             f"SELECT DISTINCT CAST(ts AS DATE) FROM '{src}' ORDER BY 1"
         ).fetchall()
     ]
+    if max_days is not None:
+        days = days[:max_days]
     for i, day in enumerate(days):
         path = f"{out_dir}/day_{i:03d}.parquet"
         con.execute(
