@@ -151,33 +151,209 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def encode_jpeg_gray(img) -> bytes:
-    """Baseline sequential JPEG bytes from an (h, w) uint8 grayscale array.
-
-    All-ones quantization table (quality-lossless for integer-coefficient
-    blocks — see module docstring), Annex K luminance Huffman tables,
-    single-component SOF0, edge-replication padding to 8×8 multiples
-    (A.2.4 recommends replication so padded coefficients stay small)."""
+@functools.lru_cache(maxsize=8)
+def _tab_arrays(bits: tuple, vals: tuple):
+    """(codes, lens) int64[256] lookup arrays for a canonical Huffman
+    table — the vectorized coder's form of the _canonical_codes dict
+    (len 0 = symbol absent, checked like the dict path's KeyError)."""
     import numpy as np
 
-    a = np.asarray(img, dtype="uint8")
-    if a.ndim != 2:
-        raise ValueError("encode_jpeg_gray wants an (h, w) grayscale array")
-    h, w = a.shape
-    if not h or not w or h > 0xFFFF or w > 0xFFFF:
-        raise ValueError("bad JPEG dimensions")
-    ph, pw = -h % 8, -w % 8
-    if ph or pw:
-        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
-    f = a.astype("float64") - 128.0
-    T = _dct_mat()
-    bh, bw = f.shape[0] // 8, f.shape[1] // 8
-    # All blocks transformed in one einsum, then rounded to the quantized
-    # integer coefficients (quant table is all ones).
-    blocks = f.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ux,bcxy,vy->bcuv", T, blocks, T)
-    q = np.rint(coef).astype("int64")
+    enc = _canonical_codes(bits, vals)
+    codes = np.zeros(256, dtype=np.int64)
+    lens = np.zeros(256, dtype=np.int64)
+    for sym, (code, ln) in enc.items():
+        codes[sym] = code
+        lens[sym] = ln
+    codes.flags.writeable = False
+    lens.flags.writeable = False
+    return codes, lens
 
+
+@functools.lru_cache(maxsize=1)
+def _pow2():
+    import numpy as np
+
+    p = (1 << np.arange(32)).astype(np.int64)
+    p.flags.writeable = False
+    return p
+
+
+def _entropy_encode_blocks(zq, comp_ids, dc_tabs, ac_tabs) -> bytes:
+    """Single-image wrapper over :func:`_entropy_encode_images`."""
+    import numpy as np
+
+    return _entropy_encode_images(
+        zq, comp_ids, np.zeros(len(zq), dtype=np.int64), 1, dc_tabs, ac_tabs
+    )[0]
+
+
+def _entropy_encode_images(
+    zq, comp_ids, img_ids, n_images: int, dc_tabs, ac_tabs
+) -> list:
+    """Vectorized T.81 F.1.2 entropy coder over the interleaved scans of
+    MANY images at once — byte-identical, per image, to the retired
+    per-coefficient _emit_block loop (r10, VERDICT r09 item 5: the codec
+    family's wall was per-blob numpy call overhead on tiny images; one
+    call now codes a whole Arrow batch of blobs. Parity pinned by
+    tests/test_jpeg.py::test_vectorized_entropy_coder_bit_parity_*).
+
+    ``zq``: (n, 64) int64 zigzagged quantized blocks, image-major SCAN
+    order; ``comp_ids``: (n,) component index per block (DC predictors
+    run per component along the scan, resetting at image boundaries);
+    ``img_ids``: (n,) non-decreasing image index per block;
+    ``dc_tabs``/``ac_tabs``: per-component (codes, lens) lookup arrays
+    from :func:`_tab_arrays`. Returns a list of ``n_images`` entropy
+    segment byte strings (each stuffed + 1-padded to a byte boundary).
+
+    Every symbol of every stream becomes one (code, width) entry built
+    with array ops — DC category via vectorized bit_length (searchsorted
+    over powers of two), AC run-lengths via per-row previous-nonzero
+    diffs, ZRL repeats via np.repeat, EOB from a per-block max-nonzero
+    scatter — then a single stable argsort on (block, position,
+    intra-position rank) interleaves them in emission order, bits scatter
+    into a per-image-padded bit array, and one packbits pass with global
+    0xFF00 stuffing reproduces each image's _BitWriter output."""
+    import numpy as np
+
+    n = len(zq)
+    if n == 0:
+        return [b""] * n_images
+    POW2 = _pow2()
+
+    def vcat(v):
+        # bit_length(|v|): T.81 F.1.2.1 magnitude category
+        return np.searchsorted(POW2, np.abs(v), side="right").astype(np.int64)
+
+    dc_codes = np.stack([t[0] for t in dc_tabs])
+    dc_lens = np.stack([t[1] for t in dc_tabs])
+    ac_codes = np.stack([t[0] for t in ac_tabs])
+    ac_lens = np.stack([t[1] for t in ac_tabs])
+
+    # DC diffs per component along scan order, predictor reset per image.
+    diff = np.empty(n, dtype=np.int64)
+    for c in range(len(dc_tabs)):
+        idx = np.flatnonzero(comp_ids == c)
+        if len(idx):
+            dcs = zq[idx, 0]
+            prev = np.concatenate(([0], dcs[:-1]))
+            gi = img_ids[idx]
+            first = gi != np.concatenate(([-1], gi[:-1]))
+            diff[idx] = dcs - np.where(first, 0, prev)
+
+    ent: list = []  # (block, pos, prio, code, width) column arrays
+
+    blks = np.arange(n, dtype=np.int64)
+    zeros_n = np.zeros(n, dtype=np.int64)
+    dcat = vcat(diff)
+    ent.append((blks, zeros_n, zeros_n, dc_codes[comp_ids, dcat],
+                dc_lens[comp_ids, dcat]))
+    m = dcat > 0  # cat 0 emits no value bits
+    vb = np.where(diff >= 0, diff, diff + POW2[dcat] - 1)
+    ent.append((blks[m], np.zeros(int(m.sum()), np.int64),
+                np.ones(int(m.sum()), np.int64), vb[m], dcat[m]))
+
+    # AC runs: nonzeros in (block, k) order; run = gap to previous nonzero.
+    v = zq[:, 1:]
+    rows, cols0 = np.nonzero(v)
+    col = cols0 + 1
+    val = zq[rows, col]
+    same = np.concatenate(([False], rows[1:] == rows[:-1]))
+    prevk = np.where(same, np.concatenate(([0], col[:-1])), 0)
+    run = col - prevk - 1
+    nzrl = run >> 4
+    acat = vcat(val)
+    sym = ((run & 15) << 4) | acat
+    zr = np.repeat(np.arange(len(rows)), nzrl)  # ZRL (0xF0) per 16-gap
+    if len(zr):
+        # repeats share (block, pos, prio) — the stable sort keeps their
+        # generation order, which is the emission order
+        ent.append((rows[zr], col[zr], np.zeros(len(zr), np.int64),
+                    ac_codes[comp_ids[rows[zr]], 0xF0],
+                    ac_lens[comp_ids[rows[zr]], 0xF0]))
+    ent.append((rows, col, np.ones(len(rows), np.int64),
+                ac_codes[comp_ids[rows], sym], ac_lens[comp_ids[rows], sym]))
+    avb = np.where(val >= 0, val, val + POW2[acat] - 1)
+    ent.append((rows, col, np.full(len(rows), 2, np.int64), avb, acat))
+
+    # EOB where the last nonzero AC sits before index 63 (or none at all).
+    lastnz = np.zeros(n, dtype=np.int64)
+    np.maximum.at(lastnz, rows, col)
+    em = lastnz < 63
+    ent.append((blks[em], np.full(int(em.sum()), 64, np.int64),
+                np.zeros(int(em.sum()), np.int64),
+                ac_codes[comp_ids[em], 0x00], ac_lens[comp_ids[em], 0x00]))
+
+    blk = np.concatenate([e[0] for e in ent])
+    pos = np.concatenate([e[1] for e in ent])
+    prio = np.concatenate([e[2] for e in ent])
+    code = np.concatenate([e[3] for e in ent])
+    w = np.concatenate([e[4] for e in ent])
+    if not (w > 0).all():
+        # same contract as the dict path's KeyError: baseline Annex-K
+        # tables cover every category this encoder can produce
+        raise KeyError("Huffman symbol outside the baseline table")
+    # one stable sort on a fused key (pos <= 64, prio <= 2 -> pos*3+prio
+    # < 195 < 256) interleaves DC/ZRL/AC/EOB entries in emission order;
+    # blk is image-major, so images stay contiguous
+    order = np.argsort(blk * 256 + pos * 3 + prio, kind="stable")
+    code, w = code[order], w[order]
+    img_e = img_ids[blk[order]]
+
+    # Per-image bit accounting: each image's stream is 1-padded to its own
+    # byte boundary (F.1.2.3), so bits scatter into per-image-padded slots
+    # of ONE bit array initialized to 1 (pad bits stay 1).
+    cnt = np.bincount(img_e, weights=w, minlength=n_images).astype(np.int64)
+    padded = (cnt + 7) >> 3 << 3
+    img_pad_start = np.concatenate(([0], np.cumsum(padded)))[:-1]
+    img_flat_start = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    entry_flat_start = np.concatenate(([0], np.cumsum(w)))[:-1]
+    entry_pad_start = (
+        entry_flat_start - img_flat_start[img_e] + img_pad_start[img_e]
+    )
+
+    # MSB-first bit expansion (each entry is <= 16 bits wide).
+    j = np.arange(16, dtype=np.int64)[None, :]
+    mask = j < w[:, None]
+    shift = np.maximum(w[:, None] - 1 - j, 0)
+    bits = ((code[:, None] >> shift) & 1).astype(np.uint8)
+    positions = (entry_pad_start[:, None] + j)[mask]
+    out_bits = np.ones(int(padded.sum()), dtype=np.uint8)
+    out_bits[positions] = bits[mask]
+    by = np.packbits(out_bits)
+
+    # Global 0xFF00 stuffing, then per-image slicing with insert-shifted
+    # boundaries (an 0xFF at byte i inserts a 0x00 at i+1, which belongs
+    # to the image owning byte i — searchsorted over ff < boundary shifts
+    # each later boundary right by exactly the inserts before it).
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    starts = (img_pad_start >> 3)
+    ends = starts + (padded >> 3)
+    s_shift = np.searchsorted(ff, starts)
+    e_shift = np.searchsorted(ff, ends)
+    raw = by.tobytes()
+    return [
+        raw[int(s + ss) : int(e + es)]
+        for s, e, ss, es in zip(starts, ends, s_shift, e_shift)
+    ]
+
+
+def _pixel_chunks(idxs: list, px_per_img: int, budget_px: int = 131_072):
+    """Split a same-shape image group into chunks of at most
+    ``budget_px`` total pixels (min 64 images) — the batched color/DCT
+    passes build several float64 temporaries per pass, and slabs past L2
+    measured up to 60x slower PER IMAGE than cache-sized ones. 128k px ×
+    8 B × ~4 temporaries ≈ 4 MB: safely inside L2/L3 on anything this
+    runs on, still hundreds of tiny images per numpy call."""
+    k = max(64, budget_px // max(1, px_per_img))
+    return [idxs[s : s + k] for s in range(0, len(idxs), k)]
+
+
+@functools.lru_cache(maxsize=64)
+def _gray_header(h: int, w: int) -> bytes:
+    """SOI..SOS bytes of the single-component baseline stream (everything
+    before the entropy segment) — a pure function of the dimensions."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)  # DQT
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)  # SOF0
@@ -186,17 +362,72 @@ def encode_jpeg_gray(img) -> bytes:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
         out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
     out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
-
-    bw_ = _BitWriter()
-    pred = 0
-    zz = _zigzag_idx()
-    for by in range(bh):
-        for bx in range(bw):
-            z = q[by, bx].reshape(-1)[zz]
-            pred = _emit_block(bw_, z, pred, _DC_ENC, _AC_ENC)
-    out += bw_.flush()
-    out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def encode_jpeg_gray_batch(imgs) -> list:
+    """Baseline JPEG bytes for a LIST of (h, w) uint8 grayscale arrays —
+    the blob-batch entry point (r10): images are grouped by shape, each
+    group's DCT runs as one batched matmul and each group's entropy
+    segments come from ONE _entropy_encode_images call, so per-image
+    Python/numpy call overhead is amortized across the whole Arrow batch
+    (the codec tier's measured wall was exactly this overhead on 16-48 px
+    images). Byte-identical to per-image encode_jpeg_gray."""
+    import numpy as np
+
+    out: list = [None] * len(imgs)
+    arrs = []
+    groups: dict = {}
+    for i, img in enumerate(imgs):
+        a = np.asarray(img, dtype="uint8")
+        if a.ndim != 2:
+            raise ValueError("encode_jpeg_gray wants an (h, w) grayscale array")
+        h, w = a.shape
+        if not h or not w or h > 0xFFFF or w > 0xFFFF:
+            raise ValueError("bad JPEG dimensions")
+        arrs.append(a)
+        groups.setdefault((h, w), []).append(i)
+
+    zz = _zigzag_idx()
+    dc_tabs = [_tab_arrays(DC_LUM_BITS, DC_LUM_VALS)]
+    ac_tabs = [_tab_arrays(AC_LUM_BITS, AC_LUM_VALS)]
+    for (h, w), g_idxs in groups.items():
+        # cache-friendly chunks: one full-size stack of small images builds
+        # multi-MB float64 temporaries in the color/DCT passes, which
+        # measured 60x slower per image than L2-sized slabs
+        for idxs in _pixel_chunks(g_idxs, h * w):
+            stack = np.stack([arrs[i] for i in idxs])  # (k, h, w)
+            ph, pw = -h % 8, -w % 8
+            if ph or pw:
+                # A.2.4 edge replication so padded coefficients stay small
+                stack = np.pad(stack, ((0, 0), (0, ph), (0, pw)), mode="edge")
+            k = len(idxs)
+            bh, bw = stack.shape[1] // 8, stack.shape[2] // 8
+            nb = bh * bw
+            q = _encode_plane_blocks(stack)  # (k, bh, bw, 8, 8)
+            zq = q.reshape(k * nb, 64)[:, zz]
+            segs = _entropy_encode_images(
+                zq,
+                np.zeros(k * nb, dtype=np.int64),
+                np.repeat(np.arange(k, dtype=np.int64), nb),
+                k,
+                dc_tabs,
+                ac_tabs,
+            )
+            header = _gray_header(h, w)
+            for i, seg in zip(idxs, segs):
+                out[i] = header + seg + b"\xff\xd9"
+    return out
+
+
+def encode_jpeg_gray(img) -> bytes:
+    """Baseline sequential JPEG bytes from an (h, w) uint8 grayscale array.
+
+    All-ones quantization table (quality-lossless for integer-coefficient
+    blocks — see module docstring), Annex K luminance Huffman tables,
+    single-component SOF0, edge-replication padding to 8×8 multiples
+    (A.2.4 recommends replication so padded coefficients stay small)."""
+    return encode_jpeg_gray_batch([img])[0]
 
 
 class _BitReader:
@@ -404,7 +635,9 @@ def decode_jpeg_gray(payload: bytes):
     dz = dz * _dezigzag_quant(quant)
     T = _dct_mat()
     blocks = dz.reshape(bh, bw, 8, 8).astype("float64")
-    pix = np.einsum("xu,bcuv,yv->bcxy", T.T, blocks, T.T)
+    # IDCT as two batched matmuls (T.T @ F @ T) — see
+    # _encode_plane_blocks for the einsum-vs-matmul trade
+    pix = np.matmul(np.matmul(T.T, blocks), T)
     full = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
     return np.clip(np.rint(full), 0, 255).astype("uint8")[:h, :w]
 
@@ -462,14 +695,18 @@ def synth_jpeg_blobs(docs):
         import numpy as np
 
         for pdf in batches:
-            out = []
+            imgs = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
                 b = np.arange((h // 8) * (w // 8), dtype="int64")
                 vals = ((d * 7 + 13 * b) % 256).reshape(h // 8, w // 8)
-                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                out.append(encode_jpeg_gray(img.astype("uint8")))
+                imgs.append(
+                    np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype("uint8")
+                )
+            # one batched encode per Arrow batch (r10) — per-image numpy
+            # call overhead dominated the old per-doc loop on 8-24 px tiles
+            out = encode_jpeg_gray_batch(imgs)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
@@ -566,18 +803,30 @@ def ycbcr_to_rgb_int(y, cb, cr):
     return _np.stack([f(r), f(g), f(b)], axis=-1)
 
 
-def _encode_plane_blocks(plane):
-    """(bh, bw, 8, 8) int64 quantized DCT coefficients of an int plane
-    whose dims are multiples of 8 (all-ones quant table)."""
+def _encode_plane_blocks(planes):
+    """(..., bh, bw, 8, 8) int64 quantized DCT coefficients of one int
+    plane (h, w) or a stack of same-size planes (k, h, w); dims must be
+    multiples of 8 (all-ones quant table).
+
+    The transform runs as two batched matmuls (T @ X @ T.T) instead of the
+    previous einsum — numpy's c_einsum has no BLAS backend and measured
+    10-20x slower at every batch size; bit-level agreement with the
+    einsum form is NOT guaranteed (few-ulp accumulation-order drift), but
+    the codec only ever compares against its own transform and the oracle
+    image classes keep coefficients far from rounding boundaries (pinned
+    by the conformance + oracle suites)."""
     import numpy as np
 
     T = _dct_mat()
-    h, w = plane.shape
+    h, w = planes.shape[-2:]
+    lead = planes.shape[:-2]
     blocks = (
-        plane.astype("float64").reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        planes.astype("float64")
+        .reshape(lead + (h // 8, 8, w // 8, 8))
+        .swapaxes(-3, -2)
         - 128.0
     )
-    return np.rint(np.einsum("ux,bcxy,vy->bcuv", T, blocks, T)).astype("int64")
+    return np.rint(np.matmul(np.matmul(T, blocks), T.T)).astype("int64")
 
 
 def _emit_block(bw_, z, pred, dc_enc, ac_enc):
@@ -617,36 +866,9 @@ def _emit_block(bw_, z, pred, dc_enc, ac_enc):
     return int(z[0])
 
 
-def encode_jpeg_color(rgb) -> bytes:
-    """Baseline 4:2:0 YCbCr JPEG bytes from an (h, w, 3) uint8 RGB array.
-
-    The full interleaved-scan shape: Y sampled 2x2 (4 blocks per MCU),
-    Cb/Cr 1x1 (one 8x8 block each covering the 16x16 MCU), separate
-    luminance/chrominance quantization slots (both all-ones) and Annex-K
-    Huffman table pairs, per-component DC predictors. Chroma is
-    subsampled by plain 2x2 integer-mean (exact for the constant-MCU
-    oracle images; conventional box filter otherwise)."""
-    import numpy as np
-
-    a = np.asarray(rgb, dtype="uint8")
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError("encode_jpeg_color wants an (h, w, 3) RGB array")
-    h, w = a.shape[:2]
-    if not h or not w or h > 0xFFFF or w > 0xFFFF:
-        raise ValueError("bad JPEG dimensions")
-    ph, pw = -h % 16, -w % 16
-    if ph or pw:
-        a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
-    y, cb, cr = rgb_to_ycbcr_int(a)
-    # 2x2 box subsample of the integer chroma planes
-    def sub(p):
-        q = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).astype("float64")
-        return np.rint(q.mean(axis=(1, 3))).astype("int64")
-
-    yb = _encode_plane_blocks(y)
-    cbb = _encode_plane_blocks(sub(cb))
-    crb = _encode_plane_blocks(sub(cr))
-
+@functools.lru_cache(maxsize=64)
+def _color_header(h: int, w: int) -> bytes:
+    """SOI..SOS bytes of the 3-component 4:2:0 baseline stream."""
     out = bytearray(b"\xff\xd8")
     for slot in (0, 1):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([slot]) + bytes([1] * 64)
@@ -665,23 +887,100 @@ def encode_jpeg_color(rgb) -> bytes:
     out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
         [3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
     )
-
-    zz = list(ZIGZAG)
-    bw_ = _BitWriter()
-    preds = [0, 0, 0]
-    mh, mw = a.shape[0] // 16, a.shape[1] // 16
-    for my in range(mh):
-        for mx in range(mw):
-            for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):  # 4 Y blocks
-                z = yb[my * 2 + by, mx * 2 + bx].reshape(-1)[zz]
-                preds[0] = _emit_block(bw_, z, preds[0], _DC_ENC, _AC_ENC)
-            z = cbb[my, mx].reshape(-1)[zz]
-            preds[1] = _emit_block(bw_, z, preds[1], _DC_CHROM_ENC, _AC_CHROM_ENC)
-            z = crb[my, mx].reshape(-1)[zz]
-            preds[2] = _emit_block(bw_, z, preds[2], _DC_CHROM_ENC, _AC_CHROM_ENC)
-    out += bw_.flush()
-    out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_color_batch(rgbs) -> list:
+    """Baseline 4:2:0 JPEG bytes for a LIST of (h, w, 3) uint8 RGB arrays
+    — the blob-batch entry point (r10, same amortization story as
+    encode_jpeg_gray_batch): per shape group, color conversion, chroma
+    subsample and the per-plane DCTs run batched, and ONE
+    _entropy_encode_images call codes every image's interleaved scan.
+    Byte-identical to per-image encode_jpeg_color."""
+    import numpy as np
+
+    out: list = [None] * len(rgbs)
+    arrs = []
+    groups: dict = {}
+    for i, rgb in enumerate(rgbs):
+        a = np.asarray(rgb, dtype="uint8")
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("encode_jpeg_color wants an (h, w, 3) RGB array")
+        h, w = a.shape[:2]
+        if not h or not w or h > 0xFFFF or w > 0xFFFF:
+            raise ValueError("bad JPEG dimensions")
+        arrs.append(a)
+        groups.setdefault((h, w), []).append(i)
+
+    zz = _zigzag_idx()
+    dc_tabs = [
+        _tab_arrays(DC_LUM_BITS, DC_LUM_VALS),
+        _tab_arrays(DC_CHROM_BITS, DC_CHROM_VALS),
+        _tab_arrays(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_tabs = [
+        _tab_arrays(AC_LUM_BITS, AC_LUM_VALS),
+        _tab_arrays(AC_CHROM_BITS, AC_CHROM_VALS),
+        _tab_arrays(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+    for (h, w), g_idxs in groups.items():
+        # cache-friendly chunks — see encode_jpeg_gray_batch
+        for idxs in _pixel_chunks(g_idxs, h * w):
+            a = np.stack([arrs[i] for i in idxs])  # (k, h, w, 3)
+            ph, pw = -h % 16, -w % 16
+            if ph or pw:
+                a = np.pad(a, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+            k = len(idxs)
+            y, cb, cr = rgb_to_ycbcr_int(a)
+
+            # 2x2 box subsample of the integer chroma planes (batched)
+            def sub(p):
+                q = p.reshape(k, p.shape[1] // 2, 2, p.shape[2] // 2, 2).astype(
+                    "float64"
+                )
+                return np.rint(q.mean(axis=(2, 4))).astype("int64")
+
+            yb = _encode_plane_blocks(y)        # (k, 2mh, 2mw, 8, 8)
+            cbb = _encode_plane_blocks(sub(cb))  # (k, mh, mw, 8, 8)
+            crb = _encode_plane_blocks(sub(cr))
+            mh, mw = a.shape[1] // 16, a.shape[2] // 16
+            n_mcu = mh * mw
+
+            def zig(pb):
+                return pb.reshape(k, pb.shape[1], pb.shape[2], 64)[:, :, :, zz]
+
+            # Interleaved-MCU scan: per MCU 4 Y blocks (2x2, by-major), Cb, Cr.
+            ys = (
+                zig(yb)
+                .reshape(k, mh, 2, mw, 2, 64)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(k, n_mcu, 4, 64)
+            )
+            scan = np.concatenate(
+                [ys, zig(cbb).reshape(k, n_mcu, 1, 64), zig(crb).reshape(k, n_mcu, 1, 64)],
+                axis=2,
+            ).reshape(k * n_mcu * 6, 64)
+            comp_ids = np.tile(
+                np.array([0, 0, 0, 0, 1, 2], dtype=np.int64), k * n_mcu
+            )
+            img_ids = np.repeat(np.arange(k, dtype=np.int64), n_mcu * 6)
+            segs = _entropy_encode_images(scan, comp_ids, img_ids, k, dc_tabs, ac_tabs)
+            header = _color_header(h, w)
+            for i, seg in zip(idxs, segs):
+                out[i] = header + seg + b"\xff\xd9"
+    return out
+
+
+def encode_jpeg_color(rgb) -> bytes:
+    """Baseline 4:2:0 YCbCr JPEG bytes from an (h, w, 3) uint8 RGB array.
+
+    The full interleaved-scan shape: Y sampled 2x2 (4 blocks per MCU),
+    Cb/Cr 1x1 (one 8x8 block each covering the 16x16 MCU), separate
+    luminance/chrominance quantization slots (both all-ones) and Annex-K
+    Huffman table pairs, per-component DC predictors. Chroma is
+    subsampled by plain 2x2 integer-mean (exact for the constant-MCU
+    oracle images; conventional box filter otherwise)."""
+    return encode_jpeg_color_batch([rgb])[0]
 
 
 def decode_jpeg_color(payload: bytes):
@@ -843,7 +1142,9 @@ def _decode_baseline_multi(payload: bytes):
         dz[:, :, zz] = coefs
         dz = dz * nat[None, None, :]
         blocks = dz.reshape(bh, bw2, 8, 8).astype("float64")
-        pix = np.einsum("xu,bcuv,yv->bcxy", T.T, blocks, T.T)
+        # IDCT as two batched matmuls (T.T @ F @ T) — see
+        # _encode_plane_blocks for the einsum-vs-matmul trade
+        pix = np.matmul(np.matmul(T.T, blocks), T)
         fullp = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw2 * 8) + 128.0
         p = np.clip(np.rint(fullp), 0, 255).astype("int64")
         planes.append(p)
@@ -867,7 +1168,7 @@ def synth_jpeg_color_blobs(docs):
         import numpy as np
 
         for pdf in batches:
-            out = []
+            imgs = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
@@ -881,8 +1182,11 @@ def synth_jpeg_color_blobs(docs):
                     ],
                     axis=-1,
                 )
-                img = np.repeat(np.repeat(rgb, 16, axis=0), 16, axis=1)
-                out.append(encode_jpeg_color(img.astype("uint8")))
+                imgs.append(
+                    np.repeat(np.repeat(rgb, 16, axis=0), 16, axis=1).astype("uint8")
+                )
+            # one batched encode per Arrow batch (r10, VERDICT item 5)
+            out = encode_jpeg_color_batch(imgs)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
@@ -963,9 +1267,12 @@ def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
     if not frames:
         raise ValueError("MJPEG AVI needs at least one frame")
     h, w = np.asarray(frames[0]).shape
-    jpegs = [encode_jpeg_gray(np.asarray(f, dtype="uint8")) for f in frames]
     if any(np.asarray(f).shape != (h, w) for f in frames):
         raise ValueError("AVI streams have fixed frame dimensions")
+    # equal-size frames = one perfectly batched encode (r10)
+    jpegs = encode_jpeg_gray_batch(
+        [np.asarray(f, dtype="uint8") for f in frames]
+    )
 
     avih = struct.pack(
         "<14I",

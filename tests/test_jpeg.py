@@ -282,3 +282,149 @@ def test_jpeg_color_rejects_and_gray_interop():
             decode_jpeg_color(color[:cut])
     assert color.count(b"\xff\xdb") == 2
     assert color.count(b"\xff\xc4") == 4
+
+
+# --- vectorized entropy coder bit-parity (r10, VERDICT r09 item 5) --------
+# The encoders now run one vectorized _entropy_encode_blocks pass; the
+# retired per-coefficient loop (_BitWriter + _emit_block) stays in the
+# module as the REFERENCE implementation, and this test pins byte
+# equality of whole JPEG streams across image classes (smooth DC-only,
+# noise with dense ACs and ZRL runs, checkerboard extremes, constants).
+
+
+def _ref_gray_stream(img):
+    """encode_jpeg_gray rebuilt on the reference _emit_block loop. Shares
+    the production DCT (J._encode_plane_blocks) so the parity pin is the
+    ENTROPY CODER alone — the DCT itself produces exact half-integer
+    coefficients on integer inputs, where an einsum-vs-matmul ulp decides
+    the round-half-even direction (both are valid encodings; the codec
+    only ever compares against its own transform)."""
+    from slr207_mapreduce_spark.operators import jpeg as J
+
+    a = np.asarray(img, dtype="uint8")
+    h, w = a.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = a.shape[0] // 8, a.shape[1] // 8
+    q = J._encode_plane_blocks(a)
+    bw_ = J._BitWriter()
+    pred = 0
+    zz = J._zigzag_idx()
+    for by in range(bh):
+        for bx in range(bw):
+            z = q[by, bx].reshape(-1)[zz]
+            pred = J._emit_block(bw_, z, pred, J._DC_ENC, J._AC_ENC)
+    return bw_.flush()
+
+
+def _ref_color_stream(rgb):
+    """encode_jpeg_color's entropy segment rebuilt on _emit_block."""
+    from slr207_mapreduce_spark.operators import jpeg as J
+
+    a = np.asarray(rgb, dtype="uint8")
+    h, w = a.shape[:2]
+    ph, pw = -h % 16, -w % 16
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    y, cb, cr = J.rgb_to_ycbcr_int(a)
+
+    def sub(p):
+        q = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).astype("float64")
+        return np.rint(q.mean(axis=(1, 3))).astype("int64")
+
+    yb = J._encode_plane_blocks(y)
+    cbb = J._encode_plane_blocks(sub(cb))
+    crb = J._encode_plane_blocks(sub(cr))
+    zz = list(J.ZIGZAG)
+    bw_ = J._BitWriter()
+    preds = [0, 0, 0]
+    mh, mw = a.shape[0] // 16, a.shape[1] // 16
+    for my in range(mh):
+        for mx in range(mw):
+            for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                z = yb[my * 2 + by, mx * 2 + bx].reshape(-1)[zz]
+                preds[0] = J._emit_block(bw_, z, preds[0], J._DC_ENC, J._AC_ENC)
+            z = cbb[my, mx].reshape(-1)[zz]
+            preds[1] = J._emit_block(bw_, z, preds[1], J._DC_CHROM_ENC, J._AC_CHROM_ENC)
+            z = crb[my, mx].reshape(-1)[zz]
+            preds[2] = J._emit_block(bw_, z, preds[2], J._DC_CHROM_ENC, J._AC_CHROM_ENC)
+    return bw_.flush()
+
+
+def test_vectorized_entropy_coder_bit_parity_gray():
+    from slr207_mapreduce_spark.operators.jpeg import encode_jpeg_gray
+
+    rng = np.random.RandomState(101)
+    imgs = [
+        rng.randint(0, 256, (40, 56)).astype("uint8"),       # dense ACs
+        np.zeros((24, 24), dtype="uint8"),                   # all-zero
+        np.full((16, 40), 255, dtype="uint8"),               # constant
+        (np.indices((32, 32)).sum(0) % 2 * 255).astype("uint8"),  # extremes
+        rng.randint(0, 256, (17, 23)).astype("uint8"),       # edge padding
+        np.repeat(np.repeat(
+            rng.randint(0, 256, (3, 4)).astype("uint8"), 8, 0), 8, 1),  # DC-only
+    ]
+    for img in imgs:
+        full = encode_jpeg_gray(img)
+        ref = _ref_gray_stream(img)
+        assert ref in full, "entropy segment diverged from _emit_block loop"
+        # the segment sits between SOS payload and EOI — check placement
+        assert full.endswith(ref + b"\xff\xd9")
+
+
+def test_vectorized_entropy_coder_bit_parity_color():
+    from slr207_mapreduce_spark.operators.jpeg import encode_jpeg_color
+
+    rng = np.random.RandomState(202)
+    imgs = [
+        rng.randint(0, 256, (32, 48, 3)).astype("uint8"),
+        np.zeros((16, 16, 3), dtype="uint8"),
+        (np.indices((32, 32)).sum(0)[..., None] % 2 * 255).repeat(3, -1).astype("uint8"),
+        rng.randint(0, 256, (19, 21, 3)).astype("uint8"),  # pad to 32x32
+        np.repeat(np.repeat(
+            rng.randint(0, 256, (2, 3, 3)).astype("uint8"), 16, 0), 16, 1),
+    ]
+    for img in imgs:
+        full = encode_jpeg_color(img)
+        ref = _ref_color_stream(img)
+        assert full.endswith(ref + b"\xff\xd9")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 40), st.integers(1, 40))
+def test_vectorized_entropy_coder_parity_fuzz(seed, h, w):
+    """Property fuzz: arbitrary-size random gray images (including the
+    edge-replication padding path) produce byte-identical streams."""
+    from slr207_mapreduce_spark.operators.jpeg import encode_jpeg_gray
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype("uint8")
+    assert encode_jpeg_gray(img).endswith(_ref_gray_stream(img) + b"\xff\xd9")
+
+
+def test_batch_encoders_match_single_image_paths():
+    """encode_jpeg_{gray,color}_batch over mixed shapes must be
+    byte-identical per image to one-at-a-time encoding (grouping,
+    per-image DC predictor reset, per-image padding and stuffing)."""
+    from slr207_mapreduce_spark.operators.jpeg import (
+        encode_jpeg_color_batch,
+        encode_jpeg_gray_batch,
+    )
+
+    rng = np.random.RandomState(55)
+    grays = [
+        rng.randint(0, 256, (rng.randint(1, 41), rng.randint(1, 41))).astype("uint8")
+        for _ in range(23)
+    ] + [np.full((16, 16), 200, dtype="uint8")] * 3  # duplicate shapes
+    assert encode_jpeg_gray_batch(grays) == [
+        encode_jpeg_gray_batch([g])[0] for g in grays
+    ]
+    colors = [
+        rng.randint(0, 256, (rng.randint(1, 41), rng.randint(1, 41), 3)).astype(
+            "uint8"
+        )
+        for _ in range(17)
+    ]
+    assert encode_jpeg_color_batch(colors) == [
+        encode_jpeg_color_batch([c])[0] for c in colors
+    ]
