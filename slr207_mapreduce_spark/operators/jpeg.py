@@ -1273,7 +1273,14 @@ def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
     jpegs = encode_jpeg_gray_batch(
         [np.asarray(f, dtype="uint8") for f in frames]
     )
+    return mux_avi_mjpeg(jpegs, h, w, fps)
 
+
+def mux_avi_mjpeg(jpegs: list, h: int, w: int, fps: int = 10) -> bytes:
+    """RIFF/AVI muxing of pre-encoded per-frame JPEG bytes — split from
+    :func:`encode_avi_mjpeg` (r10) so a blob kernel can batch-encode the
+    frames of a WHOLE Arrow batch of videos in one call and mux each
+    video's slice (pure byte assembly, no codec work)."""
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,  # dwMicroSecPerFrame
@@ -1422,20 +1429,30 @@ def synth_mjpeg_blobs(docs):
 
     def gen(batches):
         for pdf in batches:
-            out = []
+            # Build every frame of every video first, batch-encode them in
+            # ONE call (r10 — per-video encode batched only 3-7 tiny
+            # frames; the shape-grouped batch coder amortizes across the
+            # whole Arrow batch), then mux each video's slice of jpegs.
+            dims = []          # (h, w, n_frames) per doc
+            all_frames = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
                 b = np.arange((h // 8) * (w // 8), dtype="int64")
-                frames = []
-                for f in range(3 + d % 5):
+                n = 3 + d % 5
+                dims.append((h, w, n))
+                for f in range(n):
                     vals = ((d * 7 + f * 11 + 13 * b) % 256).reshape(h // 8, w // 8)
-                    frames.append(
+                    all_frames.append(
                         np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
                             "uint8"
                         )
                     )
-                out.append(encode_avi_mjpeg(frames))
+            jpegs = encode_jpeg_gray_batch(all_frames)
+            out, at = [], 0
+            for h, w, n in dims:
+                out.append(mux_avi_mjpeg(jpegs[at : at + n], h, w))
+                at += n
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
