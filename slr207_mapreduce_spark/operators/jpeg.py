@@ -466,10 +466,39 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def receive(self, width: int) -> int:
-        v = 0
-        for _ in range(width):
-            v = (v << 1) | self.bit()
-        return v
+        # bulk form of width x bit() — same _fill, same truncation errors
+        while self.n < width:
+            self._fill()
+        self.n -= width
+        return (self.acc >> self.n) & ((1 << width) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits WITHOUT consuming, 1-padded past the segment end
+        (mirrors F.1.2.3's 1-padding, so lookahead at the tail is
+        harmless — :meth:`skip` still raises if a decode actually tries
+        to CONSUME bits that don't exist)."""
+        while self.n < 16:
+            if self.pos >= len(self.buf):
+                break
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else -1
+                if nxt != 0x00:
+                    break  # marker (RST/EOI): stop filling, pad virtually
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        if self.n >= 16:
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        pad = 16 - self.n
+        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def skip(self, width: int) -> None:
+        if width > self.n:
+            raise ValueError("truncated JPEG entropy data")
+        self.n -= width
 
     def sync_restart(self, expect: int) -> None:
         """Byte-align and consume the expected RSTn marker (E.2.4)."""
@@ -486,33 +515,37 @@ class _BitReader:
 
 @functools.lru_cache(maxsize=64)
 def _decode_tree(bits, vals):
-    """(length, code) -> symbol map plus per-length first-code/index
-    tables for the canonical fast path (F.2.2.3's DECODE procedure).
-    Args must be hashable (tuples); cached — MJPEG streams re-declare the
-    identical Annex-K tables in every frame's DHT segment."""
-    maxcode, valptr, mincode = [-1] * 17, [0] * 17, [0] * 17
+    """Single-lookup decode tables: for every 16-bit window, the symbol
+    whose canonical code prefixes it and that code's length (0 = no valid
+    code — F.2.2.3's DECODE as one table instead of a bit-by-bit walk;
+    max baseline code length is 16, so one window always suffices). Args
+    must be hashable (tuples); cached — MJPEG streams re-declare the
+    identical Annex-K tables in every frame's DHT segment. Plain Python
+    lists: scalar indexing beats numpy int extraction in the per-symbol
+    hot path (r10 — the decode side was ~100k bit() calls per 200 docs)."""
+    sym = [0] * 65536
+    length = [0] * 65536
     code, k = 0, 0
     for ln in range(1, 17):
-        if bits[ln - 1]:
-            valptr[ln] = k
-            mincode[ln] = code
-            code += bits[ln - 1]
-            k += bits[ln - 1]
-            maxcode[ln] = code - 1
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            for w in range(lo, lo + (1 << (16 - ln))):
+                sym[w] = vals[k]
+                length[w] = ln
+            code += 1
+            k += 1
         code <<= 1
-    return mincode, maxcode, valptr, tuple(vals)
+    return sym, length
 
 
 def _huff_decode(reader: _BitReader, tree) -> int:
-    mincode, maxcode, valptr, vals = tree
-    code = reader.bit()
-    ln = 1
-    while code > maxcode[ln]:
-        if ln >= 16:
-            raise ValueError("invalid Huffman code")
-        code = (code << 1) | reader.bit()
-        ln += 1
-    return vals[valptr[ln] + code - mincode[ln]]
+    sym, length = tree
+    w = reader.peek16()
+    ln = length[w]
+    if not ln:
+        raise ValueError("invalid Huffman code")
+    reader.skip(ln)
+    return sym[w]
 
 
 def _extend(v: int, cat: int) -> int:
