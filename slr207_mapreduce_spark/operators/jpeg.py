@@ -341,12 +341,16 @@ def _entropy_encode_images(
 
 def _pixel_chunks(idxs: list, px_per_img: int, budget_px: int = 131_072):
     """Split a same-shape image group into chunks of at most
-    ``budget_px`` total pixels (min 64 images) — the batched color/DCT
-    passes build several float64 temporaries per pass, and slabs past L2
-    measured up to 60x slower PER IMAGE than cache-sized ones. 128k px ×
-    8 B × ~4 temporaries ≈ 4 MB: safely inside L2/L3 on anything this
-    runs on, still hundreds of tiny images per numpy call."""
-    k = max(64, budget_px // max(1, px_per_img))
+    ``budget_px`` total pixels — the batched color/DCT passes build
+    several float64 temporaries per pass, and slabs past L2 measured up
+    to 60x slower PER IMAGE than cache-sized ones. 128k px × 8 B × ~4
+    temporaries ≈ 4 MB: safely inside L2/L3 on anything this runs on,
+    still hundreds of tiny images per numpy call. The budget bounds the
+    chunk in BOTH directions: a large image gets a chunk of 1 (per-image
+    memory, exactly the pre-batch behavior) instead of a 64-image
+    multi-GB stack (r10 review); chunk-16 measured within noise of
+    chunk-64 for tiny images, so no minimum is needed."""
+    k = max(1, budget_px // max(1, px_per_img))
     return [idxs[s : s + k] for s in range(0, len(idxs), k)]
 
 
@@ -456,7 +460,10 @@ class _BitReader:
                 raise ValueError(f"marker 0xFF{nxt:02x} inside entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to the LIVE bits: without it consumed bits accumulate in an
+        # ever-growing bignum and decode goes quadratic in segment size
+        # (measured 46 s for a 414 KB segment; 0.3 s masked — r10 review)
+        self.acc = ((self.acc << 8) | b) & ((1 << (self.n + 8)) - 1)
         self.n += 8
 
     def bit(self) -> int:
@@ -488,7 +495,8 @@ class _BitReader:
                 self.pos += 2
             else:
                 self.pos += 1
-            self.acc = (self.acc << 8) | b
+            # same live-bits mask as _fill (quadratic-bignum guard)
+            self.acc = ((self.acc << 8) | b) & ((1 << (self.n + 8)) - 1)
             self.n += 8
         if self.n >= 16:
             return (self.acc >> (self.n - 16)) & 0xFFFF
@@ -523,19 +531,28 @@ def _decode_tree(bits, vals):
     identical Annex-K tables in every frame's DHT segment. Plain Python
     lists: scalar indexing beats numpy int extraction in the per-symbol
     hot path (r10 — the decode side was ~100k bit() calls per 200 docs)."""
-    sym = [0] * 65536
-    length = [0] * 65536
+    if sum(bits) > len(vals):
+        raise ValueError("malformed DHT: fewer values than BITS declares")
+    sym = bytearray(65536)
+    length = bytearray(65536)
     code, k = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
+            if code >= (1 << ln):
+                # canonical code space oversubscribed — a corrupt BITS
+                # table; must be the documented ValueError, never an
+                # IndexError escaping the window fill (r10 review)
+                raise ValueError("malformed DHT: oversubscribed code space")
             lo = code << (16 - ln)
-            for w in range(lo, lo + (1 << (16 - ln))):
-                sym[w] = vals[k]
-                length[w] = ln
+            span = 1 << (16 - ln)
+            sym[lo : lo + span] = bytes([vals[k]]) * span
+            length[lo : lo + span] = bytes([ln]) * span
             code += 1
             k += 1
         code <<= 1
-    return sym, length
+    # bytes, not lists: identical scalar-index speed in the hot path at
+    # ~1/500th the retained memory per cached table
+    return bytes(sym), bytes(length)
 
 
 def _huff_decode(reader: _BitReader, tree) -> int:

@@ -428,3 +428,71 @@ def test_batch_encoders_match_single_image_paths():
     assert encode_jpeg_color_batch(colors) == [
         encode_jpeg_color_batch([c])[0] for c in colors
     ]
+
+
+# --- r10 review-fix pins -------------------------------------------------
+
+
+def test_corrupt_dht_raises_valueerror_not_indexerror():
+    """A corrupt DHT (oversubscribed BITS, or BITS declaring more values
+    than the segment carries) must fail with the decoder's documented
+    ValueError — the window-table build must never let an IndexError
+    escape."""
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(np.full((8, 8), 130, dtype="uint8"))
+    dht = good.index(b"\xff\xc4")
+    # BITS[1] (2nd length bucket) of the DC table lives at dht+6; bump it
+    # so the canonical code space oversubscribes
+    for delta in (0x40, 0x7F):
+        bad = bytearray(good)
+        bad[dht + 6] = delta
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bytes(bad))
+
+
+def test_bitreader_acc_stays_bounded():
+    """The reader masks consumed bits out of `acc` on every fill — without
+    it the accumulator grows into an unbounded bignum and decode goes
+    quadratic in segment size (measured 46 s for a 414 KB segment)."""
+    from slr207_mapreduce_spark.operators.jpeg import _BitReader
+
+    rd = _BitReader(bytes(range(256)) * 64, 0)
+    for _ in range(4000):
+        rd.peek16()
+        rd.skip(3)
+    assert rd.acc.bit_length() <= 32
+
+
+def test_pixel_chunks_bounded_both_directions():
+    """Tiny images amortize (many per chunk); big images fall back to
+    per-image chunks instead of a multi-GB 64-image stack."""
+    from slr207_mapreduce_spark.operators.jpeg import _pixel_chunks
+
+    tiny = _pixel_chunks(list(range(1000)), 8 * 8)
+    assert len(tiny[0]) >= 500  # thousands of 64px images per chunk
+    big = _pixel_chunks(list(range(10)), 2048 * 2048)
+    assert all(len(c) == 1 for c in big)
+    assert sum(len(c) for c in tiny) == 1000 and sum(len(c) for c in big) == 10
+
+
+def test_large_noise_image_roundtrip_fast_enough():
+    """End-to-end guard for the quadratic-acc fix: a 256x256 noise image
+    (~100 KB entropy segment) round-trips in well under a second; the
+    unmasked reader took ~2.8 s at this size and grew quadratically."""
+    import time
+
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = np.random.RandomState(9).randint(0, 256, (256, 256)).astype("uint8")
+    payload = encode_jpeg_gray(img)
+    t0 = time.perf_counter()
+    got = decode_jpeg_gray(payload)
+    assert time.perf_counter() - t0 < 2.0  # generous vs the 2.8s+ quadratic
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3

@@ -62,3 +62,18 @@ def test_streaming_tier_leg_smoke(spark):
         assert res["n_batches"] == n, res
         assert res["state_rows_max"] > 0
         assert len(res["wall_ms_all"]) == n
+
+
+def test_day_chunks_reuse_requires_matching_max_days(tmp_path):
+    """A chunk dir built truncated (max_days=k) must NOT be reused by a
+    full run, and vice versa — the sentinel records both the count and
+    the truncation the build used (r10 review)."""
+    from tools.measure_streaming_scale import _day_chunks
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    out = str(tmp_path / "chunks")
+    assert _day_chunks(src, out, max_days=3) == 3
+    assert _day_chunks(src, out, max_days=3) == 3  # matching reuse
+    full = _day_chunks(src, out)  # must REBUILD, not reuse the 3-day dir
+    assert full == 30
+    assert _day_chunks(src, out, max_days=3) == 3  # and back

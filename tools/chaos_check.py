@@ -82,10 +82,11 @@ def leg_a(spark) -> dict:
 
     marker_dir = tempfile.mkdtemp(prefix="chaos_markers_")
     orig_load = tables_mod.load_table
+    armed = {"on": True}  # live disarm flag — see the finally note below
 
     def chaos_load_table(spark_, name, sf_dir=None):
         df = orig_load(spark_, name, sf_dir)
-        if name == "documents":
+        if armed["on"] and name == "documents":
             df = _chaos_wrap(df, marker_dir)
         return df
 
@@ -115,6 +116,12 @@ def leg_a(spark) -> dict:
                 "problems": problems[:3],
             }
     finally:
+        # Restoring the module attribute is NOT enough: plan modules
+        # imported during the patch window bound chaos_load_table into
+        # their own globals (r10 review), so the wrapper stays reachable
+        # for the process lifetime — the `armed` flag is what actually
+        # disarms it for any later leg in this process.
+        armed["on"] = False
         tables_mod.load_table = orig_load
         res["injected_failures"] = len(os.listdir(marker_dir))
         shutil.rmtree(marker_dir, ignore_errors=True)

@@ -70,10 +70,15 @@ def _day_chunks(src: str, out_dir: str, max_days: int | None = None) -> int:
 
     sentinel = os.path.join(out_dir, "_CHUNKS_OK")
     if os.path.isdir(out_dir) and os.path.exists(sentinel):
-        with open(sentinel) as f:
-            expected = int(f.read().strip())
+        # sentinel records count AND the max_days the build was truncated
+        # to — reuse requires BOTH to match the current request, or a
+        # full run after a truncated build would silently measure the
+        # truncated stream (r10 review)
+        parts = open(sentinel).read().split()
+        expected = int(parts[0])
+        built_max = parts[1] if len(parts) > 1 else "None"
         have = [n for n in os.listdir(out_dir) if n.startswith("day_")]
-        if len(have) == expected and (max_days is None or expected == max_days):
+        if len(have) == expected and built_max == str(max_days):
             return expected
     if os.path.isdir(out_dir):  # stale or partial — rebuild
         shutil.rmtree(out_dir)
@@ -98,7 +103,7 @@ def _day_chunks(src: str, out_dir: str, max_days: int | None = None) -> int:
         os.utime(path, (t, t))
     con.close()
     with open(sentinel, "w") as f:
-        f.write(str(len(days)))
+        f.write(f"{len(days)} {max_days}")
     return len(days)
 
 
