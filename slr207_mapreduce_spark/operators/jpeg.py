@@ -531,6 +531,8 @@ def _decode_tree(bits, vals):
     identical Annex-K tables in every frame's DHT segment. Plain Python
     lists: scalar indexing beats numpy int extraction in the per-symbol
     hot path (r10 — the decode side was ~100k bit() calls per 200 docs)."""
+    if len(bits) != 16:
+        raise ValueError("malformed DHT: BITS table truncated")
     if sum(bits) > len(vals):
         raise ValueError("malformed DHT: fewer values than BITS declares")
     sym = bytearray(65536)
@@ -582,6 +584,8 @@ def decode_jpeg_gray(payload: bytes):
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
+    if payload[-2:] != b"\xff\xd9":
+        raise ValueError("truncated JPEG payload (no EOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htrees: dict[tuple[int, int], tuple] = {}
@@ -604,12 +608,16 @@ def decode_jpeg_gray(payload: bytes):
         if m == 0xDB:  # DQT
             p = 0
             while p < len(seg):
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT segment")
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 if pq:
                     raise ValueError("16-bit quant tables unsupported")
                 qtables[tq] = list(seg[p + 1 : p + 65])
                 p += 65
         elif m == 0xC0:  # SOF0 baseline
+            if len(seg) < 9:
+                raise ValueError("truncated SOF0 segment")
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -628,9 +636,11 @@ def decode_jpeg_gray(payload: bytes):
                 htrees[(cls, tid)] = _decode_tree(bits, vals)
                 p += 17 + n
         elif m == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
-            if seg[0] != 1:
+            if len(seg) < 6 or seg[0] != 1:
                 raise ValueError("only single-component scans supported")
             dc_sel, ac_sel = seg[2] >> 4, seg[2] & 0x0F
             pos = pos + 2 + ln
@@ -660,6 +670,8 @@ def decode_jpeg_gray(payload: bytes):
             rst = (rst + 1) & 7
             pred = 0
         cat = _huff_decode(rd, dct)
+        if cat > 15:
+            raise ValueError("invalid DC category")
         if cat:
             pred += _extend(rd.receive(cat), cat)
         coefs[b, 0] = pred
@@ -1062,6 +1074,8 @@ def _decode_baseline_multi(payload: bytes):
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
+    if payload[-2:] != b"\xff\xd9":
+        raise ValueError("truncated JPEG payload (no EOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htrees: dict[tuple[int, int], tuple] = {}
@@ -1084,18 +1098,24 @@ def _decode_baseline_multi(payload: bytes):
         if m == 0xDB:
             p = 0
             while p < len(seg):
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT segment")
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 if pq:
                     raise ValueError("16-bit quant tables unsupported")
                 qtables[tq] = list(seg[p + 1 : p + 65])
                 p += 65
         elif m == 0xC0:
+            if len(seg) < 6:
+                raise ValueError("truncated SOF0 segment")
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if nc not in (1, 3):
                 raise ValueError("only 1- or 3-component scans supported")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 segment")
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 ch, cv = hv >> 4, hv & 0x0F
@@ -1111,11 +1131,17 @@ def _decode_baseline_multi(payload: bytes):
                 htrees[(cls, tid)] = _decode_tree(bits, tuple(seg[p + 17 : p + 17 + n]))
                 p += 17 + n
         elif m == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:
+            if not seg:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
             if ns != len(comps):
                 raise ValueError("partial (non-interleaved) scans unsupported")
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS segment")
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i : 3 + 2 * i]
                 match = [c for c in comps if c["id"] == cid]
@@ -1159,6 +1185,8 @@ def _decode_baseline_multi(payload: bytes):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         cat = _huff_decode(rd, dct_t)
+                        if cat > 15:
+                            raise ValueError("invalid DC category")
                         if cat:
                             preds[ci] += _extend(rd.receive(cat), cat)
                         blk = store[ci][my * c["v"] + by, mx * c["h"] + bx]

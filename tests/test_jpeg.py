@@ -496,3 +496,45 @@ def test_large_noise_image_roundtrip_fast_enough():
     got = decode_jpeg_gray(payload)
     assert time.perf_counter() - t0 < 2.0  # generous vs the 2.8s+ quadratic
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_exhaustive_corruption_fuzz_error_contract():
+    """EVERY single-bit corruption and EVERY truncation of a valid payload
+    either decodes (bit flips in entropy data legitimately change pixels)
+    or raises the decoder's documented ValueError — never IndexError /
+    struct.error / OverflowError (each of which a pre-hardening fuzz
+    actually produced: short SOF0/DQT/DRI/SOS segments, truncated DHT
+    BITS, and corrupt DHT symbols driving a bignum DC predictor)."""
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(21)
+    g = encode_jpeg_gray(rng.randint(0, 256, (16, 16)).astype("uint8"))
+    c = encode_jpeg_color(rng.randint(0, 256, (16, 16, 3)).astype("uint8"))
+
+    for i in range(len(g)):
+        for bit in range(8):
+            p = bytearray(g)
+            p[i] ^= 1 << bit
+            try:
+                decode_jpeg_gray(bytes(p))
+            except ValueError:
+                pass
+    for i in range(len(c)):
+        for bit in (0, 3, 7):
+            p = bytearray(c)
+            p[i] ^= 1 << bit
+            try:
+                decode_jpeg_color(bytes(p))
+            except ValueError:
+                pass
+    for k in range(2, len(g)):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(g[:k])
+    for k in range(2, len(c)):
+        with pytest.raises(ValueError):
+            decode_jpeg_color(c[:k])
