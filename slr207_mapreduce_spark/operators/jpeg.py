@@ -1418,7 +1418,11 @@ def _walk_riff(payload: bytes, pos: int, end: int):
     while pos + 8 <= end:
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError("truncated RIFF chunk body")
         if fourcc == b"LIST":
+            if size < 4:
+                raise ValueError("truncated RIFF LIST header")
             yield fourcc, payload[pos + 8 : pos + 12], pos + 12, size - 4
         else:
             yield fourcc, None, pos + 8, size
@@ -1434,6 +1438,11 @@ def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
     movi walk — a corrupt index or a missing pad byte fails loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
+    if len(payload) < 12 or struct.unpack("<I", payload[4:8])[0] != len(payload) - 8:
+        # the muxer always writes the exact body size; ANY truncation or
+        # tail corruption fails here instead of depending on which inner
+        # structure the cut happens to land in (r10 fuzz)
+        raise ValueError("RIFF size disagrees with payload length")
     n_frames = None
     handler_ok = False
     movi_span = None
@@ -1442,6 +1451,8 @@ def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
         if fourcc == b"LIST" and ltype == b"hdrl":
             for f2, l2, s2, z2 in _walk_riff(payload, start, start + size):
                 if f2 == b"avih":
+                    if z2 < 56:
+                        raise ValueError("truncated avih header")
                     hdr = struct.unpack("<14I", payload[s2 : s2 + 56])
                     n_frames, n_streams = hdr[4], hdr[6]
                     if n_streams != 1:
@@ -1449,6 +1460,8 @@ def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
                 elif f2 == b"LIST" and l2 == b"strl":
                     for f3, _l3, s3, _z3 in _walk_riff(payload, s2, s2 + z2):
                         if f3 == b"strh":
+                            if _z3 < 8:
+                                raise ValueError("truncated strh header")
                             fcc_type, fcc_handler = struct.unpack(
                                 "<4s4s", payload[s3 : s3 + 8]
                             )
@@ -1457,6 +1470,8 @@ def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
                                     f"unsupported stream {fcc_type}/{fcc_handler}"
                                 )
                         elif f3 == b"strf":
+                            if _z3 < 20:
+                                raise ValueError("truncated strf header")
                             comp = payload[s3 + 16 : s3 + 20]
                             if comp != b"MJPG":
                                 raise ValueError(f"unsupported biCompression {comp}")
@@ -1464,6 +1479,8 @@ def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
         elif fourcc == b"LIST" and ltype == b"movi":
             movi_span = (start, start + size)
         elif fourcc == b"idx1":
+            if size % 16:
+                raise ValueError("truncated idx1 (not a whole entry count)")
             idx = [
                 struct.unpack("<4sIII", payload[p : p + 16])
                 for p in range(start, start + size, 16)

@@ -200,11 +200,17 @@ def iter_frame_index(payload: bytes):
     frame's PPM bytes within the payload."""
     if payload[:4] != b"RAWV":
         raise ValueError("not a RAWV frame stream")
+    if len(payload) < 8:
+        raise ValueError("truncated RAWV header")
     (n_frames,) = struct.unpack("<I", payload[4:8])
     pos = 8
     for idx in range(n_frames):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated RAWV length prefix")
         (ln,) = struct.unpack("<I", payload[pos : pos + 4])
         pos += 4
+        if pos + ln > len(payload):
+            raise ValueError("truncated RAWV frame body")
         yield idx, pos, ln
         pos += ln
     if pos != len(payload):
@@ -264,6 +270,8 @@ def decode_wav_pcm16(payload: bytes):
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
+    if len(payload) < 44:
+        raise ValueError("truncated WAV header")
     (size, fmt_tag, channels, rate, _br, _ba, bits) = struct.unpack(
         "<IHHIIHH", payload[16:36]
     )
@@ -272,6 +280,10 @@ def decode_wav_pcm16(payload: bytes):
     if payload[36:40] != b"data":
         raise ValueError("missing data chunk")
     (n_bytes,) = struct.unpack("<I", payload[40:44])
+    if n_bytes % 2 or len(payload) < 44 + n_bytes:
+        # a declared chunk longer than the bytes present silently decoded
+        # to FEWER samples before (r10 fuzz) — that's data loss, not leniency
+        raise ValueError("truncated WAV data chunk")
     return rate, np.frombuffer(payload[44 : 44 + n_bytes], dtype="<i2")
 
 
@@ -417,6 +429,8 @@ def decode_wav_mulaw(payload: bytes):
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
+    if len(payload) < 44:
+        raise ValueError("truncated WAV header")
     (size, fmt_tag, channels, rate, _br, _ba, bits) = struct.unpack(
         "<IHHIIHH", payload[16:36]
     )
@@ -425,6 +439,8 @@ def decode_wav_mulaw(payload: bytes):
     if payload[36:40] != b"data":
         raise ValueError("missing data chunk")
     (n_bytes,) = struct.unpack("<I", payload[40:44])
+    if len(payload) < 44 + n_bytes:
+        raise ValueError("truncated WAV data chunk")  # see decode_wav_pcm16
     return rate, mulaw_expand(np.frombuffer(payload[44 : 44 + n_bytes], dtype=np.uint8))
 
 
@@ -797,6 +813,7 @@ def decode_png(payload: bytes):
     pos = 8
     ihdr = None
     idat = bytearray()
+    saw_iend = False
     while pos < len(payload):
         # Bounds-check the declared length against the remaining payload so
         # a truncated buffer raises the documented ValueError, not a
@@ -816,14 +833,23 @@ def decode_png(payload: bytes):
         elif typ == b"IDAT":
             idat.extend(data)
         elif typ == b"IEND":
+            saw_iend = True
             break
         pos += 12 + ln
     if ihdr is None:
         raise ValueError("missing IHDR")
+    if not saw_iend:
+        # a stream cut after the last IDAT decoded silently before (r10
+        # fuzz); IEND is mandatory per the spec and our encoder writes it
+        raise ValueError("truncated PNG payload (no IEND)")
     w, h, depth, color, comp, filt_m, interlace = ihdr
     if (depth, color, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
         raise ValueError(f"unsupported PNG layout: {ihdr[2:]}")
-    data = zlib.decompress(bytes(idat))
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt/incomplete deflate must be the documented ValueError
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     bpp, stride = 3, w * 3
     if len(data) != h * (stride + 1):
         raise ValueError("scanline data size mismatch")
@@ -1150,6 +1176,10 @@ def decode_gif(payload: bytes):
             raise ValueError("truncated GIF data sub-block")
         data += payload[pos : pos + ln]
         pos += ln
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        # GIF89a mandates the trailer; a cut right after the last
+        # sub-block decoded silently before (r10 fuzz)
+        raise ValueError("truncated GIF payload (no trailer)")
     idx = np.frombuffer(
         _lzw_decompress(bytes(data), w * h), dtype="uint8"
     ).astype("int64")

@@ -673,3 +673,59 @@ def test_mjpeg_avi_container_roundtrip_and_validation():
     bad4[4:8] = struct.pack("<I", riff_size - 16)
     with pytest.raises(ValueError, match="idx1 has"):
         decode_avi_mjpeg_frames(bytes(bad4))
+
+
+def test_codec_family_corruption_fuzz_error_contract():
+    """Family-wide malformed-input contract (r10, mirrors the JPEG fuzz):
+    every single-bit corruption and every truncation of a valid payload,
+    for EVERY from-spec codec, either decodes or raises the documented
+    ValueError — never struct.error / IndexError / zlib.error /
+    OverflowError (the pre-hardening fuzz produced all four: short
+    WAV/RIFF/RAWV headers, declared-vs-actual data-chunk mismatches,
+    un-terminated PNG/GIF streams, corrupt deflate)."""
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators import multimodal as M
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    rgbimg = rng.randint(0, 256, (16, 16, 3)).astype("uint8")
+    samples = rng.randint(-30000, 30000, 400).astype(np.int16)
+    rgb8 = rng.randint(0, 256, (8, 8, 3)).astype("uint8")
+    fs = M.encode_frame_stream([rgb8 for _ in range(3)])
+    cases = [
+        (M.encode_png(rgbimg), M.decode_png),
+        (
+            M.encode_gif(
+                rng.randint(0, 8, (16, 16)).astype("uint8"),
+                rng.randint(0, 256, (256, 3)).astype("uint8"),
+            ),
+            M.decode_gif,
+        ),
+        (M.encode_wav_pcm16(samples, 8000), M.decode_wav_pcm16),
+        (M.encode_wav_mulaw(samples, 8000), M.decode_wav_mulaw),
+        (M.encode_ppm(rgbimg), M.decode_ppm),
+        (fs, lambda p: list(M.iter_frame_index(p))),
+        (fs, lambda p: list(M.iter_sampled_frames(p, 2))),
+        (
+            encode_avi_mjpeg(
+                [rng.randint(0, 256, (8, 8)).astype("uint8") for _ in range(3)]
+            ),
+            lambda p: list(decode_avi_mjpeg_frames(p, 1)),
+        ),
+    ]
+    for payload, dec in cases:
+        for i in range(len(payload)):
+            for bit in (0, 7):
+                p = bytearray(payload)
+                p[i] ^= 1 << bit
+                try:
+                    dec(bytes(p))
+                except ValueError:
+                    pass
+        for k in range(len(payload)):
+            with pytest.raises(ValueError):
+                dec(payload[:k])
