@@ -57,19 +57,24 @@ def register(
 # agg/events/udf/warehouse rotation, r08 the adjudication endgame (each
 # 50/50 green; cumulative 230/251 after r08 per VERDICT r08).
 #
-# Round 10 (this list): the FRESHNESS rotation (r09 VERDICT item 1). With
-# cumulative adjudication closed at 251/251 in r09, the window's job is now
-# re-adjudicating the names whose only driver evidence predates the r07
-# Arrow-kernel and r09 fan-out refactors. Policy, pinned by
+# Round 11 (this list): the second FRESHNESS rotation. Policy, pinned by
 # tests/test_oracle.py::test_driver_sample_rotation: the 45 non-sentinel
 # slots are EXACTLY the 45 stalest registry names under the deterministic
 # order (last-adjudicated round, name) with never-adjudicated names
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
-# For r10 that is: knn_recall_report (new this round, never adjudicated),
-# all 43 names last seen in r03 (the early agg_*/join_*/setop_*/window_*/
-# scalar_*/wordcount_* blocks), and asof_purchase_last_view (first r05
-# name in the tie-break order).
+# For r11 (computed by tools/rotation.py over CORRECTNESS_r01..r10) that
+# is the r05 block — dedup_*/embedding_*/knn_lsh_bucketed/knn_pq_adc/
+# pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_*/udtf/
+# wordcount_sequential_oracle — plus the first seven r06 names in
+# tie-break order (agg_histogram_equidepth, events_overlap_join_bucketed,
+# events_sessionization_capped, graph_* trio, multimodal_blob_dedup).
+#
+# WINDOW_ROUND declares which round this window serves; the rotation test
+# computes the expected window from artifacts of rounds < WINDOW_ROUND, so
+# the driver landing CORRECTNESS_r{WINDOW_ROUND}.json after the final
+# commit does not redden a finished tree (r10 VERDICT item 1).
+WINDOW_ROUND: int = 11
 #
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
@@ -79,14 +84,10 @@ def register(
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = ()
 
-# The two rows-only estimators below (agg_approx_count_distinct,
-# agg_hll_mergeable_sketches — both in the r03-stale block) are the ONLY
-# window entries without an oracle — the rotation test allowlists exactly
-# these two.
-ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = (
-    "agg_approx_count_distinct",
-    "agg_hll_mergeable_sketches",
-)
+# Every name in the r11 window carries a DuckDB oracle (the two agg
+# sketch estimators rotated out with the r03 block; dedup_minhash_ml is
+# not among the 45 stalest) — the rotation test pins this empty.
+ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = ()
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     # sentinels (driver-green in r01-r09)
@@ -95,54 +96,53 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # --- new this round (never adjudicated; stalest by definition) ---
-    "knn_recall_report",
-    # --- the 43 names last driver-adjudicated in r03 (pre-Arrow tree) ---
-    "agg_approx_count_distinct",
-    "agg_basic_stats",
-    "agg_collect_sorted",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_exact_moments",
-    "agg_group_by_all",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_hll_mergeable_sketches",
-    "agg_rollup",
-    "join_cross",
-    "join_full_outer",
-    "join_inner",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_null_safe",
-    "join_range_nonequi",
-    "join_right_outer",
-    "q10_returned_items",
-    "scalar_date_funcs",
-    "scalar_regexp_split",
-    "scalar_string_funcs",
-    "setop_distinct",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_by_name",
-    "setop_union_distinct",
-    "window_first_last_nth",
-    "window_lag_lead",
-    "window_ntile",
-    "window_percent_rank_cume_dist",
-    "window_rank_dense_rank",
-    "window_rank_topn_per_group",
-    "window_running_frame",
-    "window_sliding_frame",
-    "wordcount_full",
-    "wordcount_top50",
-    "wordcount_top7",
-    # --- first r05 name in (last-round, name) tie-break order ---
-    "asof_purchase_last_view",
+    # --- the 38 names last driver-adjudicated in r05 ---
+    "dedup_cluster_keep_canonical",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_centroid_by_label",
+    "embedding_neardup_pairs",
+    "embedding_normalize_quantize",
+    "knn_lsh_bucketed",
+    "knn_pq_adc",
+    "pipeline_chunk_documents",
+    "pipeline_decontaminate",
+    "pipeline_domain_cap",
+    "pipeline_mixture_reweight",
+    "pipeline_pack_sequences",
+    "pipeline_quality_quantile",
+    "pipeline_repetition_filter",
+    "pipeline_stratified_sample",
+    "pipeline_train_split",
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "subq_correlated_avg_per_brand",
+    "subq_lateral_topk_per_nation",
+    "subq_scalar_global_avg",
+    "text_bm25",
+    "text_doc_similarity_sparse",
+    "text_inverted_index",
+    "text_langid",
+    "text_quality",
+    "text_term_stats",
+    "udf_apply_in_pandas_gap",
+    "udf_encode_tokens",
+    "udf_pandas_scalar_net_price",
+    "udtf_positioned_words",
+    "wordcount_sequential_oracle",
+    # --- first 7 r06 names in (last-round, name) tie-break order ---
+    "agg_histogram_equidepth",
+    "events_overlap_join_bucketed",
+    "events_sessionization_capped",
+    "graph_bfs_distances",
+    "graph_degree_hubs",
+    "graph_triangle_count",
+    "multimodal_blob_dedup",
 )
 
 

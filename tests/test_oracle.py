@@ -35,9 +35,12 @@ def test_query_matches_oracle(spark, duck, qname):
     assert not problems, f"{qname}: {problems[:5]}"
 
 
-def _last_adjudicated():
+def _last_adjudicated(max_round: int | None = None):
     """name -> latest round number with driver evidence, over every
-    CORRECTNESS_r*.json present in the repo root."""
+    CORRECTNESS_r*.json present in the repo root. ``max_round`` (exclusive
+    upper bound, if given) drops newer artifacts — the rotation test uses
+    it so the driver landing the current round's artifact after the final
+    commit does not redden a finished tree."""
     import glob
     import json
     import os
@@ -47,10 +50,24 @@ def _last_adjudicated():
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if max_round is not None and rnd >= max_round:
+            continue
         with open(path) as f:
             for name in json.load(f):
                 last[name] = max(last.get(name, 0), rnd)
     return last
+
+
+def _artifact_rounds():
+    import glob
+    import os
+    import re
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    return sorted(
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    )
 
 
 def test_driver_sample_rotation():
@@ -62,10 +79,21 @@ def test_driver_sample_rotation():
     deterministic order (last-adjudicated round, name), never-adjudicated
     names sorting first as round 0. This makes min(last-adjudicated round)
     over the registry rise every round — staleness can never silently
-    accumulate again."""
+    accumulate again.
+
+    Round-11 refinement (r10 VERDICT item 1 + ADVICE): the expected window
+    is computed from artifacts of rounds STRICTLY BELOW base.WINDOW_ROUND,
+    so the driver committing CORRECTNESS_r{WINDOW_ROUND}.json after the
+    round's final commit does not redden a finished tree. WINDOW_ROUND
+    itself is pinned to at most max(artifact round) + 1, so the constant
+    cannot be frozen ahead to dodge future rotations; the one-round grace
+    this leaves (a tree holding last round's window plus last round's own
+    artifact is byte-identical to a finished tree) is closed by
+    tools/rotation.py at round start, not by this test."""
     from slr207_mapreduce_spark.plans.base import (
         DRIVER_SAMPLE_FIRST,
         ROWS_ONLY_WINDOW_NAMES,
+        WINDOW_ROUND,
     )
 
     specs = _specs()
@@ -74,7 +102,13 @@ def test_driver_sample_rotation():
     no_oracle = {n for n in first50 if specs[n].oracle is None}
     assert no_oracle == set(ROWS_ONLY_WINDOW_NAMES)
 
-    last = _last_adjudicated()
+    rounds = _artifact_rounds()
+    if rounds:
+        assert WINDOW_ROUND <= max(rounds) + 1, (
+            f"WINDOW_ROUND={WINDOW_ROUND} frozen ahead of driver evidence "
+            f"(newest artifact is r{max(rounds)})"
+        )
+    last = _last_adjudicated(max_round=WINDOW_ROUND)
     if not last:
         return  # fresh checkout without driver artifacts
     sentinels = first50[:5]

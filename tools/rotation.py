@@ -51,6 +51,8 @@ def main() -> int:
     )
     window = list(SENTINELS) + rest[:45]
     no_oracle = [n for n in window if specs[n].oracle is None]
+    max_round = max(last.values(), default=0)
+    print(f"# suggested WINDOW_ROUND: {max_round + 1}")
     print("# suggested DRIVER_SAMPLE_FIRST (sentinels + 45 stalest):")
     for n in window:
         print(f'    "{n}",  # last r{last.get(n, 0):02d}')
