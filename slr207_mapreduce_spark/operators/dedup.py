@@ -493,3 +493,58 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
     )
     SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
     """
+
+
+def simhash_band_pairs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 2,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs at ``hamming(simhash) <= max_hamming`` via bit-sampling
+    LSH: split the ``bits``-bit signature into ``bands`` equal bands, equi-join
+    on (band index, band value), verify exact Hamming distance on candidates.
+
+    Recall is exact, not approximate: ``max_hamming`` differing bits can touch
+    at most ``max_hamming`` bands, so with ``bands > max_hamming`` every
+    qualifying pair shares at least one identical band (pigeonhole) and
+    therefore survives the equi-join. This replaces the labeled all-pairs
+    broadcast-nested-loop formulation — the shuffle keys on (band, value), so
+    at production widths (64-bit signatures, 16-bit bands → 65k buckets/band)
+    the comparison volume is sum of per-bucket squares, not n². At the test
+    width (16 bits, 4-bit bands) buckets are coarse, but the plan shape is
+    the one that scales and Catalyst picks a shuffled hash join.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for exact recall"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    w = bits // bands
+    mask = (1 << w) - 1
+    band_vals = F.array(
+        *[F.shiftright(F.col("simhash"), w * i).bitwiseAND(F.lit(mask)) for i in range(bands)]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands; emit it once
+    )

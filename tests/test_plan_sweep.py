@@ -57,10 +57,8 @@ BNLJ_ALLOWED = {
     "join_cross": 1,
     "join_range_nonequi": 1,
     "events_promo_overlap_join": 1,
-    # labeled all-pairs candidate tier over the tiny signature frame
-    # (doc_id + 16-bit simhash — the banded-index scale paths are the
-    # registered dedup_minhash_lsh / streaming near-dup gate alongside)
-    "dedup_simhash_pairs": 1,
+    # dedup_simhash_pairs left this list in r11: bit-sampling LSH banding
+    # (operators/dedup.py:simhash_band_pairs) made it an equi-join.
 }
 
 TINY_TABLES = {"region", "nation"}
