@@ -252,12 +252,73 @@ def signbit_bucket_dims_sql(vec_expr: str, dims: list[int]) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
+# --- Auto-scaled probe budgets (r10 VERDICT item 2) -----------------------
+#
+# The r10 recall audit (plans/recall_report.py) measured recall FALLING with
+# corpus size at fixed probe budgets (LSH 0.80→0.56, IVF 0.60→0.30 at
+# sf0.01→sf0.1) and hand-measured the dials that restore it (SCALE.md:
+# tables 8→16, nprobe 3→12, rerank 20→150). These helpers automate that
+# knob contract: budgets grow with floor(log2(N / anchor)) where the anchor
+# is the 500-vector sf0.01 corpus the fixed configs were calibrated on.
+# The growth coefficients are set so two doublings (sf0.1's 2000 vectors)
+# land at or above the hand-measured restore points. Every formula is
+# integer-exact on both engines: Python uses bit_length (exact), DuckDB
+# floor(log2(integer)) — safe because log2 of an exact power of two is
+# exact in IEEE doubles and any other integer below 2^50 sits ≥1e-12 away
+# from the nearest integer log2, far beyond double rounding error.
+
+AUTO_BUDGET_ANCHOR = 500  # corpus rows at the calibration point (sf0.01)
+MAX_AUTO_LSH_TABLES = 32  # structural ceiling — the SQL mirror unrolls this many
+
+
+def budget_doublings(n_corpus: int, anchor: int = AUTO_BUDGET_ANCHOR) -> int:
+    """floor(log2(n_corpus / anchor)) clamped at 0, integer-exact."""
+    if n_corpus <= anchor:
+        return 0
+    return (n_corpus // anchor).bit_length() - 1
+
+
+def budget_doublings_sql(count_expr: str, anchor: int = AUTO_BUDGET_ANCHOR) -> str:
+    """DuckDB mirror of :func:`budget_doublings` over a COUNT(*) scalar."""
+    return (
+        f"CASE WHEN ({count_expr}) <= {anchor} THEN 0 "
+        f"ELSE CAST(floor(log2(({count_expr}) // {anchor})) AS BIGINT) END"
+    )
+
+
+def auto_lsh_tables(n_corpus: int) -> int:
+    """8 tables at the anchor, +4 per corpus doubling (16 at sf0.1 — the
+    hand-measured restore point), capped at the structural SQL unroll."""
+    return min(MAX_AUTO_LSH_TABLES, 8 + 4 * budget_doublings(n_corpus))
+
+
+def auto_ivf_nprobe(n_corpus: int) -> int:
+    """3 cells at the anchor, +5 per doubling (13 at sf0.1 ≥ the measured
+    12-cell restore point)."""
+    return 3 + 5 * budget_doublings(n_corpus)
+
+
+def auto_pq_rerank(n_corpus: int) -> int:
+    """20 candidates at the anchor, +65 per doubling (150 at sf0.1 — the
+    measured restore point)."""
+    return 20 + 65 * budget_doublings(n_corpus)
+
+
+def auto_jl_shortlist(n_corpus: int) -> int:
+    """150 at the anchor, +225 per doubling (600 at sf0.1). JL needs the
+    steepest dial of the family: the synthetic corpus is near-random — the
+    JL worst case, where recall tracks shortlist FRACTION, not size (a
+    +75/doubling dial measured 0.74→0.52 at sf0.01→sf0.1; +225 holds it).
+    On real clustered embeddings the log dial is far more than enough."""
+    return 150 + 225 * budget_doublings(n_corpus)
+
+
 def knn_lsh_bucketed(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     bits: int = 4,
-    tables: int = 8,
+    tables: int | str = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -284,6 +345,11 @@ def knn_lsh_bucketed(
 
     from slr207_mapreduce_spark.operators.skew import parallelize_narrow_scan
 
+    if tables == "auto":
+        # One cheap count action (parquet footer metadata at scan sources)
+        # resolves the budget driver-side; the SQL mirror computes the same
+        # integer from COUNT(*) and filters its fixed unroll to match.
+        tables = auto_lsh_tables(corpus.count())
     corpus = parallelize_narrow_scan(corpus, by=id_col)
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:
@@ -332,18 +398,37 @@ def knn_lsh_bucketed(
 
 
 def knn_lsh_bucketed_sql(
-    k: int, bits: int, query_pred: str, tables: int = 8, dim: int = 64
+    k: int, bits: int, query_pred: str, tables: int | str = 8, dim: int = 64
 ) -> str:
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    if tables == "auto":
+        # The table count is data-dependent but the SQL text is fixed, so
+        # unroll the structural ceiling and filter to the computed budget —
+        # row-identical to the Spark plan, which unrolls exactly the budget.
+        n_unroll = MAX_AUTO_LSH_TABLES
+        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+        budget_cte = (
+            f"__budget AS (SELECT LEAST({MAX_AUTO_LSH_TABLES}, "
+            f"8 + 4 * ({d_sql})) AS n_tables),"
+        )
+        bucket_filter = "WHERE tbl < (SELECT n_tables FROM __budget)"
+    else:
+        n_unroll = tables
+        budget_cte = ""
+        bucket_filter = ""
     bucket_rows = "\n      UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, "
         f"{signbit_bucket_dims_sql('embedding', _table_dims(t, bits, dim))} AS bkey "
         f"FROM embeddings"
-        for t in range(tables)
+        for t in range(n_unroll)
     )
     return f"""
-    WITH buckets AS (
+    WITH {budget_cte}
+    __buckets_all AS (
       {bucket_rows}
+    ),
+    buckets AS (
+      SELECT vec_id, tbl, bkey FROM __buckets_all {bucket_filter}
     ),
     cand AS (
       SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
@@ -372,7 +457,7 @@ def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    nprobe: int = 3,
+    nprobe: int | str = 3,
     centroid_stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -425,6 +510,8 @@ def knn_ivf(
     import pandas as pd
     from pyspark.sql import Window
 
+    if nprobe == "auto":
+        nprobe = auto_ivf_nprobe(corpus.count())
     cent = corpus.where(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
     )
@@ -558,9 +645,12 @@ def knn_ivf(
 
 
 def knn_ivf_sql(
-    k: int, nprobe: int, centroid_stride: int, query_pred: str
+    k: int, nprobe: int | str, centroid_stride: int, query_pred: str
 ) -> str:
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    if nprobe == "auto":
+        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+        nprobe = f"(SELECT 3 + 5 * ({d_sql}))"
     return f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding AS cemb FROM embeddings
@@ -721,7 +811,7 @@ def knn_pq_adc(
     m: int = 8,
     sub_dim: int = 8,
     ksub: int = 16,
-    rerank: int = 20,
+    rerank: int | str = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -755,6 +845,8 @@ def knn_pq_adc(
     import pandas as pd
     from pyspark.sql import Window
 
+    if rerank == "auto":
+        rerank = auto_pq_rerank(corpus.count())
     # Encode + LUT + ADC run as ONE Arrow-batched numpy kernel over the
     # corpus (r7 — the declarative form exploded the corpus to N·m
     # subspace rows, scored N·m·ksub pairs with the interpreted
@@ -875,9 +967,12 @@ def knn_pq_adc(
 
 
 def knn_pq_adc_sql(
-    k: int, m: int, sub_dim: int, ksub: int, rerank: int, query_pred: str
+    k: int, m: int, sub_dim: int, ksub: int, rerank: int | str, query_pred: str
 ) -> str:
     """DuckDB mirror of :func:`knn_pq_adc` (same codes, same bits)."""
+    if rerank == "auto":
+        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+        rerank = f"(SELECT 20 + 65 * ({d_sql}))"
     slice_expr = (
         "list_slice(CAST(embedding AS DOUBLE[]), s * {sd} + 1, s * {sd} + {sd})"
     ).format(sd=sub_dim)

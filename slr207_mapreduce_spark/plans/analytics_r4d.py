@@ -463,8 +463,20 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 from slr207_mapreduce_spark.operators.similarity import COSINE_SQL, cosine  # noqa: E402
 
 _JL_Q = 10       # query set: vec_id < 10 (matches the other knn_* queries)
-_JL_SHORT = 150  # shortlist size per query before exact rerank
 _JL_K = 5
+
+# Shortlist budget auto-scales with corpus size (r10 VERDICT item 2): 150
+# at the 500-vector anchor, +225 per corpus doubling — the SQL below
+# computes the same integer from COUNT(*) (see
+# operators/similarity.py:auto_jl_shortlist / budget_doublings_sql).
+from slr207_mapreduce_spark.operators.similarity import (  # noqa: E402
+    auto_jl_shortlist,
+    budget_doublings_sql,
+)
+
+_JL_SHORT_SQL = (
+    f"(SELECT 150 + 225 * ({budget_doublings_sql('SELECT COUNT(*) FROM embeddings')}))"
+)
 
 _JL_PROJ_CTE = "SELECT vec_id, " + ", ".join(
     f"{_proj_sql(k)} AS p{k}" for k in range(_PROJ_DIM)
@@ -495,7 +507,7 @@ _JL_PDOT = " + ".join(f"q.p{k}*c.p{k}" for k in range(_PROJ_DIM))
       FROM short s
       JOIN embeddings q ON q.vec_id = s.query_id
       JOIN embeddings c ON c.vec_id = s.neighbor_id
-      WHERE s.prank <= {_JL_SHORT}
+      WHERE s.prank <= {_JL_SHORT_SQL}
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cos_sim,
@@ -536,6 +548,7 @@ def knn_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, "embeddings", sf_dir)
+    jl_short = auto_jl_shortlist(e.count())
     proj = embedding_random_projection(spark, sf_dir).drop("label")
     pcols = [f"p{k}" for k in range(_PROJ_DIM)]
     qrows = proj.where(F.col("vec_id") < _JL_Q).collect()
@@ -558,7 +571,7 @@ def knn_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(nq):
                 mask = nid != qids[i]
                 cand_ids, cand_dot = nid[mask], pdot[mask, i]
-                top = np.lexsort((cand_ids, -cand_dot))[:_JL_SHORT]
+                top = np.lexsort((cand_ids, -cand_dot))[:jl_short]
                 out_q.extend([qids[i]] * len(top))
                 out_n.extend(cand_ids[top])
                 out_p.extend(cand_dot[top])
@@ -576,7 +589,7 @@ def knn_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("pdot"), F.asc("neighbor_id"))
     short = (
         local.withColumn("prank", F.row_number().over(w))
-        .where(F.col("prank") <= _JL_SHORT)
+        .where(F.col("prank") <= jl_short)
         .select("query_id", "neighbor_id")
     )
     qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 # before this module reads the registry (all_queries() also imports them
 # first, but the report must be import-order-robust).
 from slr207_mapreduce_spark.plans import analytics_r4d  # noqa: F401
-from slr207_mapreduce_spark.plans import similarity_queries  # noqa: F401
+from slr207_mapreduce_spark.plans import similarity_queries
 from slr207_mapreduce_spark.plans.base import REGISTRY, register
 from slr207_mapreduce_spark.operators.similarity import (
     COSINE_SQL,
@@ -50,15 +50,20 @@ from slr207_mapreduce_spark.operators.similarity import (
 )
 from slr207_mapreduce_spark.sources.tables import load_table
 
-# (tier name, n_queries, k) — the bruteforce-referenced tiers share the
-# registered query set (vec_id < 10) and k=5.
+# (tier name, n_queries, k) — derived from the tier modules' exported
+# configuration constants (r10 ADVICE: duplicated literals here could let
+# a tier config change silently skew recall denominators while the
+# hits numerator, composed from the registered oracle SQL, tracked it).
+_KNN_NQ = similarity_queries._N_QUERIES
+_KNN_K = similarity_queries.KNN_K
 _BF_TIERS: tuple[tuple[str, int, int], ...] = (
-    ("knn_lsh_bucketed", 10, 5),
-    ("knn_ivf", 10, 5),
-    ("knn_pq_adc", 10, 5),
-    ("knn_jl_rerank", 10, 5),
+    ("knn_lsh_bucketed", _KNN_NQ, _KNN_K),
+    ("knn_ivf", _KNN_NQ, _KNN_K),
+    ("knn_pq_adc", _KNN_NQ, _KNN_K),
+    ("knn_jl_rerank", analytics_r4d._JL_Q, analytics_r4d._JL_K),
 )
-_INT8_NQ, _INT8_K = 5, 3  # knn_quantized_int8's registered configuration
+_INT8_NQ = similarity_queries.INT8_NQ
+_INT8_K = similarity_queries.INT8_K
 
 
 def _int8_reference_sql() -> str:

@@ -22,11 +22,17 @@ from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
 
 _N_QUERIES = 10  # query set: vec_id < 10 (broadcast side)
+KNN_K = 5  # top-k shared by the bruteforce-referenced tiers
+# knn_quantized_int8's registered configuration (query/corpus split + k) —
+# exported so plans/recall_report.py derives its denominators from here
+# instead of duplicating literals (r10 ADVICE).
+INT8_NQ = 5
+INT8_K = 3
 
 
 @register(
     "knn_bruteforce",
-    oracle=knn_bruteforce_sql(k=5, query_pred=f"{{col}} < {_N_QUERIES}"),
+    oracle=knn_bruteforce_sql(k=KNN_K, query_pred=f"{{col}} < {_N_QUERIES}"),
     doc="Exact brute-force cosine top-5 for 10 query vectors: broadcast "
     "queries, one corpus scan, per-query top-k reduce. O(Q·N·d) — the ANN "
     "verifier / small-Q baseline.",
@@ -34,44 +40,51 @@ _N_QUERIES = 10  # query set: vec_id < 10 (broadcast side)
 )
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    return knn_bruteforce(e, e.where(F.col("vec_id") < _N_QUERIES), k=5)
+    return knn_bruteforce(e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K)
 
 
 @register(
     "knn_lsh_bucketed",
     oracle=knn_lsh_bucketed_sql(
-        k=5, bits=4, tables=8, query_pred=f"{{col}} < {_N_QUERIES}"
+        k=KNN_K, bits=4, tables="auto", query_pred=f"{{col}} < {_N_QUERIES}"
     ),
-    doc="ANN top-5 via multi-table sign-bit LSH (8 tables × 4 bits, "
-    "OR-of-ANDs): candidates meet through an equi-join on (table, bucket) "
-    "— the scale path (shuffle ∝ bucket sizes, not N×Q). ~75% recall vs "
-    "brute force on this corpus, measured in tests/test_llm_ops.py.",
+    doc="ANN top-5 via multi-table sign-bit LSH (4 bits/table, OR-of-ANDs): "
+    "candidates meet through an equi-join on (table, bucket) — the scale "
+    "path (shuffle ∝ bucket sizes, not N×Q). The table count auto-scales "
+    "with corpus size (8 at the 500-vector anchor, +4 per doubling — "
+    "operators/similarity.py:auto_lsh_tables) so recall holds as the "
+    "corpus grows instead of decaying at a fixed budget; the oracle "
+    "computes the same integer budget from COUNT(*). Recall audited by "
+    "knn_recall_report and tests/test_llm_ops.py.",
     tags=("similarity",),
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     return knn_lsh_bucketed(
-        e, e.where(F.col("vec_id") < _N_QUERIES), k=5, bits=4, tables=8
+        e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, bits=4, tables="auto"
     )
 
 
 @register(
     "knn_ivf",
     oracle=knn_ivf_sql(
-        k=5, nprobe=3, centroid_stride=50, query_pred=f"{{col}} < {_N_QUERIES}"
+        k=KNN_K, nprobe="auto", centroid_stride=50, query_pred=f"{{col}} < {_N_QUERIES}"
     ),
     doc="ANN top-5 via IVF: deterministic coarse quantizer (seed vectors "
-    "vec_id % 50 == 0), nearest-centroid inverted lists, 3-cell probe, "
-    "exact cosine re-rank inside the probed cells. The FAISS-IVF shape on "
-    "DataFrames: centroids broadcast (assignment is a shuffle-free map), "
-    "lists bucket by cell id for partition-pruned probes at scale. Recall "
-    "vs brute force measured in tests/test_llm_ops.py.",
+    "vec_id % 50 == 0), nearest-centroid inverted lists, auto-scaled cell "
+    "probe (3 cells at the 500-vector anchor, +5 per corpus doubling — "
+    "operators/similarity.py:auto_ivf_nprobe; the oracle computes the same "
+    "budget from COUNT(*)), exact cosine re-rank inside the probed cells. "
+    "The FAISS-IVF shape on DataFrames: centroids broadcast (assignment is "
+    "a shuffle-free map), lists bucket by cell id for partition-pruned "
+    "probes at scale. Recall audited by knn_recall_report.",
     tags=("similarity",),
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     return knn_ivf(
-        e, e.where(F.col("vec_id") < _N_QUERIES), k=5, nprobe=3, centroid_stride=50
+        e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, nprobe="auto",
+        centroid_stride=50,
     )
 
 
@@ -182,8 +195,8 @@ _Q_CODES_SQL = """
     "knn_quantized_int8",
     oracle=f"""
     WITH codes AS ({_Q_CODES_SQL}),
-    q AS (SELECT vec_id AS query_id, codes AS qc FROM codes WHERE vec_id < 5),
-    c AS (SELECT vec_id AS neighbor_id, codes AS cc FROM codes WHERE vec_id >= 5),
+    q AS (SELECT vec_id AS query_id, codes AS qc FROM codes WHERE vec_id < {INT8_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, codes AS cc FROM codes WHERE vec_id >= {INT8_NQ}),
     scored AS (
       SELECT query_id, neighbor_id,
              CAST(list_dot_product(CAST(qc AS DOUBLE[]), CAST(cc AS DOUBLE[])) AS BIGINT) AS iscore
@@ -195,7 +208,7 @@ _Q_CODES_SQL = """
                                      ORDER BY iscore DESC, neighbor_id ASC) AS BIGINT) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, iscore, rank FROM ranked WHERE rank <= 3
+    SELECT query_id, neighbor_id, iscore, rank FROM ranked WHERE rank <= {INT8_K}
     """,
     doc="Quantized (int8-code) top-k search: vectors L2-normalized and "
     "floor-quantized to [-127,127] integer codes (the compressed form an "
@@ -228,7 +241,7 @@ def q_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         return np.floor(mat / nrm[:, None] * 127).astype(np.int64)
 
     qrows = (
-        e.where(F.col("vec_id") < 5)
+        e.where(F.col("vec_id") < INT8_NQ)
         .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
         .collect()
     )
@@ -249,7 +262,7 @@ def q_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             iscore = ccodes @ qcodes.T  # exact int64
             out_q, out_n, out_s = [], [], []
             for i in range(nq):
-                top = np.lexsort((nid, -iscore[:, i]))[:3]
+                top = np.lexsort((nid, -iscore[:, i]))[:INT8_K]
                 out_q.extend([qids[i]] * len(top))
                 out_n.extend(nid[top])
                 out_s.extend(iscore[top, i])
@@ -262,7 +275,7 @@ def q_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     local = (
-        e.where(F.col("vec_id") >= 5)
+        e.where(F.col("vec_id") >= INT8_NQ)
         .selectExpr("vec_id AS neighbor_id", "CAST(embedding AS array<double>) AS cvec")
         .mapInPandas(score, schema="query_id long, neighbor_id long, iscore long")
     )
@@ -271,14 +284,14 @@ def q_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         local.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 3)
+        .where(F.col("rank") <= INT8_K)
         .select("query_id", "neighbor_id", "iscore", "rank")
     )
 
 @register(
     "knn_pq_adc",
     oracle=knn_pq_adc_sql(
-        k=5, m=8, sub_dim=8, ksub=16, rerank=20,
+        k=KNN_K, m=8, sub_dim=8, ksub=16, rerank="auto",
         query_pred=f"{{col}} < {_N_QUERIES}",
     ),
     doc="ANN top-5 via product quantization + asymmetric distance (the "
@@ -286,14 +299,17 @@ def q_knn_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centroids), corpus encoded to 8 codes by an argmin AGGREGATION "
     "(map-side combined — no window over the corpus), query LUT broadcast, "
     "ADC distance = integer sum of LUT hits (fixed-point nano-units -> "
-    "order-independent), exact cosine re-rank of the top-20. 64 f32 dims "
-    "-> 8 bytes is the 32x compression that keeps a 100 TB corpus' index "
-    "in memory. Recall vs brute force measured in tests/test_llm_ops.py.",
+    "order-independent), exact cosine re-rank of an auto-scaled shortlist "
+    "(20 at the 500-vector anchor, +65 per corpus doubling — "
+    "operators/similarity.py:auto_pq_rerank; the oracle computes the same "
+    "budget from COUNT(*)). 64 f32 dims -> 8 bytes is the 32x compression "
+    "that keeps a 100 TB corpus' index in memory. Recall audited by "
+    "knn_recall_report.",
     tags=("similarity",),
 )
 def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     return knn_pq_adc(
-        e, e.where(F.col("vec_id") < _N_QUERIES), k=5, m=8, sub_dim=8,
-        ksub=16, rerank=20,
+        e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, m=8, sub_dim=8,
+        ksub=16, rerank="auto",
     )

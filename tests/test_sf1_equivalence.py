@@ -161,11 +161,14 @@ def test_sf1_knn_jl_rerank_exact(spark, sf1, specs, emb):
     S = np.array([[_jl_sign(j, k) for k in range(16)] for j in range(64)], dtype=np.int64)
     P = np.floor(V64 * 1e6).astype(np.int64) @ S  # exact integers
     norms = np.sqrt(_seq_self_dot(V64))
+    from slr207_mapreduce_spark.operators.similarity import auto_jl_shortlist
+
+    jl_short = auto_jl_shortlist(len(ids))  # registered config is "auto"
     expected = set()
     for qi in np.where(ids < 10)[0]:
         pdot = P @ P[qi]
         mask = ids != ids[qi]
-        short = _topk(ids[mask], pdot[mask], 150)
+        short = _topk(ids[mask], pdot[mask], jl_short)
         sids = ids[mask][short]
         spos = np.searchsorted(ids, sids)  # ids are sorted unique
         dots = _seq_dot_mat(V64[qi], V64[spos])
@@ -180,8 +183,11 @@ def test_sf1_knn_jl_rerank_exact(spark, sf1, specs, emb):
 
 
 def test_sf1_knn_pq_adc_exact(spark, sf1, specs, emb):
-    m, sub_dim, ksub, rerank, k = 8, 8, 16, 20, 5
+    from slr207_mapreduce_spark.operators.similarity import auto_pq_rerank
+
     ids, V = emb
+    m, sub_dim, ksub, k = 8, 8, 16, 5
+    rerank = auto_pq_rerank(len(ids))  # registered config is "auto"
     V64 = V.astype(np.float64)
     cent_pos = np.where(ids < ksub)[0]
 

@@ -10,8 +10,14 @@ star-schema referential integrity copy-by-copy:
 - document text gets a per-copy suffix token, so replicated docs are
   NEAR-duplicates (realistic MinHash/LSH workload) instead of exact ones,
   and n_chars is recomputed to stay consistent;
-- embeddings get a per-copy additive epsilon so no two copies are exactly
-  tied in distance (top-k results stay order-stable).
+- embeddings for copies c > 0 get per-(vec_id, copy, dim) deterministic
+  md5 jitter, quantized at 1e-6 and spanning ±2x the component scale
+  (r10 VERDICT item 3: the previous constant +0.0001*c epsilon left the
+  copies near-exact CLONES of their source — every query's true top-k
+  was its own replicas at cos≈1.0, so decade-scale ANN recall read as a
+  ~1.0 artifact). With the jitter, replica pairs sit at cos≈0.6 —
+  realistic cluster structure (10 related vectors per concept), zero
+  near-exact duplicates — and the int8 quantizer sees untied values.
 
 Everything is pure column arithmetic over the source parquet — no RNG —
 so the output is byte-reproducible. Correctness queries remain
@@ -100,26 +106,54 @@ def generate(src: str, out: str, mult: int) -> None:
         "             ELSE text || ' copyvariant{c}' END) AS BIGINT) AS n_chars"
         " FROM {src}",
     )
+    # Per-(vec_id, copy, dim) jitter: md5 hex -> int -> uniform grid on
+    # [-0.25, 0.25] in exact 1e-6 steps (the same fixed-point discipline as
+    # analytics_r4d.py's JL projection — every value is N * 1e-6 for an
+    # integer N, so the parquet bytes are engine- and platform-exact).
+    # 0.25 = 2x the source component std (unit vectors, 64 dims, std 1/8),
+    # which pushes replica cosine from ~1.0 (clone artifact) to ~0.6.
+    jitter = (
+        "((CAST(concat('0x', substring(md5("
+        "CAST(vec_id AS VARCHAR) || ':' || '{c}' || ':' || CAST(i AS VARCHAR)"
+        "), 1, 12)) AS BIGINT) % 500001) - 250000) * 0.000001"
+    )
     copy_union(
         "embeddings",
         f"SELECT vec_id + {{c}} * {STRIDE} AS vec_id,"
-        " list_transform(embedding, x -> CAST(x + 0.0001 * {c} AS FLOAT)) AS embedding,"
+        " CASE WHEN {c} = 0 THEN embedding"
+        f" ELSE list_transform(embedding, (x, i) -> CAST(x + {jitter} AS FLOAT))"
+        " END AS embedding,"
         " label FROM {src}",
     )
     con.close()
 
 
+# Bump when generate()'s output changes so cached .sfgen trees rebuild.
+# v2: embeddings copies c>0 get md5 jitter instead of the clone epsilon
+# (r10 VERDICT item 3).
+GEN_VERSION = "2"
+
+
 def ensure_sf1(repo_root: str) -> str:
-    """Generate the sf1.0 tier under <repo>/.sfgen/sf1.0 if absent; return
-    the directory. Cheap no-op when already built (checked per table)."""
+    """Generate the sf1.0 tier under <repo>/.sfgen/sf1.0 if absent or built
+    by an older generator version; return the directory. Cheap no-op when
+    current (checked per table + version marker)."""
     out = os.path.join(repo_root, ".sfgen", "sf1.0")
     tables = (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split()
-    if all(os.path.exists(os.path.join(out, f"{t}.parquet")) for t in tables):
+    marker = os.path.join(out, ".genversion")
+    current = (
+        os.path.exists(marker) and open(marker).read().strip() == GEN_VERSION
+    )
+    if current and all(
+        os.path.exists(os.path.join(out, f"{t}.parquet")) for t in tables
+    ):
         return out
     generate("/root/testdata/sf0.1", out, mult=10)
+    with open(marker, "w") as f:
+        f.write(GEN_VERSION)
     return out
 
 
