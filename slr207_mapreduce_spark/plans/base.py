@@ -64,11 +64,12 @@ def register(
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
 # For r11 (computed by tools/rotation.py over CORRECTNESS_r01..r10) that
-# is the r05 block — dedup_*/embedding_*/knn_lsh_bucketed/knn_pq_adc/
+# is estimator_error_report (new this round, never adjudicated), the r05
+# block — dedup_*/embedding_*/knn_lsh_bucketed/knn_pq_adc/
 # pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_*/udtf/
-# wordcount_sequential_oracle — plus the first seven r06 names in
+# wordcount_sequential_oracle — plus the first six r06 names in
 # tie-break order (agg_histogram_equidepth, events_overlap_join_bucketed,
-# events_sessionization_capped, graph_* trio, multimodal_blob_dedup).
+# events_sessionization_capped, graph_* trio).
 #
 # WINDOW_ROUND declares which round this window serves; the rotation test
 # computes the expected window from artifacts of rounds < WINDOW_ROUND, so
@@ -96,6 +97,8 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
+    # --- new this round (never adjudicated; stalest by definition) ---
+    "estimator_error_report",
     # --- the 38 names last driver-adjudicated in r05 ---
     "dedup_cluster_keep_canonical",
     "dedup_exact",
@@ -135,14 +138,13 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "udf_pandas_scalar_net_price",
     "udtf_positioned_words",
     "wordcount_sequential_oracle",
-    # --- first 7 r06 names in (last-round, name) tie-break order ---
+    # --- first 6 r06 names in (last-round, name) tie-break order ---
     "agg_histogram_equidepth",
     "events_overlap_join_bucketed",
     "events_sessionization_capped",
     "graph_bfs_distances",
     "graph_degree_hubs",
     "graph_triangle_count",
-    "multimodal_blob_dedup",
 )
 
 
@@ -190,6 +192,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics_r4c,
         analytics_r4d,
         recall_report,
+        estimator_report,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -86,6 +86,12 @@ SCAN_BUDGET_EXCEPTIONS = {
     # 4) — its scan count is the SUM of the audited tiers' (each
     # individually within budget), not a branchy re-read of one plan
     "knn_recall_report": 19,
+    # the estimator-bound audit tier (r10 VERDICT item 6) composes the
+    # exact-Jaccard inverted-index self-join (3 doc scans, used for both
+    # the hits and total legs), the MLlib MinHash self-join (shingle scans
+    # on both sides), and the HLL per-lang + merged + global-exact legs —
+    # the scan count is the sum of the audited estimators' own tiers
+    "estimator_error_report": 13,
 }
 
 
