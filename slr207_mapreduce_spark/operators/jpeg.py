@@ -572,16 +572,11 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg_gray(payload: bytes):
-    """(h, w) uint8 array from baseline single-component JPEG bytes.
-
-    Full marker parse (DQT/SOF0/DHT/DRI/SOS; APPn/COM skipped), canonical
-    Huffman entropy decode with restart-interval support, dequantization,
-    de-zigzag, float64 IDCT, level shift, round + clamp. Unsupported
-    profiles (progressive SOF2, arithmetic coding, 12-bit, >1 component)
-    raise ValueError rather than mis-decoding."""
-    import numpy as np
-
+def _parse_jpeg_gray(payload: bytes):
+    """Marker parse of a baseline single-component JPEG: returns
+    (h, w, quant, dct_tree, act_tree, restart, entropy_pos). Shared by the
+    scalar decoder and the cohort batch decoder so the two paths cannot
+    drift in header validation."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     if payload[-2:] != b"\xff\xd9":
@@ -656,8 +651,21 @@ def decode_jpeg_gray(payload: bytes):
     for key in ((0, dc_sel), (1, ac_sel)):
         if key not in htrees:
             raise ValueError("scan references missing Huffman table")
-    quant = np.array(qtables[qsel], dtype="int64")
-    dct, act = htrees[(0, dc_sel)], htrees[(1, ac_sel)]
+    return h, w, tuple(qtables[qsel]), htrees[(0, dc_sel)], htrees[(1, ac_sel)], restart, pos
+
+
+def decode_jpeg_gray(payload: bytes):
+    """(h, w) uint8 array from baseline single-component JPEG bytes.
+
+    Full marker parse (DQT/SOF0/DHT/DRI/SOS; APPn/COM skipped), canonical
+    Huffman entropy decode with restart-interval support, dequantization,
+    de-zigzag, float64 IDCT, level shift, round + clamp. Unsupported
+    profiles (progressive SOF2, arithmetic coding, 12-bit, >1 component)
+    raise ValueError rather than mis-decoding."""
+    import numpy as np
+
+    h, w, quant_t, dct, act, restart, pos = _parse_jpeg_gray(payload)
+    quant = np.array(quant_t, dtype="int64")
 
     bh, bw = (h + 7) // 8, (w + 7) // 8
     coefs = np.zeros((bh * bw, 64), dtype="int64")
@@ -715,6 +723,434 @@ def _dezigzag_quant(quant):
 
 
 # --------------------------------------------------------------------------
+# Cohort-vectorized entropy decode (r10 VERDICT item 8).
+#
+# The scalar decoders above walk one bitstream symbol-by-symbol — correct,
+# and the REFERENCE for the batch path, but ~100k Python-level operations
+# per 200 tiny docs. JPEG entropy decode is sequential WITHIN a stream yet
+# embarrassingly parallel ACROSS streams, so the batch decoders below walk
+# every stream of an Arrow batch in LOCKSTEP: all segments are unstuffed
+# into one byte buffer, per-stream state (bit cursor, block index, in-block
+# position k, per-component DC predictors) lives in numpy arrays, and each
+# Python-level iteration decodes ONE symbol for EVERY active stream — a
+# 16-bit-window gather + stacked-LUT lookup + masked state update. The
+# iteration count is the max symbol count of any single stream (not the
+# sum over streams), which turns the per-symbol Python cost into a
+# per-symbol-cohort numpy cost.
+#
+# Contract parity: the cohort path detects exactly the scalar error
+# conditions (invalid code, truncated reads, bad DC category, AC run past
+# end, zero-size AC category) but never raises them itself — a failed or
+# unsupported stream (declared restart interval) is re-decoded by the
+# SCALAR path, which produces the authoritative documented ValueError, in
+# row order. A cohort success is byte-identical to the scalar result by
+# construction (same LUTs, same symbol sequence, same IEEE tail) — pinned
+# by batch-vs-single tests across the image classes.
+# --------------------------------------------------------------------------
+
+
+def _entropy_segment(payload: bytes, pos: int):
+    """Unstuffed entropy-coded bytes from ``pos`` to the first
+    non-stuffing marker (or end of payload). Returns a uint8 array; the
+    end condition (marker / truncation) never needs reporting here — a
+    stream that tries to read past its segment falls back to the scalar
+    decoder for the authoritative error.
+
+    bytes.find-based: entropy segments of the tiny-image regime are tens
+    of bytes with few 0xFF occurrences, where a C-level find loop beats
+    whole-array numpy scans by the per-call dispatch cost."""
+    import numpy as np
+
+    parts = []
+    cur = i = pos
+    n = len(payload)
+    while True:
+        j = payload.find(0xFF, i)
+        if j == -1:
+            parts.append(payload[cur:n])
+            break
+        if j == n - 1:  # unpaired trailing 0xFF
+            parts.append(payload[cur:j])
+            break
+        nxt = payload[j + 1]
+        if nxt == 0x00:  # stuffing: keep the 0xFF, drop the 0x00
+            parts.append(payload[cur : j + 1])
+            cur = i = j + 2
+        else:  # marker: segment ends here
+            parts.append(payload[cur:j])
+            break
+    return np.frombuffer(b"".join(parts), dtype=np.uint8)
+
+
+def _cohort_entropy_decode(segments, streams):
+    """Decode many independent entropy streams in lockstep.
+
+    ``segments``: list of unstuffed uint8 arrays (one per stream).
+    ``streams``: list of dicts with
+        blk_dc, blk_ac : per-block LUT ids (np.int64 arrays, len = nblocks)
+        blk_comp       : per-block component index (np.int64)
+        ncomp          : number of components
+        trees          : list of (sym, length) byte tables indexed by LUT id
+    LUT ids are GLOBAL across the cohort (caller interns trees).
+
+    Returns (coef, blk_off, failed): ``coef`` is the (total_blocks, 64)
+    int64 coefficient store in stream-then-block order, ``blk_off`` the
+    per-stream block offsets, ``failed`` a bool array marking streams that
+    must be re-decoded by the scalar path — either a detected error
+    condition or a LONG-TAIL handoff: when fewer than ~S/8 streams remain
+    active, the lockstep loop is paying full numpy-dispatch overhead per
+    symbol for a near-empty cohort (a single straggler decoding 10k
+    symbols alone measured 30x slower than the plain scalar walk), so the
+    stragglers are handed to the scalar decoder, which is exactly the
+    pre-batch cost for them.
+    """
+    import numpy as np
+
+    S = len(segments)
+    if S == 0:
+        return np.zeros((0, 64), np.int64), np.zeros(1, np.int64), np.zeros(0, bool)
+    tail_min = min(32, max(4, S // 8))
+
+    lens = np.array([s.size for s in segments], dtype=np.int64)
+    # 8 bytes of 0xFF padding per stream: peek-style 16-bit windows past a
+    # segment's real end read 1-bits (F.1.2.3's virtual padding), exactly
+    # like the scalar peek16 — overruns are caught on CONSUME via end_bit.
+    # 8 (not 2) because a stream that is ABOUT to fail its bounds check
+    # still gathers its 24-bit windows first: symbol end + 15 magnitude
+    # bits can sit up to 31 bits past end_bit before the check culls it.
+    starts = np.zeros(S, dtype=np.int64)
+    if S > 1:
+        np.cumsum(lens[:-1] + 8, out=starts[1:])
+    buf = np.full(int(lens.sum() + 8 * S), 0xFF, dtype=np.uint8)
+    for i, s in enumerate(segments):
+        buf[starts[i] : starts[i] + s.size] = s
+
+    n_blocks = np.array([st["blk_dc"].size for st in streams], dtype=np.int64)
+    blk_off = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(n_blocks, out=blk_off[1:])
+    blk_dc = np.concatenate([st["blk_dc"] for st in streams])
+    blk_ac = np.concatenate([st["blk_ac"] for st in streams])
+    blk_comp = np.concatenate([st["blk_comp"] for st in streams])
+    trees = streams[0]["trees"]  # global intern table, same list for all
+    SYM = np.stack([np.frombuffer(t[0], dtype=np.uint8) for t in trees])
+    LEN = np.stack([np.frombuffer(t[1], dtype=np.uint8) for t in trees])
+    ncomp_max = max(st["ncomp"] for st in streams)
+
+    coef = np.zeros((int(blk_off[-1]), 64), dtype=np.int64)
+    bit = starts * 8
+    end_bit = (starts + lens) * 8
+    blk = np.zeros(S, dtype=np.int64)
+    k = np.zeros(S, dtype=np.int64)
+    pred = np.zeros((S, ncomp_max), dtype=np.int64)
+    failed = np.zeros(S, dtype=bool)
+    act = np.flatnonzero(n_blocks > 0)
+
+    while act.size:
+        if act.size < tail_min:
+            failed[act] = True  # long-tail handoff to the scalar decoder
+            break
+        b = bit[act]
+        byte, off = b >> 3, b & 7
+        w24 = (
+            (buf[byte].astype(np.int64) << 16)
+            | (buf[byte + 1].astype(np.int64) << 8)
+            | buf[byte + 2]
+        )
+        win = (w24 >> (8 - off)) & 0xFFFF
+        gb = blk_off[act] + blk[act]
+        isdc = k[act] == 0
+        tab = np.where(isdc, blk_dc[gb], blk_ac[gb])
+        sym = SYM[tab, win].astype(np.int64)
+        ln = LEN[tab, win].astype(np.int64)
+
+        b2 = b + ln
+        eob = (~isdc) & (sym == 0x00)
+        zrl = (~isdc) & (sym == 0xF0)
+        cat = np.where(isdc, sym, sym & 0x0F)
+        run = np.where(isdc, 0, sym >> 4)
+        width = np.where(eob | zrl, 0, np.minimum(cat, 15))
+        byte2, off2 = b2 >> 3, b2 & 7
+        w24b = (
+            (buf[byte2].astype(np.int64) << 16)
+            | (buf[byte2 + 1].astype(np.int64) << 8)
+            | buf[byte2 + 2]
+        )
+        val = (w24b >> (24 - off2 - width)) & ((1 << width) - 1)
+        b3 = b2 + width
+
+        # scalar error conditions -> mark for scalar fallback
+        bad = (
+            (ln == 0)  # invalid Huffman code
+            | (b2 > end_bit[act])  # truncated symbol read
+            | (b3 > end_bit[act])  # truncated magnitude-bits read
+            | (isdc & (sym > 15))  # invalid DC category
+            | ((~isdc) & (~eob) & (~zrl) & (cat == 0))  # RRRR/0 symbol
+        )
+        kk = k[act] + np.where(zrl, 16, run)
+        bad |= ((~isdc) & (~eob) & (kk > 63))  # AC run past end of block
+        ok = ~bad
+
+        sig = np.left_shift(1, np.maximum(cat - 1, 0))
+        ext = np.where(val < sig, val - np.left_shift(1, cat) + 1, val)
+
+        # DC: predictor += diff (cat 0 -> diff 0), coef[.,0] = predictor
+        dc_ok = isdc & ok
+        rows = act[dc_ok]
+        comps = blk_comp[gb[dc_ok]]
+        pred[rows, comps] += np.where(cat[dc_ok] > 0, ext[dc_ok], 0)
+        coef[gb[dc_ok], 0] = pred[rows, comps]
+        # AC coefficient writes
+        ac_ok = (~isdc) & (~eob) & (~zrl) & ok
+        coef[gb[ac_ok], kk[ac_ok]] = ext[ac_ok]
+
+        new_k = np.where(isdc, 1, np.where(zrl, kk, kk + 1))
+        done = ok & (eob | ((~isdc) & (~zrl) & (new_k >= 64)))
+        new_k = np.where(done | ~ok, 0, new_k)
+        k[act] = np.where(isdc & ok, 1, new_k)
+        blk[act] += done
+        bit[act] = b3
+        failed[act[bad]] = True
+        still = ok & (blk[act] < n_blocks[act])
+        act = act[still]
+
+    return coef, blk_off, failed
+
+
+def _gray_plane_tail(coef_stack, quant, bh, bw):
+    """(n, bh*bw, 64) int64 coefficients -> (n, bh*8, bw*8) float-rounded
+    int64 plane stack: de-zigzag, dequantize, batched IDCT, level shift,
+    round + clamp — the scalar tail with one leading batch axis (matmul's
+    per-8x8 kernel is batch-shape-invariant, pinned by the batch-vs-single
+    parity tests)."""
+    import numpy as np
+
+    n = coef_stack.shape[0]
+    dz = np.zeros_like(coef_stack)
+    dz[:, :, list(ZIGZAG)] = coef_stack
+    dz = dz * _dezigzag_quant(quant)[None]
+    T = _dct_mat()
+    blocks = dz.reshape(n, bh, bw, 8, 8).astype("float64")
+    pix = np.matmul(np.matmul(T.T, blocks), T)
+    full = pix.transpose(0, 1, 3, 2, 4).reshape(n, bh * 8, bw * 8) + 128.0
+    return np.clip(np.rint(full), 0, 255).astype("int64")
+
+
+class _TreeIntern:
+    """Global LUT id assignment for (sym, length) decode tables."""
+
+    def __init__(self) -> None:
+        self.ids: dict = {}
+        self.trees: list = []
+
+    def __call__(self, tree) -> int:
+        got = self.ids.get(tree)
+        if got is None:
+            got = self.ids[tree] = len(self.trees)
+            self.trees.append(tree)
+        return got
+
+
+class _HeaderCache:
+    """Memoized header parse keyed by the exact SOI..SOS prefix bytes.
+
+    Blobs of one corpus share identical headers modulo dimensions, so
+    after the first full parse of each shape class every further blob is
+    one dict probe. Sound because the parse result is a pure function of
+    payload[:pos] (the parsers read nothing past SOS except the SOI/EOI
+    sentinels — SOI is implied by the prefix match, EOI is re-checked
+    here per blob). Callers must treat cached results as immutable."""
+
+    def __init__(self, parse) -> None:
+        self.parse = parse
+        self.by_len: dict = {}
+
+    def __call__(self, payload: bytes):
+        if payload[-2:] != b"\xff\xd9":
+            raise ValueError("truncated JPEG payload (no EOI)")
+        for plen, cache in self.by_len.items():
+            got = cache.get(payload[:plen])
+            if got is not None:
+                return got
+        parsed = self.parse(payload)
+        pos = parsed[-1]
+        if sum(len(c) for c in self.by_len.values()) >= 512:
+            self.by_len.clear()  # unbounded-corpus guard
+        self.by_len.setdefault(pos, {})[payload[:pos]] = parsed
+        return parsed
+
+
+# lambdas: late name binding — _parse_baseline_multi is defined further
+# down the module (the color section), after this cohort section
+_GRAY_HEADERS = _HeaderCache(lambda p: _parse_jpeg_gray(p))
+_MULTI_HEADERS = _HeaderCache(lambda p: _parse_baseline_multi(p))
+
+
+def decode_jpeg_gray_batch(payloads) -> list:
+    """Batch form of :func:`decode_jpeg_gray`: cohort entropy decode +
+    shape-grouped, cache-chunked reconstruction. Per-blob behavior is
+    identical to the scalar decoder — any blob the cohort path cannot
+    fast-path (parse error, declared restart interval, any entropy error
+    condition) is handed to the scalar decoder, which returns the result
+    or raises the authoritative documented ValueError, in row order."""
+    import numpy as np
+
+    n = len(payloads)
+    results: list = [None] * n
+    raw = [bytes(p) for p in payloads]
+    fallback: list = []
+    intern = _TreeIntern()
+    patterns: dict = {}  # per-call cache of the per-shape block id arrays
+    streams, segs, sidx, metas = [], [], [], []
+    for i, p in enumerate(raw):
+        try:
+            h, w, quant, dct, act, restart, pos = _GRAY_HEADERS(p)
+        except ValueError:
+            fallback.append(i)
+            continue
+        if restart:
+            fallback.append(i)
+            continue
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+        nb = bh * bw
+        key = (nb, intern(dct), intern(act))
+        st = patterns.get(key)
+        if st is None:
+            st = patterns[key] = {
+                "blk_dc": np.full(nb, key[1], np.int64),
+                "blk_ac": np.full(nb, key[2], np.int64),
+                "blk_comp": np.zeros(nb, np.int64),
+                "ncomp": 1,
+                "trees": intern.trees,
+            }
+        streams.append(st)
+        segs.append(_entropy_segment(p, pos))
+        sidx.append(i)
+        metas.append((h, w, quant, bh, bw))
+    coef, blk_off, failed = _cohort_entropy_decode(segs, streams)
+    groups: dict = {}
+    for j in range(len(streams)):
+        if failed[j]:
+            fallback.append(sidx[j])
+        else:
+            groups.setdefault(metas[j], []).append(j)
+    for (h, w, quant, bh, bw), js in groups.items():
+        q = np.array(quant, dtype="int64")
+        rows = np.arange(bh * bw)
+        for chunk in _pixel_chunks(js, bh * bw * 64):
+            stack = coef[blk_off[np.asarray(chunk)][:, None] + rows[None]]
+            out = _gray_plane_tail(stack, q, bh, bw).astype("uint8")[:, :h, :w]
+            for t, j in enumerate(chunk):
+                results[sidx[j]] = out[t]
+    for i in sorted(fallback):
+        results[i] = decode_jpeg_gray(raw[i])  # authoritative; may raise
+    return results
+
+
+def decode_jpeg_color_batch(payloads) -> list:
+    """Batch form of :func:`decode_jpeg_color` — same cohort + fallback
+    contract as :func:`decode_jpeg_gray_batch`, with interleaved-MCU block
+    sequencing and per-component reconstruction/upsample/color-convert
+    over shape groups."""
+    import numpy as np
+
+    n = len(payloads)
+    results: list = [None] * n
+    raw = [bytes(p) for p in payloads]
+    fallback: list = []
+    intern = _TreeIntern()
+    patterns: dict = {}  # per-call cache of the per-shape block id arrays
+    streams, segs, sidx, metas = [], [], [], []
+    for i, p in enumerate(raw):
+        try:
+            scan, qtables, htrees, h, w, restart, pos = _MULTI_HEADERS(p)
+        except ValueError:
+            fallback.append(i)
+            continue
+        if restart or len(scan) != 3:
+            fallback.append(i)  # scalar path: DRI support / the 3-comp error
+            continue
+        hmax = max(c["h"] for c in scan)
+        vmax = max(c["v"] for c in scan)
+        mw_, mh_ = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
+        tabs = tuple(
+            (c["v"] * c["h"], intern(htrees[(0, c["dc"])]), intern(htrees[(1, c["ac"])]))
+            for c in scan
+        )
+        skey = (mw_ * mh_, tabs)
+        st = patterns.get(skey)
+        if st is None:
+            pat_dc = np.concatenate(
+                [np.full(nbl, d_id, np.int64) for nbl, d_id, _ in tabs]
+            )
+            pat_ac = np.concatenate(
+                [np.full(nbl, a_id, np.int64) for nbl, _, a_id in tabs]
+            )
+            pat_comp = np.concatenate(
+                [np.full(nbl, ci, np.int64) for ci, (nbl, _, _) in enumerate(tabs)]
+            )
+            nmcu = mw_ * mh_
+            st = patterns[skey] = {
+                "blk_dc": np.tile(pat_dc, nmcu),
+                "blk_ac": np.tile(pat_ac, nmcu),
+                "blk_comp": np.tile(pat_comp, nmcu),
+                "ncomp": len(scan),
+                "trees": intern.trees,
+            }
+        streams.append(st)
+        segs.append(_entropy_segment(p, pos))
+        sidx.append(i)
+        key = (
+            h,
+            w,
+            tuple(
+                (c["h"], c["v"], tuple(qtables[c["tq"]]), c["dc"], c["ac"])
+                for c in scan
+            ),
+        )
+        metas.append((key, scan, qtables, mh_, mw_, hmax, vmax, h, w))
+    coef, blk_off, failed = _cohort_entropy_decode(segs, streams)
+    groups: dict = {}
+    for j in range(len(streams)):
+        if failed[j]:
+            fallback.append(sidx[j])
+        else:
+            groups.setdefault(metas[j][0], []).append(j)
+    for js in groups.values():
+        _key, scan, qtables, mh_, mw_, hmax, vmax, h, w = metas[js[0]]
+        pat_len = sum(c["v"] * c["h"] for c in scan)
+        # flat-order index of each component's blocks in store layout
+        sels, offs = [], np.cumsum([0] + [c["v"] * c["h"] for c in scan])
+        for ci, c in enumerate(scan):
+            v, hs = c["v"], c["h"]
+            r = np.arange(mh_ * v)[:, None]
+            cc = np.arange(mw_ * hs)[None, :]
+            flat = ((r // v) * mw_ + cc // hs) * pat_len + offs[ci] + (r % v) * hs + cc % hs
+            sels.append(flat.ravel())
+        px = (8 * vmax * mh_) * (8 * hmax * mw_) * 3
+        nb_total = pat_len * mh_ * mw_
+        rows = np.arange(nb_total)
+        for chunk in _pixel_chunks(js, px):
+            stack = coef[blk_off[np.asarray(chunk)][:, None] + rows[None]]
+            planes = []
+            for ci, c in enumerate(scan):
+                sub = stack[:, sels[ci], :]
+                p_ = _gray_plane_tail(
+                    sub, np.array(qtables[c["tq"]], dtype="int64"),
+                    mh_ * c["v"], mw_ * c["h"],
+                )
+                p_ = np.repeat(
+                    np.repeat(p_, vmax // c["v"], axis=1), hmax // c["h"], axis=2
+                )
+                planes.append(p_[:, :h, :w])
+            out = ycbcr_to_rgb_int(planes[0], planes[1], planes[2])
+            for t, j in enumerate(chunk):
+                results[sidx[j]] = out[t]
+    for i in sorted(fallback):
+        results[i] = decode_jpeg_color(raw[i])  # authoritative; may raise
+    return results
+
+
+# --------------------------------------------------------------------------
 # Spark plumbing (same blob-parallel shape as the PNG/GIF paths)
 # --------------------------------------------------------------------------
 
@@ -742,6 +1178,34 @@ def _spark_types():
     return blob, feat
 
 
+def _synth_jpeg_payloads(doc_ids) -> list:
+    """Per-batch body of :func:`synth_jpeg_blobs`: the deterministic gray
+    test images, batch-encoded."""
+    import numpy as np
+
+    imgs = []
+    for doc_id in doc_ids:
+        d = int(doc_id)
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        b = np.arange((h // 8) * (w // 8), dtype="int64")
+        vals = ((d * 7 + 13 * b) % 256).reshape(h // 8, w // 8)
+        imgs.append(np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype("uint8"))
+    # one batched encode per Arrow batch (r10) — per-image numpy call
+    # overhead dominated the old per-doc loop on 8-24 px tiles
+    return encode_jpeg_gray_batch(imgs)
+
+
+def _jpeg_gray_feature_rows(doc_ids, payloads) -> dict:
+    """Per-batch body of :func:`jpeg_features`: cohort decode + rows."""
+    rows = {"doc_id": [], "width": [], "height": [], "sum_gray": []}
+    for doc_id, img in zip(doc_ids, decode_jpeg_gray_batch(payloads)):
+        rows["doc_id"].append(doc_id)
+        rows["height"].append(img.shape[0])
+        rows["width"].append(img.shape[1])
+        rows["sum_gray"].append(int(img.astype("int64").sum()))
+    return rows
+
+
 def synth_jpeg_blobs(docs):
     """(doc_id, payload): real baseline JPEG bytes for the deterministic
     test image w = 8·(1 + doc_id % 3), h = 8·(1 + doc_id % 2), built from
@@ -754,24 +1218,36 @@ def synth_jpeg_blobs(docs):
     blob_schema, _ = _spark_types()
 
     def gen(batches):
-        import numpy as np
-
         for pdf in batches:
-            imgs = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
-                b = np.arange((h // 8) * (w // 8), dtype="int64")
-                vals = ((d * 7 + 13 * b) % 256).reshape(h // 8, w // 8)
-                imgs.append(
-                    np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype("uint8")
-                )
-            # one batched encode per Arrow batch (r10) — per-image numpy
-            # call overhead dominated the old per-doc loop on 8-24 px tiles
-            out = encode_jpeg_gray_batch(imgs)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": _synth_jpeg_payloads(pdf["doc_id"])}
+            )
 
     return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
+
+
+def jpeg_roundtrip_features(docs):
+    """Fused write→read round-trip: synthesize, encode, cohort-decode and
+    emit feature rows in ONE kernel. Row-identical to
+    ``jpeg_features(synth_jpeg_blobs(docs))`` — the separate operators
+    remain the real pipeline surface (at 100 TB the blobs are WRITTEN once
+    to parquet and feature passes READ them from storage, one JVM→Python
+    crossing) — but the chained benchmark shape shipped every payload
+    across the JVM boundary three times (out of the synth kernel, through
+    the JVM, into the feature kernel), which at docs_sf10 cost more than
+    both codec kernels combined (r11 profile). The fused form is the
+    benchmark-honest shape: the encoded bytes still exist and are fully
+    re-decoded."""
+    import pandas as pd
+
+    _, feat_schema = _spark_types()
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(_jpeg_gray_feature_rows(ids, _synth_jpeg_payloads(ids)))
+
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=feat_schema)
 
 
 def jpeg_features(blob_df):
@@ -783,14 +1259,11 @@ def jpeg_features(blob_df):
 
     def feats(batches):
         for pdf in batches:
-            rows = {"doc_id": [], "width": [], "height": [], "sum_gray": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_jpeg_gray(bytes(payload)).astype("int64")
-                rows["doc_id"].append(doc_id)
-                rows["height"].append(img.shape[0])
-                rows["width"].append(img.shape[1])
-                rows["sum_gray"].append(int(img.sum()))
-            yield pd.DataFrame(rows)
+            # one cohort decode per Arrow batch (r11 — per-blob scalar
+            # entropy walks dominated the decode-side wall)
+            yield pd.DataFrame(
+                _jpeg_gray_feature_rows(pdf["doc_id"], list(pdf["payload"]))
+            )
 
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=feat_schema
@@ -986,8 +1459,12 @@ def encode_jpeg_color_batch(rgbs) -> list:
         _tab_arrays(AC_CHROM_BITS, AC_CHROM_VALS),
     ]
     for (h, w), g_idxs in groups.items():
-        # cache-friendly chunks — see encode_jpeg_gray_batch
-        for idxs in _pixel_chunks(g_idxs, h * w):
+        # cache-friendly chunks — see encode_jpeg_gray_batch. Budget on
+        # the PADDED 3-channel size: color stacks carry 3 planes plus the
+        # 16-multiple padding, so budgeting on h*w alone let color chunks
+        # overshoot the ~4 MB L2 rationale by ~3x (r10 ADVICE).
+        px_img = 3 * (h + (-h % 16)) * (w + (-w % 16))
+        for idxs in _pixel_chunks(g_idxs, px_img):
             a = np.stack([arrs[i] for i in idxs])  # (k, h, w, 3)
             ph, pw = -h % 16, -w % 16
             if ph or pw:
@@ -1064,14 +1541,10 @@ def decode_jpeg_color(payload: bytes):
     return ycbcr_to_rgb_int(full[0], full[1], full[2])
 
 
-def _decode_baseline_multi(payload: bytes):
-    """Shared baseline decoder: marker parse + interleaved entropy decode
-    for 1-3 components with sampling factors in {1,2}. Returns
-    (components, planes, h, w) where each plane is the component's OWN
-    resolution (pre-upsampling), already dequantized, IDCT'd, level-
-    shifted, rounded and clamped."""
-    import numpy as np
-
+def _parse_baseline_multi(payload: bytes):
+    """Marker parse of a baseline interleaved 1-3 component JPEG: returns
+    (scan, qtables, htrees, h, w, restart, entropy_pos). Shared by the
+    scalar decoder and the cohort batch decoder."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     if payload[-2:] != b"\xff\xd9":
@@ -1160,6 +1633,18 @@ def _decode_baseline_multi(payload: bytes):
             raise ValueError("scan references missing quant table")
         if (0, c["dc"]) not in htrees or (1, c["ac"]) not in htrees:
             raise ValueError("scan references missing Huffman table")
+    return scan, qtables, htrees, h, w, restart, pos
+
+
+def _decode_baseline_multi(payload: bytes):
+    """Shared baseline decoder: marker parse + interleaved entropy decode
+    for 1-3 components with sampling factors in {1,2}. Returns
+    (components, planes, h, w) where each plane is the component's OWN
+    resolution (pre-upsampling), already dequantized, IDCT'd, level-
+    shifted, rounded and clamped."""
+    import numpy as np
+
+    scan, qtables, htrees, h, w, restart, pos = _parse_baseline_multi(payload)
 
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
@@ -1243,31 +1728,88 @@ def synth_jpeg_color_blobs(docs):
     blob_schema, _ = _spark_types()
 
     def gen(batches):
-        import numpy as np
-
         for pdf in batches:
-            imgs = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
-                mh, mw = h // 16, w // 16
-                b = np.arange(mh * mw, dtype="int64").reshape(mh, mw)
-                rgb = np.stack(
-                    [
-                        (d * 3 + 11 * b) % 256,
-                        (d * 5 + 17 * b) % 256,
-                        (d * 7 + 23 * b) % 256,
-                    ],
-                    axis=-1,
-                )
-                imgs.append(
-                    np.repeat(np.repeat(rgb, 16, axis=0), 16, axis=1).astype("uint8")
-                )
-            # one batched encode per Arrow batch (r10, VERDICT item 5)
-            out = encode_jpeg_color_batch(imgs)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": _synth_jpeg_color_payloads(pdf["doc_id"]),
+                }
+            )
 
     return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
+
+
+def _synth_jpeg_color_payloads(doc_ids) -> list:
+    """Per-batch body of :func:`synth_jpeg_color_blobs`."""
+    import numpy as np
+
+    imgs = []
+    for doc_id in doc_ids:
+        d = int(doc_id)
+        w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
+        mh, mw = h // 16, w // 16
+        b = np.arange(mh * mw, dtype="int64").reshape(mh, mw)
+        rgb = np.stack(
+            [
+                (d * 3 + 11 * b) % 256,
+                (d * 5 + 17 * b) % 256,
+                (d * 7 + 23 * b) % 256,
+            ],
+            axis=-1,
+        )
+        imgs.append(np.repeat(np.repeat(rgb, 16, axis=0), 16, axis=1).astype("uint8"))
+    # one batched encode per Arrow batch (r10, VERDICT item 5)
+    return encode_jpeg_color_batch(imgs)
+
+
+def _jpeg_color_feature_rows(doc_ids, payloads) -> dict:
+    """Per-batch body of :func:`jpeg_color_features`: cohort decode."""
+    rows = {
+        "doc_id": [], "width": [], "height": [],
+        "sum_r": [], "sum_g": [], "sum_b": [],
+    }
+    for doc_id, rgb in zip(doc_ids, decode_jpeg_color_batch(payloads)):
+        img = rgb.astype("int64")
+        rows["doc_id"].append(doc_id)
+        rows["height"].append(img.shape[0])
+        rows["width"].append(img.shape[1])
+        rows["sum_r"].append(int(img[:, :, 0].sum()))
+        rows["sum_g"].append(int(img[:, :, 1].sum()))
+        rows["sum_b"].append(int(img[:, :, 2].sum()))
+    return rows
+
+
+def jpeg_color_roundtrip_features(docs):
+    """Fused color write→read round-trip in one kernel — see
+    :func:`jpeg_roundtrip_features` for the rationale (row-identical to
+    ``jpeg_color_features(synth_jpeg_color_blobs(docs))``)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                _jpeg_color_feature_rows(ids, _synth_jpeg_color_payloads(ids))
+            )
+
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 def jpeg_color_features(blob_df):
@@ -1294,16 +1836,10 @@ def jpeg_color_features(blob_df):
 
     def feats(batches):
         for pdf in batches:
-            rows = {k.name: [] for k in schema.fields}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_jpeg_color(bytes(payload)).astype("int64")
-                rows["doc_id"].append(doc_id)
-                rows["height"].append(img.shape[0])
-                rows["width"].append(img.shape[1])
-                rows["sum_r"].append(int(img[:, :, 0].sum()))
-                rows["sum_g"].append(int(img[:, :, 1].sum()))
-                rows["sum_b"].append(int(img[:, :, 2].sum()))
-            yield pd.DataFrame(rows)
+            # one cohort decode per Arrow batch (r11)
+            yield pd.DataFrame(
+                _jpeg_color_feature_rows(pdf["doc_id"], list(pdf["payload"]))
+            )
 
     return blob_df.select("doc_id", "payload").mapInPandas(feats, schema=schema)
 
@@ -1429,13 +1965,16 @@ def _walk_riff(payload: bytes, pos: int, end: int):
         pos += 8 + size + (size % 2)
 
 
-def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
-    """[(frame_idx, (h, w) uint8 array)] for every ``every_n``-th frame of
-    an MJPEG AVI. Validates the header chain (RIFF/'AVI ', single 'vids'
-    stream with the 'MJPG' handler, MJPG BITMAPINFOHEADER), SEEKS over
-    unsampled '00dc' chunks via their size fields without decoding, and
-    cross-checks the idx1 index (count + per-frame offsets) against the
-    movi walk — a corrupt index or a missing pad byte fails loudly."""
+def _avi_sampled_frame_spans(payload: bytes, every_n: int = 1):
+    """[(frame_idx, start, size)] byte spans of every ``every_n``-th JPEG
+    frame of an MJPEG AVI — the full demux/validation of
+    :func:`decode_avi_mjpeg_frames` without the per-frame decode, so the
+    batch path can decode ALL sampled frames of ALL videos in one JPEG
+    cohort. Validates the header chain (RIFF/'AVI ', single 'vids' stream
+    with the 'MJPG' handler, MJPG BITMAPINFOHEADER), SEEKS over unsampled
+    '00dc' chunks via their size fields, and cross-checks the idx1 index
+    (count + per-frame offsets) against the movi walk — a corrupt index
+    or a missing pad byte fails loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     if len(payload) < 12 or struct.unpack("<I", payload[4:8])[0] != len(payload) - 8:
@@ -1505,11 +2044,21 @@ def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
             if ck != b"00dc" or isize != size or off != start - movi_span[0] - 4:
                 raise ValueError(f"idx1 disagrees with movi at frame {frame_idx}")
         if frame_idx % every_n == 0:  # else: SEEK past without decoding
-            out.append((frame_idx, decode_jpeg_gray(payload[start : start + size])))
+            out.append((frame_idx, start, size))
         frame_idx += 1
     if frame_idx != n_frames or (idx is not None and len(idx) != n_frames):
         raise ValueError(f"frame count mismatch: header {n_frames}, movi {frame_idx}")
     return out
+
+
+def decode_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
+    """[(frame_idx, (h, w) uint8 array)] for every ``every_n``-th frame of
+    an MJPEG AVI — demux via :func:`_avi_sampled_frame_spans`, scalar JPEG
+    decode per sampled frame."""
+    return [
+        (fi, decode_jpeg_gray(payload[start : start + size]))
+        for fi, start, size in _avi_sampled_frame_spans(payload, every_n)
+    ]
 
 
 def synth_mjpeg_blobs(docs):
@@ -1524,33 +2073,89 @@ def synth_mjpeg_blobs(docs):
 
     def gen(batches):
         for pdf in batches:
-            # Build every frame of every video first, batch-encode them in
-            # ONE call (r10 — per-video encode batched only 3-7 tiny
-            # frames; the shape-grouped batch coder amortizes across the
-            # whole Arrow batch), then mux each video's slice of jpegs.
-            dims = []          # (h, w, n_frames) per doc
-            all_frames = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
-                b = np.arange((h // 8) * (w // 8), dtype="int64")
-                n = 3 + d % 5
-                dims.append((h, w, n))
-                for f in range(n):
-                    vals = ((d * 7 + f * 11 + 13 * b) % 256).reshape(h // 8, w // 8)
-                    all_frames.append(
-                        np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
-                            "uint8"
-                        )
-                    )
-            jpegs = encode_jpeg_gray_batch(all_frames)
-            out, at = [], 0
-            for h, w, n in dims:
-                out.append(mux_avi_mjpeg(jpegs[at : at + n], h, w))
-                at += n
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": _synth_mjpeg_payloads(pdf["doc_id"]),
+                }
+            )
 
     return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=blob_schema)
+
+
+def _synth_mjpeg_payloads(doc_ids) -> list:
+    """Per-batch body of :func:`synth_mjpeg_blobs`: build every frame of
+    every video first, batch-encode them in ONE call (r10 — per-video
+    encode batched only 3-7 tiny frames; the shape-grouped batch coder
+    amortizes across the whole Arrow batch), then mux each video's slice
+    of jpegs."""
+    import numpy as np
+
+    dims = []  # (h, w, n_frames) per doc
+    all_frames = []
+    for doc_id in doc_ids:
+        d = int(doc_id)
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        b = np.arange((h // 8) * (w // 8), dtype="int64")
+        n = 3 + d % 5
+        dims.append((h, w, n))
+        for f in range(n):
+            vals = ((d * 7 + f * 11 + 13 * b) % 256).reshape(h // 8, w // 8)
+            all_frames.append(
+                np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype("uint8")
+            )
+    jpegs = encode_jpeg_gray_batch(all_frames)
+    out, at = [], 0
+    for h, w, n in dims:
+        out.append(mux_avi_mjpeg(jpegs[at : at + n], h, w))
+        at += n
+    return out
+
+
+def _mjpeg_feature_rows(doc_ids, payloads, every_n: int) -> dict:
+    """Per-batch body of :func:`mjpeg_features`: demux every video, then
+    ONE JPEG cohort over all sampled frames of all videos (r11)."""
+    rows = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "sum_gray": []}
+    frames, meta = [], []
+    for doc_id, payload in zip(doc_ids, payloads):
+        p = bytes(payload)
+        for f_idx, start, size in _avi_sampled_frame_spans(p, every_n):
+            frames.append(p[start : start + size])
+            meta.append((doc_id, f_idx))
+    for (doc_id, f_idx), img in zip(meta, decode_jpeg_gray_batch(frames)):
+        rows["doc_id"].append(doc_id)
+        rows["frame_idx"].append(f_idx)
+        rows["height"].append(img.shape[0])
+        rows["width"].append(img.shape[1])
+        rows["sum_gray"].append(int(img.astype("int64").sum()))
+    return rows
+
+
+def mjpeg_roundtrip_features(docs, every_n: int = 2):
+    """Fused MJPEG write→read round-trip in one kernel — see
+    :func:`jpeg_roundtrip_features` for the rationale (row-identical to
+    ``mjpeg_features(synth_mjpeg_blobs(docs), every_n)``)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_gray", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                _mjpeg_feature_rows(ids, _synth_mjpeg_payloads(ids), every_n)
+            )
+
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 def mjpeg_features(blob_df, every_n: int = 2):
@@ -1571,14 +2176,8 @@ def mjpeg_features(blob_df, every_n: int = 2):
 
     def feats(batches):
         for pdf in batches:
-            rows = {k.name: [] for k in schema.fields}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for f_idx, img in decode_avi_mjpeg_frames(bytes(payload), every_n):
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(f_idx)
-                    rows["height"].append(img.shape[0])
-                    rows["width"].append(img.shape[1])
-                    rows["sum_gray"].append(int(img.astype("int64").sum()))
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                _mjpeg_feature_rows(pdf["doc_id"], pdf["payload"], every_n)
+            )
 
     return blob_df.select("doc_id", "payload").mapInPandas(feats, schema=schema)

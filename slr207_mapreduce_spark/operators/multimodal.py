@@ -727,6 +727,51 @@ def sampled_frame_features(blob_df: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def video_frame_sample_roundtrip_features(
+    docs: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """Fused write→read round-trip: synthesize each RAWV container, then
+    demux + decode every Nth frame in the SAME kernel. Row-identical to
+    ``sampled_frame_features(synth_video_blobs(docs), every_n)`` — the
+    chained benchmark shape shipped each container across the JVM boundary
+    three times (see jpeg.py's fused round-trips, r11); the real pipeline
+    surface stays the separate operators, which read blobs from storage."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FRAME_FEATURE_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = []
+                for f in range(5 + d % 6):
+                    w, h = 4 + f % 3, 3
+                    p = np.arange(h * w, dtype="int64")
+                    img = np.stack(
+                        [
+                            (d + f + 2 * p) % 256,
+                            (d * 2 + f + 3 * p) % 256,
+                            (d * 3 + f + 5 * p) % 256,
+                        ],
+                        axis=1,
+                    ).reshape(h, w, 3)
+                    frames.append(img.astype("uint8"))
+                payload = encode_frame_stream(frames)
+                for idx, img in iter_sampled_frames(payload, every_n):
+                    a = img.astype("int64")
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_w"].append(img.shape[1])
+                    rows["sum_r"].append(int(a[:, :, 0].sum()))
+                    rows["sum_g"].append(int(a[:, :, 1].sum()))
+                    rows["sum_b"].append(int(a[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(
+        gen, schema=FRAME_FEATURE_SCHEMA
+    )
+
+
 # --- REAL codec: PNG (pure stdlib — zlib + struct, 8-bit RGB, no interlace)
 #
 # The one standard image FORMAT fully writable/readable without any imaging

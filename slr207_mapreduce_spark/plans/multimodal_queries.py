@@ -392,13 +392,14 @@ def multimodal_ppm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 def multimodal_video_frame_sample_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # fused write->read kernel (r11): row-identical to
+    # sampled_frame_features(synth_video_blobs(d), every_n=2)
     from slr207_mapreduce_spark.operators.multimodal import (
-        sampled_frame_features,
-        synth_video_blobs,
+        video_frame_sample_roundtrip_features,
     )
 
     d = load_table(spark, "documents", sf_dir)
-    return sampled_frame_features(synth_video_blobs(d), every_n=2)
+    return video_frame_sample_roundtrip_features(d, every_n=2)
 
 
 @register(
@@ -440,13 +441,14 @@ def multimodal_video_frame_sample_roundtrip(
     tags=("multimodal", "codec"),
 )
 def multimodal_mjpeg_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from slr207_mapreduce_spark.operators.jpeg import (
-        mjpeg_features,
-        synth_mjpeg_blobs,
-    )
+    # fused write->read kernel (r11): row-identical to
+    # mjpeg_features(synth_mjpeg_blobs(d), every_n=2) — the chained shape
+    # shipped every AVI payload across the JVM boundary three times, which
+    # at docs_sf10 cost more than both codec kernels combined
+    from slr207_mapreduce_spark.operators.jpeg import mjpeg_roundtrip_features
 
     d = load_table(spark, "documents", sf_dir)
-    return mjpeg_features(synth_mjpeg_blobs(d), every_n=2)
+    return mjpeg_roundtrip_features(d, every_n=2)
 
 
 @register(
@@ -620,13 +622,13 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "codec"),
 )
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from slr207_mapreduce_spark.operators.jpeg import (
-        jpeg_features,
-        synth_jpeg_blobs,
-    )
+    # fused write->read kernel (r11): row-identical to
+    # jpeg_features(synth_jpeg_blobs(d)) without the benchmark-only double
+    # JVM payload crossing
+    from slr207_mapreduce_spark.operators.jpeg import jpeg_roundtrip_features
 
     d = load_table(spark, "documents", sf_dir)
-    return jpeg_features(synth_jpeg_blobs(d))
+    return jpeg_roundtrip_features(d)
 
 
 @register(
@@ -695,10 +697,11 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "codec"),
 )
 def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fused write->read kernel (r11), row-identical to
+    # jpeg_color_features(synth_jpeg_color_blobs(d))
     from slr207_mapreduce_spark.operators.jpeg import (
-        jpeg_color_features,
-        synth_jpeg_color_blobs,
+        jpeg_color_roundtrip_features,
     )
 
     d = load_table(spark, "documents", sf_dir)
-    return jpeg_color_features(synth_jpeg_color_blobs(d))
+    return jpeg_color_roundtrip_features(d)
