@@ -1,8 +1,11 @@
 """Benchmark harness (driver contract): runs the headline query set at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
+and prints TWO JSON lines — the full-detail artifact, then a compact
+summary as the FINAL line (the one the driver's bounded stdout tail
+parses; r10 VERDICT item 5):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>, "value_calibrated": ...,
+   "window_stable": ..., "tiers": {...}}
 
 Each query is materialized through the `noop` sink — full computation, no
 driver-side collection cost, no column-pruning shortcut a count() would take.
@@ -308,6 +311,17 @@ def main() -> int:
             n: round(t / jvm_cal, 3) for n, t in timings.items()
         },
         "value_calibrated": round(sum(timings.values()) / jvm_cal, 3),
+        # numpy-probe twin (r11): the r11 ABA session showed the JVM probe
+        # moving 0.24-0.32 s across STABLE windows (its own JIT/scheduler
+        # variance) while the numpy probe held 0.28-0.30 and identical
+        # trees held ~4.7 s — so the jvm-calibrated headline can swing
+        # 30% with no tree change. Read THIS unit first; treat the jvm
+        # one as corroboration only when the two agree.
+        "value_calibrated_numpy": round(
+            sum(timings.values())
+            / ((cal_before["numpy_1t_sec"] + cal_after["numpy_1t_sec"]) / 2.0),
+            3,
+        ),
         # worst before/after probe ratio: > 1.25 means host throughput
         # CHANGED during the capture window itself — raw and calibrated
         # numbers from an unstable window are upper bounds, not estimates
@@ -315,7 +329,34 @@ def main() -> int:
         "window_stable": drift <= 1.25,
     }
 
+    # Two lines (r10 VERDICT item 5): the full-detail artifact first, then
+    # a compact summary as the FINAL line. The driver records the tail of
+    # stdout and BENCH_r07-r10 all landed "parsed: null" because the
+    # detail line (per-run lists, calibration captures) outgrew its
+    # 2000-char window — the compact line carries the headline value, the
+    # per-query mins, every tier's total, and the stability flags in
+    # well under 1k chars, so the per-round artifact is parseable again.
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "value_median": out["value_median"],
+        "value_calibrated": out["calibration"]["value_calibrated"],
+        "value_calibrated_numpy": out["calibration"]["value_calibrated_numpy"],
+        "probe_drift_ratio": out["calibration"]["probe_drift_ratio"],
+        "window_stable": out["calibration"]["window_stable"],
+        "gate_failed": gate_failed,
+        "tiers": {
+            k: out[k].get("value")
+            for k in ("sf1", "longdoc", "codec")
+            if isinstance(out.get(k), dict)
+        },
+        "detail": "full artifact on the previous stdout line",
+    }
+    print(json.dumps(compact))
     return 0
 
 
