@@ -740,10 +740,12 @@ def _dezigzag_quant(quant):
 #
 # Contract parity: the cohort path detects exactly the scalar error
 # conditions (invalid code, truncated reads, bad DC category, AC run past
-# end, zero-size AC category) but never raises them itself — a failed or
-# unsupported stream (declared restart interval) is re-decoded by the
-# SCALAR path, which produces the authoritative documented ValueError, in
-# row order. A cohort success is byte-identical to the scalar result by
+# end, zero-size AC category) but never raises them itself — a failed
+# stream (or a restart-interval image whose RST chain / byte alignment the
+# splitter can't certify) is re-decoded by the SCALAR path, which produces
+# the authoritative documented ValueError, in row order. Restart-interval
+# images otherwise ride the cohort as one independent stream per interval
+# (byte-aligned, fresh DC predictors per the standard). A cohort success is byte-identical to the scalar result by
 # construction (same LUTs, same symbol sequence, same IEEE tail) — pinned
 # by batch-vs-single tests across the image classes.
 # --------------------------------------------------------------------------
@@ -782,6 +784,55 @@ def _entropy_segment(payload: bytes, pos: int):
     return np.frombuffer(b"".join(parts), dtype=np.uint8)
 
 
+def _entropy_segments_restart(payload: bytes, pos: int, n_intervals: int):
+    """Split a restart-interval entropy segment into per-interval
+    unstuffed arrays at the RSTn markers (r11: DRI streams now ride the
+    cohort — each interval is byte-aligned with fresh DC predictors, i.e.
+    an independent stream). Returns a list of ``n_intervals`` uint8
+    arrays, or None when the marker chain is not the expected RST0..7
+    cycle (the scalar decoder then produces the authoritative error).
+    The FINAL interval ends at the first non-stuffing marker or payload
+    end, exactly like the non-DRI segment."""
+    import numpy as np
+
+    segs, parts = [], []
+    cur = i = pos
+    rst = 0
+    n = len(payload)
+    while True:
+        j = payload.find(0xFF, i)
+        if j == -1:
+            parts.append(payload[cur:n])
+            segs.append(parts)
+            break
+        if j == n - 1:  # unpaired trailing 0xFF
+            parts.append(payload[cur:j])
+            segs.append(parts)
+            break
+        nxt = payload[j + 1]
+        if nxt == 0x00:
+            parts.append(payload[cur : j + 1])
+            cur = i = j + 2
+        elif 0xD0 <= nxt <= 0xD7 and len(segs) < n_intervals - 1:
+            if nxt != 0xD0 + rst:
+                return None  # out-of-sequence RST id
+            parts.append(payload[cur:j])
+            segs.append(parts)
+            parts = []
+            cur = i = j + 2
+            rst = (rst + 1) & 7
+        else:
+            # any other marker (or an RST past the expected boundaries)
+            # terminates the final interval; overruns into it surface as
+            # scalar-fallback errors exactly like the non-DRI case
+            parts.append(payload[cur:j])
+            segs.append(parts)
+            break
+    if len(segs) != n_intervals:
+        return None  # marker chain shorter than the interval count
+    return [np.frombuffer(b"".join(p), dtype=np.uint8) for p in segs]
+
+
 def _cohort_entropy_decode(segments, streams):
     """Decode many independent entropy streams in lockstep.
 
@@ -793,22 +844,26 @@ def _cohort_entropy_decode(segments, streams):
         trees          : list of (sym, length) byte tables indexed by LUT id
     LUT ids are GLOBAL across the cohort (caller interns trees).
 
-    Returns (coef, blk_off, failed): ``coef`` is the (total_blocks, 64)
-    int64 coefficient store in stream-then-block order, ``blk_off`` the
-    per-stream block offsets, ``failed`` a bool array marking streams that
-    must be re-decoded by the scalar path — either a detected error
-    condition or a LONG-TAIL handoff: when fewer than ~S/8 streams remain
-    active, the lockstep loop is paying full numpy-dispatch overhead per
-    symbol for a near-empty cohort (a single straggler decoding 10k
-    symbols alone measured 30x slower than the plain scalar walk), so the
-    stragglers are handed to the scalar decoder, which is exactly the
-    pre-batch cost for them.
+    Returns (coef, blk_off, failed, end_slack): ``coef`` is the
+    (total_blocks, 64) int64 coefficient store in stream-then-block order,
+    ``blk_off`` the per-stream block offsets, ``failed`` a bool array
+    marking streams that must be re-decoded by the scalar path — either a
+    detected error condition or a LONG-TAIL handoff: when fewer than ~S/8
+    streams remain active, the lockstep loop is paying full numpy-dispatch
+    overhead per symbol for a near-empty cohort (a single straggler
+    decoding 10k symbols alone measured 30x slower than the plain scalar
+    walk), so the stragglers are handed to the scalar decoder, which is
+    exactly the pre-batch cost for them. ``end_slack`` is the per-stream
+    count of unconsumed bits at its segment end (meaningless for failed
+    streams) — restart-interval callers use it to verify the interval
+    ended on the byte the scalar decoder would expect its RSTn marker at.
     """
     import numpy as np
 
     S = len(segments)
     if S == 0:
-        return np.zeros((0, 64), np.int64), np.zeros(1, np.int64), np.zeros(0, bool)
+        z = np.zeros(0, np.int64)
+        return np.zeros((0, 64), np.int64), np.zeros(1, np.int64), np.zeros(0, bool), z
     tail_min = min(32, max(4, S // 8))
 
     lens = np.array([s.size for s in segments], dtype=np.int64)
@@ -913,7 +968,7 @@ def _cohort_entropy_decode(segments, streams):
         still = ok & (blk[act] < n_blocks[act])
         act = act[still]
 
-    return coef, blk_off, failed
+    return coef, blk_off, failed, end_bit - bit
 
 
 def _gray_plane_tail(coef_stack, quant, bh, bw):
@@ -985,13 +1040,51 @@ _GRAY_HEADERS = _HeaderCache(lambda p: _parse_jpeg_gray(p))
 _MULTI_HEADERS = _HeaderCache(lambda p: _parse_baseline_multi(p))
 
 
+def _gray_pattern(patterns, intern, nb, d_id, a_id):
+    import numpy as np
+
+    key = (nb, d_id, a_id)
+    st = patterns.get(key)
+    if st is None:
+        st = patterns[key] = {
+            "blk_dc": np.full(nb, d_id, np.int64),
+            "blk_ac": np.full(nb, a_id, np.int64),
+            "blk_comp": np.zeros(nb, np.int64),
+            "ncomp": 1,
+            "trees": intern.trees,
+        }
+    return st
+
+
+def _collect_image_groups(images, failed, end_slack, fallback):
+    """Group non-failed images by their shape meta. An image fails if any
+    of its interval streams failed, or if a NON-FINAL interval left >= 8
+    unconsumed bits (the scalar decoder byte-aligns at sync_restart and
+    demands the RSTn marker exactly there — a whole leftover byte means
+    it would not have found it)."""
+    groups: dict = {}
+    for pi, first, ns, meta in images:
+        bad = bool(failed[first : first + ns].any())
+        if not bad and ns > 1:
+            bad = bool((end_slack[first : first + ns - 1] >= 8).any())
+        if bad:
+            fallback.append(pi)
+        else:
+            groups.setdefault(meta, []).append((pi, first))
+    return groups
+
+
 def decode_jpeg_gray_batch(payloads) -> list:
     """Batch form of :func:`decode_jpeg_gray`: cohort entropy decode +
-    shape-grouped, cache-chunked reconstruction. Per-blob behavior is
-    identical to the scalar decoder — any blob the cohort path cannot
-    fast-path (parse error, declared restart interval, any entropy error
-    condition) is handed to the scalar decoder, which returns the result
-    or raises the authoritative documented ValueError, in row order."""
+    shape-grouped, cache-chunked reconstruction. Restart-interval blobs
+    ride the cohort too — each interval is byte-aligned with fresh DC
+    predictors, i.e. an independent stream (so one DRI-bearing image
+    decodes as many parallel streams). Per-blob behavior is identical to
+    the scalar decoder — any blob the cohort path cannot fast-path
+    (parse error, malformed RST chain, any entropy error condition, an
+    interval not ending on the scalar's sync_restart byte) is handed to
+    the scalar decoder, which returns the result or raises the
+    authoritative documented ValueError, in row order."""
     import numpy as np
 
     n = len(payloads)
@@ -1000,47 +1093,44 @@ def decode_jpeg_gray_batch(payloads) -> list:
     fallback: list = []
     intern = _TreeIntern()
     patterns: dict = {}  # per-call cache of the per-shape block id arrays
-    streams, segs, sidx, metas = [], [], [], []
+    streams, segs, images = [], [], []
     for i, p in enumerate(raw):
         try:
             h, w, quant, dct, act, restart, pos = _GRAY_HEADERS(p)
         except ValueError:
             fallback.append(i)
             continue
-        if restart:
-            fallback.append(i)
-            continue
         bh, bw = (h + 7) // 8, (w + 7) // 8
         nb = bh * bw
-        key = (nb, intern(dct), intern(act))
-        st = patterns.get(key)
-        if st is None:
-            st = patterns[key] = {
-                "blk_dc": np.full(nb, key[1], np.int64),
-                "blk_ac": np.full(nb, key[2], np.int64),
-                "blk_comp": np.zeros(nb, np.int64),
-                "ncomp": 1,
-                "trees": intern.trees,
-            }
-        streams.append(st)
-        segs.append(_entropy_segment(p, pos))
-        sidx.append(i)
-        metas.append((h, w, quant, bh, bw))
-    coef, blk_off, failed = _cohort_entropy_decode(segs, streams)
-    groups: dict = {}
-    for j in range(len(streams)):
-        if failed[j]:
-            fallback.append(sidx[j])
+        d_id, a_id = intern(dct), intern(act)
+        meta = (h, w, quant, bh, bw)
+        first = len(streams)
+        if restart:
+            n_int = (nb + restart - 1) // restart
+            parts = _entropy_segments_restart(p, pos, n_int)
+            if parts is None:
+                fallback.append(i)
+                continue
+            for t in range(n_int):
+                k = min(restart, nb - t * restart)
+                streams.append(_gray_pattern(patterns, intern, k, d_id, a_id))
+                segs.append(parts[t])
+            images.append((i, first, n_int, meta))
         else:
-            groups.setdefault(metas[j], []).append(j)
-    for (h, w, quant, bh, bw), js in groups.items():
+            streams.append(_gray_pattern(patterns, intern, nb, d_id, a_id))
+            segs.append(_entropy_segment(p, pos))
+            images.append((i, first, 1, meta))
+    coef, blk_off, failed, end_slack = _cohort_entropy_decode(segs, streams)
+    groups = _collect_image_groups(images, failed, end_slack, fallback)
+    for (h, w, quant, bh, bw), members in groups.items():
         q = np.array(quant, dtype="int64")
         rows = np.arange(bh * bw)
-        for chunk in _pixel_chunks(js, bh * bw * 64):
-            stack = coef[blk_off[np.asarray(chunk)][:, None] + rows[None]]
+        for chunk in _pixel_chunks(members, bh * bw * 64):
+            firsts = np.asarray([f for _, f in chunk])
+            stack = coef[blk_off[firsts][:, None] + rows[None]]
             out = _gray_plane_tail(stack, q, bh, bw).astype("uint8")[:, :h, :w]
-            for t, j in enumerate(chunk):
-                results[sidx[j]] = out[t]
+            for t, (pi, _) in enumerate(chunk):
+                results[pi] = out[t]
     for i in sorted(fallback):
         results[i] = decode_jpeg_gray(raw[i])  # authoritative; may raise
     return results
@@ -1059,24 +1149,11 @@ def decode_jpeg_color_batch(payloads) -> list:
     fallback: list = []
     intern = _TreeIntern()
     patterns: dict = {}  # per-call cache of the per-shape block id arrays
-    streams, segs, sidx, metas = [], [], [], []
-    for i, p in enumerate(raw):
-        try:
-            scan, qtables, htrees, h, w, restart, pos = _MULTI_HEADERS(p)
-        except ValueError:
-            fallback.append(i)
-            continue
-        if restart or len(scan) != 3:
-            fallback.append(i)  # scalar path: DRI support / the 3-comp error
-            continue
-        hmax = max(c["h"] for c in scan)
-        vmax = max(c["v"] for c in scan)
-        mw_, mh_ = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
-        tabs = tuple(
-            (c["v"] * c["h"], intern(htrees[(0, c["dc"])]), intern(htrees[(1, c["ac"])]))
-            for c in scan
-        )
-        skey = (mw_ * mh_, tabs)
+    group_meta: dict = {}
+    streams, segs, images = [], [], []
+
+    def mcu_pattern(n_mcu, tabs, ncomp):
+        skey = (n_mcu, tabs)
         st = patterns.get(skey)
         if st is None:
             pat_dc = np.concatenate(
@@ -1088,17 +1165,31 @@ def decode_jpeg_color_batch(payloads) -> list:
             pat_comp = np.concatenate(
                 [np.full(nbl, ci, np.int64) for ci, (nbl, _, _) in enumerate(tabs)]
             )
-            nmcu = mw_ * mh_
             st = patterns[skey] = {
-                "blk_dc": np.tile(pat_dc, nmcu),
-                "blk_ac": np.tile(pat_ac, nmcu),
-                "blk_comp": np.tile(pat_comp, nmcu),
-                "ncomp": len(scan),
+                "blk_dc": np.tile(pat_dc, n_mcu),
+                "blk_ac": np.tile(pat_ac, n_mcu),
+                "blk_comp": np.tile(pat_comp, n_mcu),
+                "ncomp": ncomp,
                 "trees": intern.trees,
             }
-        streams.append(st)
-        segs.append(_entropy_segment(p, pos))
-        sidx.append(i)
+        return st
+
+    for i, p in enumerate(raw):
+        try:
+            scan, qtables, htrees, h, w, restart, pos = _MULTI_HEADERS(p)
+        except ValueError:
+            fallback.append(i)
+            continue
+        if len(scan) != 3:
+            fallback.append(i)  # scalar path raises the 3-comp error
+            continue
+        hmax = max(c["h"] for c in scan)
+        vmax = max(c["v"] for c in scan)
+        mw_, mh_ = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
+        tabs = tuple(
+            (c["v"] * c["h"], intern(htrees[(0, c["dc"])]), intern(htrees[(1, c["ac"])]))
+            for c in scan
+        )
         key = (
             h,
             w,
@@ -1107,16 +1198,29 @@ def decode_jpeg_color_batch(payloads) -> list:
                 for c in scan
             ),
         )
-        metas.append((key, scan, qtables, mh_, mw_, hmax, vmax, h, w))
-    coef, blk_off, failed = _cohort_entropy_decode(segs, streams)
-    groups: dict = {}
-    for j in range(len(streams)):
-        if failed[j]:
-            fallback.append(sidx[j])
+        if key not in group_meta:
+            group_meta[key] = (scan, qtables, mh_, mw_, hmax, vmax, h, w)
+        nmcu = mw_ * mh_
+        first = len(streams)
+        if restart:
+            n_int = (nmcu + restart - 1) // restart
+            parts = _entropy_segments_restart(p, pos, n_int)
+            if parts is None:
+                fallback.append(i)
+                continue
+            for t in range(n_int):
+                k = min(restart, nmcu - t * restart)
+                streams.append(mcu_pattern(k, tabs, len(scan)))
+                segs.append(parts[t])
+            images.append((i, first, n_int, key))
         else:
-            groups.setdefault(metas[j][0], []).append(j)
-    for js in groups.values():
-        _key, scan, qtables, mh_, mw_, hmax, vmax, h, w = metas[js[0]]
+            streams.append(mcu_pattern(nmcu, tabs, len(scan)))
+            segs.append(_entropy_segment(p, pos))
+            images.append((i, first, 1, key))
+    coef, blk_off, failed, end_slack = _cohort_entropy_decode(segs, streams)
+    groups = _collect_image_groups(images, failed, end_slack, fallback)
+    for key, members in groups.items():
+        scan, qtables, mh_, mw_, hmax, vmax, h, w = group_meta[key]
         pat_len = sum(c["v"] * c["h"] for c in scan)
         # flat-order index of each component's blocks in store layout
         sels, offs = [], np.cumsum([0] + [c["v"] * c["h"] for c in scan])
@@ -1129,8 +1233,9 @@ def decode_jpeg_color_batch(payloads) -> list:
         px = (8 * vmax * mh_) * (8 * hmax * mw_) * 3
         nb_total = pat_len * mh_ * mw_
         rows = np.arange(nb_total)
-        for chunk in _pixel_chunks(js, px):
-            stack = coef[blk_off[np.asarray(chunk)][:, None] + rows[None]]
+        for chunk in _pixel_chunks(members, px):
+            firsts = np.asarray([f for _, f in chunk])
+            stack = coef[blk_off[firsts][:, None] + rows[None]]
             planes = []
             for ci, c in enumerate(scan):
                 sub = stack[:, sels[ci], :]
@@ -1143,8 +1248,8 @@ def decode_jpeg_color_batch(payloads) -> list:
                 )
                 planes.append(p_[:, :h, :w])
             out = ycbcr_to_rgb_int(planes[0], planes[1], planes[2])
-            for t, j in enumerate(chunk):
-                results[sidx[j]] = out[t]
+            for t, (pi, _) in enumerate(chunk):
+                results[pi] = out[t]
     for i in sorted(fallback):
         results[i] = decode_jpeg_color(raw[i])  # authoritative; may raise
     return results

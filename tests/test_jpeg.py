@@ -664,9 +664,11 @@ def test_batch_decoder_error_contract_matches_single():
         check(bytes(p))
 
 
-def test_batch_decoder_restart_interval_uses_scalar_path():
-    """A payload with a declared restart interval (DRI) routes through the
-    scalar decoder inside the batch API and still matches it."""
+def test_batch_decoder_restart_intervals_match_scalar():
+    """DRI payloads ride the cohort as per-interval streams (r11) and must
+    stay byte-identical to the scalar decoder: a declared-but-never-fired
+    interval, real multi-interval streams with RST0.. markers and DC
+    predictor resets, and a corrupted RST chain (both paths raise)."""
     from slr207_mapreduce_spark.operators.jpeg import (
         decode_jpeg_gray,
         decode_jpeg_gray_batch,
@@ -676,10 +678,45 @@ def test_batch_decoder_restart_interval_uses_scalar_path():
     rng = np.random.RandomState(13)
     img = rng.randint(0, 256, (16, 16)).astype("uint8")
     p = encode_jpeg_gray(img)
-    # splice DRI (interval 8 > total 4 blocks: declared but never fired,
-    # so the scalar path decodes it; the batch path must defer to it)
+    # splice DRI (interval 8 > total 4 blocks: declared but never fired)
     with_dri = p[:2] + b"\xff\xdd\x00\x04\x00\x08" + p[2:]
     want = decode_jpeg_gray(with_dri)
     got = decode_jpeg_gray_batch([with_dri, p])
     assert np.array_equal(got[0], want)
     assert np.array_equal(got[1], decode_jpeg_gray(p))
+
+    # real multi-interval stream: 4 blocks at DRI=1 — every block its own
+    # byte-aligned interval with a fresh DC predictor (conformance-test
+    # construction: DC diff +16 per block, so a missed predictor reset
+    # would shift every block after the first)
+    blk = _bits_to_bytes(_DC5 + "10000" + _EOB)
+    ent = blk
+    for t in range(3):
+        ent += bytes([0xFF, 0xD0 + t]) + blk
+    multi = _container(32, 8, ent, dri=1)
+    want = decode_jpeg_gray(multi)
+    assert np.array_equal(want, np.full((8, 32), 130, dtype="uint8"))
+    batch = decode_jpeg_gray_batch([multi] * 40 + [p])
+    for got_i in batch[:40]:
+        assert np.array_equal(got_i, want)
+
+    # corrupted RST chain (RST0 where RST1 is due): both paths must raise
+    bad = multi.replace(bytes([0xFF, 0xD1]), bytes([0xFF, 0xD0]))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bad)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray_batch([p, bad])
+
+    # color branch of the DRI path (declared, never fired at 4 MCUs)
+    from slr207_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_color_batch,
+        encode_jpeg_color,
+    )
+
+    cimg = rng.randint(0, 256, (32, 32, 3)).astype("uint8")
+    cp = encode_jpeg_color(cimg)
+    c_dri = cp[:2] + b"\xff\xdd\x00\x04\x00\x08" + cp[2:]
+    assert np.array_equal(
+        decode_jpeg_color_batch([c_dri, cp])[0], decode_jpeg_color(c_dri)
+    )
