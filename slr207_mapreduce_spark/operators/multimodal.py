@@ -657,36 +657,178 @@ def iter_sampled_frames(payload: bytes, every_n: int):
             yield idx, decode_ppm(payload[off : off + ln])
 
 
+def _synth_rawv_cohort(doc_ids):
+    """Vectorized synth of the deterministic RAWV fixture for an int64
+    array of doc ids (the r11 JPEG-cohort discipline: one numpy pipeline
+    over every container of an Arrow batch instead of a per-doc Python
+    loop, byte-identical to ``encode_frame_stream`` of the scalar fixture
+    frames — pinned by tests/test_analytics_r4.py parity).
+
+    Returns ``(buf, doc_off, doc_len)``: every container back-to-back in
+    one uint8 buffer, ``buf[doc_off[i]:doc_off[i]+doc_len[i]]`` being doc
+    i's exact container bytes."""
+    import numpy as np
+
+    d = np.asarray(doc_ids, dtype="int64")
+    n = 5 + d % 6
+    starts = np.zeros(len(d), dtype="int64")
+    np.cumsum(n[:-1], out=starts[1:])
+    total_frames = int(n.sum())
+    did = np.repeat(d, n)
+    fidx = np.arange(total_frames, dtype="int64") - np.repeat(starts, n)
+    w = 4 + fidx % 3  # single-digit widths -> fixed 11-byte P6 header
+    body_len = 9 * w  # h=3, 3 channels
+    rec_len = 4 + 11 + body_len  # u32 prefix + header + pixels
+    doc_len = 8 + np.add.reduceat(rec_len, starts)
+    doc_off = np.zeros(len(d), dtype="int64")
+    np.cumsum(doc_len[:-1], out=doc_off[1:])
+    buf = np.zeros(int(doc_len.sum()), dtype="uint8")
+    for k, ch in enumerate(b"RAWV"):
+        buf[doc_off + k] = ch
+    for k in range(4):  # little-endian u32 frame count
+        buf[doc_off + 4 + k] = (n >> (8 * k)) & 0xFF
+    grec = np.zeros(total_frames, dtype="int64")
+    np.cumsum(rec_len[:-1], out=grec[1:])
+    rec_off = np.repeat(doc_off + 8, n) + (grec - np.repeat(grec[starts], n))
+    for k in range(4):  # little-endian u32 PPM length
+        buf[rec_off + k] = ((11 + body_len) >> (8 * k)) & 0xFF
+    for wv in (4, 5, 6):
+        sel = w == wv
+        if not sel.any():
+            continue
+        hdr = np.frombuffer(f"P6\n{wv} 3\n255\n".encode(), dtype="uint8")
+        buf[rec_off[sel][:, None] + 4 + np.arange(11)] = hdr[None, :]
+        p = np.arange(3 * wv, dtype="int64")
+        ds, fs = did[sel][:, None], fidx[sel][:, None]
+        body = np.empty((int(sel.sum()), 3 * wv, 3), dtype="uint8")
+        body[:, :, 0] = (ds + fs + 2 * p) % 256
+        body[:, :, 1] = (ds * 2 + fs + 3 * p) % 256
+        body[:, :, 2] = (ds * 3 + fs + 5 * p) % 256
+        dst = rec_off[sel][:, None] + 15 + np.arange(3 * 3 * wv)
+        buf[dst] = body.reshape(len(dst), -1)
+    return buf, doc_off, doc_len
+
+
+def _rawv_sampled_sums(buf, doc_off, doc_len, every_n: int):
+    """Lockstep demux + strict-P6 decode of every Nth frame for all RAWV
+    streams in ``buf`` at once. HONEST re-parse: frame counts, length
+    prefixes, and PPM headers are read back from the bytes (never reusing
+    encode-side offsets). Streams that fail any framing/header check are
+    returned for the scalar path, which owns the documented ValueError
+    contract (same handoff rule as the JPEG cohort decoder).
+
+    Returns ``(rows, fallback_idx)``: ``rows`` is a dict of numpy arrays
+    (stream, frame_idx, frame_w, sum_r, sum_g, sum_b) covering the clean
+    streams, sorted by (stream, frame_idx); ``fallback_idx`` lists stream
+    positions needing the scalar decoder."""
+    import numpy as np
+
+    nbuf = len(buf)
+    n_docs = len(doc_off)
+    clamp = lambda idx: np.minimum(idx, max(nbuf - 1, 0))  # noqa: E731
+
+    def u32_at(pos):
+        v = np.zeros(len(pos), dtype="int64")
+        for k in range(4):
+            v |= buf[clamp(pos + k)].astype("int64") << (8 * k)
+        return v
+
+    bad = doc_len < 8  # scalar: magic check precedes the 8-byte check
+    for k, ch in enumerate(b"RAWV"):
+        bad |= buf[clamp(doc_off + k)] != ch
+    n2 = np.where(bad, 0, u32_at(doc_off + 4))
+    bad |= n2 > np.maximum(doc_len - 8, 0) // 4  # frame costs >= 4 bytes
+    n2 = np.where(bad, 0, n2)
+    pos = doc_off + 8
+    end = doc_off + doc_len
+    rec_doc, rec_j, rec_off, rec_ln = [], [], [], []
+    max_n = int(n2.max()) if n_docs else 0
+    for j in range(max_n):
+        act = ~bad & (j < n2)
+        if not act.any():
+            break
+        short = act & (pos + 4 > end)
+        bad |= short
+        act &= ~short
+        ln = u32_at(pos)
+        over = act & (pos + 4 + ln > end)
+        bad |= over
+        act &= ~over
+        if act.any():
+            idxs = np.nonzero(act)[0]
+            rec_doc.append(idxs)
+            rec_j.append(np.full(len(idxs), j, dtype="int64"))
+            rec_off.append(pos[idxs] + 4)
+            rec_ln.append(ln[idxs])
+            pos[idxs] += 4 + ln[idxs]
+    bad |= ~bad & (pos != end)  # trailing bytes after last frame
+    if rec_doc:
+        fdoc = np.concatenate(rec_doc)
+        fj = np.concatenate(rec_j)
+        foff = np.concatenate(rec_off)
+        fln = np.concatenate(rec_ln)
+    else:
+        fdoc = fj = foff = fln = np.zeros(0, dtype="int64")
+    samp = (fj % every_n == 0) & ~bad[fdoc]
+    fdoc, fj, foff, fln = fdoc[samp], fj[samp], foff[samp], fln[samp]
+    # strict fixed-layout P6 header: "P6\n<w> <h>\n255\n", single digits.
+    # Anything else (multi-digit dims, odd whitespace, short frame) hands
+    # the WHOLE stream to the scalar decoder — stricter than decode_ppm,
+    # never looser, so no scalar-error case can pass here.
+    ok = fln >= 11
+    for k, ch in enumerate(b"P6\n"):
+        ok &= buf[clamp(foff + k)] == ch
+    wd = buf[clamp(foff + 3)].astype("int64") - 48
+    hd = buf[clamp(foff + 5)].astype("int64") - 48
+    ok &= (wd >= 1) & (wd <= 9) & (buf[clamp(foff + 4)] == 0x20)
+    ok &= (hd >= 1) & (hd <= 9)
+    for k, ch in enumerate(b"\n255\n"):
+        ok &= buf[clamp(foff + 6 + k)] == ch
+    ok &= fln >= 11 + 3 * wd * hd  # decode_ppm tolerates extra tail bytes
+    strict_fail = np.zeros(n_docs, dtype=bool)
+    if not ok.all():
+        strict_fail[fdoc[~ok]] = True
+    fallback = np.nonzero(bad | strict_fail)[0]
+    keep = ~strict_fail[fdoc]
+    fdoc, fj, foff, wd, hd = fdoc[keep], fj[keep], foff[keep], wd[keep], hd[keep]
+    sum_r = np.zeros(len(fdoc), dtype="int64")
+    sum_g = np.zeros(len(fdoc), dtype="int64")
+    sum_b = np.zeros(len(fdoc), dtype="int64")
+    for shape in np.unique(wd * 16 + hd) if len(fdoc) else ():
+        wv, hv = int(shape) // 16, int(shape) % 16
+        sel = (wd == wv) & (hd == hv)
+        idx = foff[sel][:, None] + 11 + np.arange(3 * wv * hv)
+        pix = buf[idx].astype("int64").reshape(-1, wv * hv, 3)
+        sum_r[sel] = pix[:, :, 0].sum(axis=1)
+        sum_g[sel] = pix[:, :, 1].sum(axis=1)
+        sum_b[sel] = pix[:, :, 2].sum(axis=1)
+    order = np.lexsort((fj, fdoc))
+    rows = {
+        "stream": fdoc[order],
+        "frame_idx": fj[order],
+        "frame_w": wd[order],
+        "sum_r": sum_r[order],
+        "sum_g": sum_g[order],
+        "sum_b": sum_b[order],
+    }
+    return rows, fallback
+
+
 def synth_video_blobs(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): real frame-stream bytes. Deterministic fixture:
     n_frames = 5 + doc_id % 6; frame f is a (4+f%3) x 3 image with
     rgb(p) = ((doc_id + f + 2*p) % 256, (doc_id*2 + f + 3*p) % 256,
-    (doc_id*3 + f + 5*p) % 256), p row-major."""
+    (doc_id*3 + f + 5*p) % 256), p row-major. Containers are built by the
+    vectorized cohort (byte parity with encode_frame_stream pinned)."""
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                frames = []
-                for f in range(5 + d % 6):
-                    w, h = 4 + f % 3, 3
-                    p = np.arange(h * w, dtype="int64")
-                    img = np.stack(
-                        [
-                            (d + f + 2 * p) % 256,
-                            (d * 2 + f + 3 * p) % 256,
-                            (d * 3 + f + 5 * p) % 256,
-                        ],
-                        axis=1,
-                    ).reshape(h, w, 3)
-                    frames.append(img.astype("uint8"))
-                out.append(encode_frame_stream(frames))
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            buf, off, ln = _synth_rawv_cohort(ids)
+            out = [buf[o : o + l].tobytes() for o, l in zip(off, ln)]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
@@ -704,23 +846,75 @@ FRAME_FEATURE_SCHEMA = StructType(
 )
 
 
+def _frame_rows_from_cohort(doc_ids, buf, off, ln, every_n: int):
+    """Shared assembly for the vectorized frame-sample kernels: run the
+    cohort demux, replay any handed-off stream through the scalar decoder
+    (in row order, so the FIRST bad payload raises the same documented
+    ValueError the scalar loop would), and merge to one frame table
+    sorted by (input row, frame_idx)."""
+    import numpy as np
+
+    rows, fallback = _rawv_sampled_sums(buf, off, ln, every_n)
+    out = {
+        "doc_id": np.asarray(doc_ids)[rows["stream"]],
+        "frame_idx": rows["frame_idx"],
+        "frame_w": rows["frame_w"],
+        "sum_r": rows["sum_r"],
+        "sum_g": rows["sum_g"],
+        "sum_b": rows["sum_b"],
+        "_pos": rows["stream"],
+    }
+    if len(fallback):
+        fb = {k: [] for k in out}
+        for s in fallback:
+            payload = bytes(buf[off[s] : off[s] + ln[s]])
+            for idx, img in iter_sampled_frames(payload, every_n):
+                a = img.astype("int64")
+                fb["doc_id"].append(doc_ids[s])
+                fb["frame_idx"].append(idx)
+                fb["frame_w"].append(img.shape[1])
+                fb["sum_r"].append(int(a[:, :, 0].sum()))
+                fb["sum_g"].append(int(a[:, :, 1].sum()))
+                fb["sum_b"].append(int(a[:, :, 2].sum()))
+                fb["_pos"].append(s)
+        out = {
+            k: np.concatenate([np.asarray(out[k]), np.asarray(fb[k], dtype="int64")])
+            for k in out
+        }
+        order = np.lexsort((out["frame_idx"], out["_pos"]))
+        out = {k: v[order] for k, v in out.items()}
+    out.pop("_pos")
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].astype("int64"),
+            "frame_idx": out["frame_idx"].astype("int32"),
+            "frame_w": out["frame_w"].astype("int32"),
+            "sum_r": out["sum_r"].astype("int64"),
+            "sum_g": out["sum_g"].astype("int64"),
+            "sum_b": out["sum_b"].astype("int64"),
+        }
+    )
+
+
 def sampled_frame_features(blob_df: DataFrame, every_n: int = 2) -> DataFrame:
     """Parse each frame stream, decode every Nth frame ONLY, emit exact
-    per-frame channel sums — fan-out rows like a real frame extractor."""
+    per-frame channel sums — fan-out rows like a real frame extractor.
+    Demux + decode run cohort-vectorized over the whole Arrow batch;
+    irregular payloads replay through the scalar decoder, which owns the
+    documented ValueError contract."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = {k.name: [] for k in FRAME_FEATURE_SCHEMA.fields}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for idx, img in iter_sampled_frames(bytes(payload), every_n):
-                    a = img.astype("int64")
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["frame_w"].append(img.shape[1])
-                    rows["sum_r"].append(int(a[:, :, 0].sum()))
-                    rows["sum_g"].append(int(a[:, :, 1].sum()))
-                    rows["sum_b"].append(int(a[:, :, 2].sum()))
-            yield pd.DataFrame(rows)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            ln = np.array([len(p) for p in payloads], dtype="int64")
+            off = np.zeros(len(payloads), dtype="int64")
+            np.cumsum(ln[:-1], out=off[1:])
+            buf = np.frombuffer(b"".join(payloads), dtype="uint8")
+            yield _frame_rows_from_cohort(
+                pdf["doc_id"].to_numpy(), buf, off, ln, every_n
+            )
 
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=FRAME_FEATURE_SCHEMA
@@ -735,37 +929,17 @@ def video_frame_sample_roundtrip_features(
     ``sampled_frame_features(synth_video_blobs(docs), every_n)`` — the
     chained benchmark shape shipped each container across the JVM boundary
     three times (see jpeg.py's fused round-trips, r11); the real pipeline
-    surface stays the separate operators, which read blobs from storage."""
-    import numpy as np
+    surface stays the separate operators, which read blobs from storage.
+    Both halves run cohort-vectorized (r11b): the synthesized container
+    bytes still exist in full and the demux/decode re-parses them from
+    the buffer — parity with the scalar encode→iter_sampled_frames chain
+    is pinned in tests/test_analytics_r4.py."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k.name: [] for k in FRAME_FEATURE_SCHEMA.fields}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                frames = []
-                for f in range(5 + d % 6):
-                    w, h = 4 + f % 3, 3
-                    p = np.arange(h * w, dtype="int64")
-                    img = np.stack(
-                        [
-                            (d + f + 2 * p) % 256,
-                            (d * 2 + f + 3 * p) % 256,
-                            (d * 3 + f + 5 * p) % 256,
-                        ],
-                        axis=1,
-                    ).reshape(h, w, 3)
-                    frames.append(img.astype("uint8"))
-                payload = encode_frame_stream(frames)
-                for idx, img in iter_sampled_frames(payload, every_n):
-                    a = img.astype("int64")
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["frame_w"].append(img.shape[1])
-                    rows["sum_r"].append(int(a[:, :, 0].sum()))
-                    rows["sum_g"].append(int(a[:, :, 1].sum()))
-                    rows["sum_b"].append(int(a[:, :, 2].sum()))
-            yield pd.DataFrame(rows)
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            buf, off, ln = _synth_rawv_cohort(ids)
+            yield _frame_rows_from_cohort(ids, buf, off, ln, every_n)
 
     return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(
         gen, schema=FRAME_FEATURE_SCHEMA
@@ -1278,4 +1452,96 @@ def gif_features(blob_df: DataFrame) -> DataFrame:
 
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+# --- Perceptual hash (dHash) over real decoded images (r11b) --------------
+#
+# Image NEAR-duplicate detection — the multimodal counterpart of the text
+# family's simhash: decode each blob (REAL P6 parse), downsample to a fixed
+# 8x8 grid with the all-integer nearest indexing resize_nearest_fit uses,
+# and take the 56-bit dHash (row-wise brighter-than-right-neighbor bits
+# over integer luma 299r+587g+114b). All arithmetic is integer, so the
+# whole hash — not just the plumbing — is DuckDB-replayable; candidate
+# pairing reuses the bit-sampling LSH discipline of dedup_simhash_pairs
+# (7 bands x 8 bits: complete recall for hamming <= 6 by pigeonhole).
+
+PHASH_W, PHASH_H = 16, 12  # synth fixture dimensions
+_PHASH_P = 65521  # largest 16-bit prime: base*cell mixing stays exact int64
+
+
+def synth_phash_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real P6 bytes for the near-dup fixture. Docs
+    share a base image per group of 4 (base = doc_id - doc_id % 4);
+    channel (i, j) of the base is ((base % P + k0) * (cell*k1 + k2)) % P
+    % 256 with cell = i*16 + j (multiplicative base-cell interaction —
+    an additive base term would shift all pixels by a constant and leave
+    every brighter-than-neighbor comparison, hence the hash, identical
+    across bases). Variants v = doc_id % 4 > 0 flip two source pixels by
+    +128, perturbing the sampled grid by <= 4 dHash bits (measured), so
+    same-base pairs sit at hamming <= 4 while cross-base hashes are
+    decorrelated."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base, v = d - d % 4, d % 4
+                cell = np.arange(PHASH_H * PHASH_W, dtype="int64").reshape(
+                    PHASH_H, PHASH_W
+                )
+                bb = base % _PHASH_P
+                img = np.stack(
+                    [
+                        (bb + 1) * (cell * 151 + 11) % _PHASH_P % 256,
+                        (bb + 7) * (cell * 211 + 29) % _PHASH_P % 256,
+                        (bb + 13) * (cell * 59 + 47) % _PHASH_P % 256,
+                    ],
+                    axis=2,
+                )
+                if v:
+                    img[0, v * 3 - 2, 0] = (img[0, v * 3 - 2, 0] + 128) % 256
+                    img[1, v * 3 - 1, 1] = (img[1, v * 3 - 1, 1] + 128) % 256
+                out.append(encode_ppm(img.astype("uint8")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return fan_out_for_kernel(docs.select("doc_id")).mapInPandas(gen, schema=schema)
+
+
+DHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("dhash", LongType())]
+)
+
+
+def dhash56_features(blob_df: DataFrame) -> DataFrame:
+    """REAL decode -> 56-bit dHash: parse each P6 payload, nearest-sample
+    an 8x8 luma grid (src = ((i2*h)//8, (j2*w)//8) — the integer indexing
+    the resize family uses), emit bit (i2*7 + j2) = gray[i2][j2] <
+    gray[i2][j2+1]. 56 bits keeps the hash clear of the int64 sign."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload)).astype("int64")
+                h, w, _ = img.shape
+                gray = 299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
+                yi = (np.arange(8, dtype="int64") * h) // 8
+                xi = (np.arange(8, dtype="int64") * w) // 8
+                g2 = gray[yi][:, xi]
+                bits = (g2[:, :7] < g2[:, 1:]).astype("int64")
+                hashes.append(int((bits.reshape(-1) << np.arange(56)).sum()))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=DHASH_SCHEMA
     )

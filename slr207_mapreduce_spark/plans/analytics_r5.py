@@ -1,0 +1,291 @@
+"""Round-11b additions: three operators a training-data pipeline still
+lacked, each fully DuckDB-oracled.
+
+- ``text_countmin_heavy_hitters`` — a REAL mergeable frequency sketch
+  (count-min) built with the portable md5 hash family, so the sketch
+  counters, the estimates, and the realized error are all hash-checked
+  against an oracle that rebuilds the same sketch in SQL. The counters
+  are plain SUMs, so Spark's partial aggregation IS the sketch merge —
+  the map-side combine builds per-partition sketches and the reduce
+  merges them, which is exactly how the sketch deploys on a cluster.
+- ``pipeline_pps_systematic_sample`` — weighted (probability-
+  proportional-to-size) sampling with ZERO floating point: systematic
+  sampling along the exact cumulative-weight line, anchored at step/2.
+  Uses the distributed exclusive prefix sum (operators/ids.py), so no
+  global window; the float-free formulation is what keeps a weighted
+  sampler hash-checkable across engines (u^(1/w) keys are libm-order
+  dependent; integer division is not).
+- ``multimodal_phash_neardup`` — image NEAR-duplicate detection over
+  real decoded bytes: P6 decode -> integer-luma 8x8 grid -> 56-bit
+  dHash -> bit-sampling LSH bands (reusing dedup.simhash_band_pairs;
+  complete recall for hamming <= 6 by pigeonhole over 7 bands). The
+  multimodal counterpart of the text family's simhash near-dup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.functions.portable import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.sources.tables import load_table
+
+# Count-min geometry: depth 3 x width 1024 (seeds 100..102 of the portable
+# md5 family). At sf0.1 (~6e5 token occurrences) the expected per-row
+# overcount is N/w ~ 600 — small against the top-20 heavy hitters, large
+# enough that the report's realized-error column is a real measurement.
+_CM_DEPTH = 3
+_CM_WIDTH = 1024
+_CM_SEED0 = 100
+_CM_TOPK = 20
+
+
+def _cm_oracle() -> str:
+    probe = portable_hash64_sql(
+        "t.term", seed="' || CAST(100 + h.i AS VARCHAR) || '"
+    )
+    build = portable_hash64_sql(
+        "term", seed="' || CAST(100 + h.i AS VARCHAR) || '"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term, COUNT(*) AS cnt FROM toks WHERE length(term) > 0 GROUP BY term
+    ),
+    cm AS (
+      SELECT h.i AS h, {build} % {_CM_WIDTH} AS b, SUM(cnt) AS c
+      FROM counts, (SELECT UNNEST(range({_CM_DEPTH})) AS i) h
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT {_CM_TOPK}
+    )
+    SELECT t.term,
+           CAST(t.cnt AS BIGINT) AS exact_tf,
+           CAST(MIN(c.c) AS BIGINT) AS est_tf,
+           CAST(MIN(c.c) - t.cnt AS BIGINT) AS overcount
+    FROM top t, (SELECT UNNEST(range({_CM_DEPTH})) AS i) h, cm c
+    WHERE c.h = h.i AND c.b = {probe} % {_CM_WIDTH}
+    GROUP BY t.term, t.cnt
+    """
+
+
+@register(
+    "text_countmin_heavy_hitters",
+    oracle=_cm_oracle(),
+    doc="Count-min sketch heavy hitters: per-term exact counts feed a "
+    f"depth-{_CM_DEPTH} x width-{_CM_WIDTH} counter array keyed by the "
+    "portable md5 hash family (adding exact per-term counts into buckets "
+    "is identical to streaming per-occurrence updates — the counters are "
+    "additive), then the top-20 exact terms are probed back through the "
+    "sketch: est = min over rows of the bucket sum. The counters are "
+    "plain SUMs, so partial aggregation IS the distributed sketch merge "
+    "and the whole structure is mergeable across partitions, days, or "
+    "corpora. est >= exact always (CM never undercounts); the overcount "
+    "column is the realized error, which the oracle — rebuilding the "
+    "identical sketch in SQL — checks exactly, the same "
+    "exact-report-over-approximate-inputs trick as estimator_error_report.",
+    tags=("text", "sketch"),
+)
+def text_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hash_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("h"),
+                (portable_hash64(F.col("term"), seed=_CM_SEED0 + i) % _CM_WIDTH).alias(
+                    "b"
+                ),
+            )
+            for i in range(_CM_DEPTH)
+        ]
+    )
+    cm = (
+        counts.select(F.explode(hash_rows).alias("hb"), "cnt")
+        .groupBy(F.col("hb.h").alias("h"), F.col("hb.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(_CM_TOPK)
+    probed = top.select("term", "cnt", F.explode(hash_rows).alias("hb")).join(
+        F.broadcast(cm),
+        (F.col("hb.h") == F.col("h")) & (F.col("hb.b") == F.col("b")),
+    )
+    return probed.groupBy("term", "cnt").agg(F.min("c").alias("est")).select(
+        "term",
+        F.col("cnt").cast("long").alias("exact_tf"),
+        F.col("est").cast("long").alias("est_tf"),
+        (F.col("est") - F.col("cnt")).cast("long").alias("overcount"),
+    )
+
+
+_PPS_K = 50
+
+
+@register(
+    "pipeline_pps_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS wt,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS before
+      FROM documents
+    ),
+    t AS (
+      SELECT GREATEST(CAST(SUM(n_chars) AS BIGINT) // {_PPS_K}, 1) AS step
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang, wt,
+             ((before + wt - 1 + step - step // 2) // step)
+               - ((before + step - 1 - step // 2) // step) AS n_hits
+      FROM w, t
+    )
+    SELECT doc_id, lang, wt, CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits WHERE n_hits >= 1
+    """,
+    doc="Weighted (PPS) sampling with zero floating point: lay every "
+    "document's weight (n_chars) along the exact cumulative line in "
+    f"doc_id order, then take one unit at step/2 + m*step for step = "
+    f"total_weight // {_PPS_K} — classic systematic "
+    "probability-proportional-to-size sampling with a deterministic "
+    "anchor. n_hits is how many sample points land inside the doc's "
+    "weight interval (a doc heavier than the step is drawn multiple "
+    "times, as PPS requires). The cumulative line comes from the "
+    "distributed two-pass exclusive prefix sum (operators/ids.py) — no "
+    "single-task global window — and the driver only ever sees "
+    "O(partitions) partial sums. The float-free formulation is the "
+    "point: Efraimidis-Spirakis u^(1/w) keys rank by libm pow, which no "
+    "cross-engine hash check can pin; integer division is exact "
+    "everywhere, so a weighted sampler becomes hash-checkable.",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.ids import with_running_total
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("wt")
+    )
+    lined = with_running_total(d, order_by=["doc_id"], value_col="wt", out_col="before")
+    step = d.agg(
+        F.expr(f"greatest(sum(wt) DIV {_PPS_K}, 1L)").alias("step")
+    )
+    return (
+        lined.crossJoin(F.broadcast(step))
+        .withColumn(
+            "n_hits",
+            F.expr(
+                "(before + wt - 1 + step - step DIV 2) DIV step"
+                " - (before + step - 1 - step DIV 2) DIV step"
+            ).cast("long"),
+        )
+        .where(F.col("n_hits") >= 1)
+        .select("doc_id", "lang", "wt", "n_hits")
+    )
+
+
+_PHASH_MAX_HAMMING = 6
+
+
+def _phash_oracle() -> str:
+    # Replays the fixture pixels (operators/multimodal.py:synth_phash_blobs),
+    # the integer nearest 8x8 resample, the luma dHash, and the banded join.
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             (doc_id - doc_id % 4) % 65521 AS bb,
+             doc_id % 4 AS v
+      FROM documents
+    ),
+    grid AS (
+      SELECT p.doc_id, p.bb, p.v, ti.i2, tj.j2,
+             ((ti.i2 * 12) // 8) AS yi, ((tj.j2 * 16) // 8) AS xi,
+             ((ti.i2 * 12) // 8) * 16 + ((tj.j2 * 16) // 8) AS cell
+      FROM params p,
+           (SELECT UNNEST(range(8)) AS i2) ti,
+           (SELECT UNNEST(range(8)) AS j2) tj
+    ),
+    px AS (
+      SELECT doc_id, i2, j2,
+             CASE WHEN v > 0 AND yi = 0 AND xi = v * 3 - 2
+                  THEN ((bb + 1) * (cell * 151 + 11) % 65521 % 256 + 128) % 256
+                  ELSE (bb + 1) * (cell * 151 + 11) % 65521 % 256 END AS r,
+             CASE WHEN v > 0 AND yi = 1 AND xi = v * 3 - 1
+                  THEN ((bb + 7) * (cell * 211 + 29) % 65521 % 256 + 128) % 256
+                  ELSE (bb + 7) * (cell * 211 + 29) % 65521 % 256 END AS g,
+             (bb + 13) * (cell * 59 + 47) % 65521 % 256 AS b
+      FROM grid
+    ),
+    hashes AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN 299 * a.r + 587 * a.g + 114 * a.b
+                                < 299 * c.r + 587 * c.g + 114 * c.b
+                           THEN 1::BIGINT << (a.i2 * 7 + a.j2) ELSE 0 END)
+                  AS BIGINT) AS dhash
+      FROM px a
+      JOIN px c ON c.doc_id = a.doc_id AND c.i2 = a.i2 AND c.j2 = a.j2 + 1
+      WHERE a.j2 < 7
+      GROUP BY a.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, dhash, tb.b AS band, (dhash >> (8 * tb.b)) & 255 AS val
+      FROM hashes, (SELECT UNNEST(range(7)) AS b) tb
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.dhash AS ha, y.dhash AS hb
+      FROM bands x
+      JOIN bands y ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=_phash_oracle(),
+    doc="Image NEAR-duplicate detection over real decoded bytes — the "
+    "multimodal counterpart of dedup_simhash_pairs: decode each P6 "
+    "payload, nearest-sample an 8x8 integer-luma grid, take the 56-bit "
+    "dHash (brighter-than-right-neighbor bits), and pair via "
+    "bit-sampling LSH (7 bands x 8 bits, equi-join on band value, exact "
+    "Hamming verify) — complete recall for hamming <= "
+    f"{_PHASH_MAX_HAMMING} by pigeonhole, never an all-pairs product. "
+    "Every stage is integer arithmetic, so the oracle replays the DECODED "
+    "PIXELS, the resample indexing, the hash bits, and the banded join in "
+    "SQL — the hash values themselves are checked, not just pair counts. "
+    "Fixture: groups of 4 docs share a base image; variants flip two "
+    "source pixels (+128), landing same-base pairs at hamming <= 4 while "
+    "cross-base hashes decorrelate via multiplicative base-cell mixing. "
+    "At production scale the banding widens with the corpus exactly as "
+    "dedup_simhash_pairs documents (wider bands -> finer buckets).",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.dedup import simhash_band_pairs
+    from slr207_mapreduce_spark.operators.multimodal import (
+        dhash56_features,
+        synth_phash_blobs,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    hashes = dhash56_features(synth_phash_blobs(d)).withColumnRenamed(
+        "dhash", "simhash"
+    )
+    return simhash_band_pairs(
+        hashes, max_hamming=_PHASH_MAX_HAMMING, bits=56, bands=7
+    )

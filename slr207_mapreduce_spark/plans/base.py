@@ -64,12 +64,14 @@ def register(
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
 # For r11 (computed by tools/rotation.py over CORRECTNESS_r01..r10) that
-# is estimator_error_report (new this round, never adjudicated), the r05
-# block — dedup_*/embedding_*/knn_lsh_bucketed/knn_pq_adc/
+# is the four never-adjudicated r11 additions (estimator_error_report,
+# multimodal_phash_neardup, pipeline_pps_systematic_sample,
+# text_countmin_heavy_hitters), the r05 block —
+# dedup_*/embedding_*/knn_lsh_bucketed/knn_pq_adc/
 # pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_*/udtf/
-# wordcount_sequential_oracle — plus the first six r06 names in
+# wordcount_sequential_oracle — plus the first three r06 names in
 # tie-break order (agg_histogram_equidepth, events_overlap_join_bucketed,
-# events_sessionization_capped, graph_* trio).
+# events_sessionization_capped).
 #
 # WINDOW_ROUND declares which round this window serves; the rotation test
 # computes the expected window from artifacts of rounds < WINDOW_ROUND, so
@@ -99,6 +101,9 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "events_sessionization",
     # --- new this round (never adjudicated; stalest by definition) ---
     "estimator_error_report",
+    "multimodal_phash_neardup",
+    "pipeline_pps_systematic_sample",
+    "text_countmin_heavy_hitters",
     # --- the 38 names last driver-adjudicated in r05 ---
     "dedup_cluster_keep_canonical",
     "dedup_exact",
@@ -138,13 +143,11 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "udf_pandas_scalar_net_price",
     "udtf_positioned_words",
     "wordcount_sequential_oracle",
-    # --- first 6 r06 names in (last-round, name) tie-break order ---
+    # --- first 3 r06 names in (last-round, name) tie-break order (the
+    # graph_* trio rotated back out when the three r11b queries joined) ---
     "agg_histogram_equidepth",
     "events_overlap_join_bucketed",
     "events_sessionization_capped",
-    "graph_bfs_distances",
-    "graph_degree_hubs",
-    "graph_triangle_count",
 )
 
 
@@ -193,6 +196,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics_r4d,
         recall_report,
         estimator_report,
+        analytics_r5,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -729,3 +729,120 @@ def test_codec_family_corruption_fuzz_error_contract():
         for k in range(len(payload)):
             with pytest.raises(ValueError):
                 dec(payload[:k])
+
+
+def test_rawv_cohort_byte_and_row_parity():
+    """The r11b cohort-vectorized RAWV path must be indistinguishable from
+    the scalar chain: container bytes identical to encode_frame_stream of
+    the fixture frames, and the fused demux+decode rows identical to
+    iter_sampled_frames over those bytes — including 64-bit doc ids."""
+    import numpy as np
+    import pandas as pd
+
+    from slr207_mapreduce_spark.operators import multimodal as M
+
+    def scalar_frames(d):
+        frames = []
+        for f in range(5 + d % 6):
+            w, h = 4 + f % 3, 3
+            p = np.arange(h * w, dtype="int64")
+            img = np.stack(
+                [
+                    (d + f + 2 * p) % 256,
+                    (d * 2 + f + 3 * p) % 256,
+                    (d * 3 + f + 5 * p) % 256,
+                ],
+                axis=1,
+            ).reshape(h, w, 3)
+            frames.append(img.astype("uint8"))
+        return frames
+
+    ids = np.array(list(range(40)) + [10**12 + 7, 2**40, 123456789], dtype="int64")
+    buf, off, ln = M._synth_rawv_cohort(ids)
+    for i, d in enumerate(ids):
+        assert (
+            buf[off[i] : off[i] + ln[i]].tobytes()
+            == M.encode_frame_stream(scalar_frames(int(d)))
+        ), f"byte mismatch for doc {d}"
+    got = M._frame_rows_from_cohort(ids, buf, off, ln, 2)
+    exp_rows = []
+    for d in ids:
+        payload = M.encode_frame_stream(scalar_frames(int(d)))
+        for idx, img in M.iter_sampled_frames(payload, 2):
+            a = img.astype("int64")
+            exp_rows.append(
+                (
+                    int(d),
+                    idx,
+                    img.shape[1],
+                    int(a[:, :, 0].sum()),
+                    int(a[:, :, 1].sum()),
+                    int(a[:, :, 2].sum()),
+                )
+            )
+    exp = pd.DataFrame(exp_rows, columns=list(got.columns)).astype(
+        got.dtypes.to_dict()
+    )
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_rawv_cohort_error_parity_and_scalar_handoff():
+    """Corrupt streams mixed into a cohort batch must raise EXACTLY the
+    scalar decoder's documented ValueError (all truncations + magic/count
+    corruption), and legitimate-but-nonstandard streams the strict parser
+    can't vectorize (multi-digit PPM dims) must hand off to the scalar
+    path with identical rows, never a wrong answer."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from slr207_mapreduce_spark.operators import multimodal as M
+
+    good = M.encode_frame_stream(
+        [np.full((3, w, 3), 9, dtype="uint8") for w in (4, 5, 6)]
+    )
+
+    def run_pair(second: bytes):
+        payloads = [good, second]
+        ln = np.array([len(p) for p in payloads], dtype="int64")
+        off = np.array([0, len(good)], dtype="int64")
+        buf = np.frombuffer(b"".join(payloads), dtype="uint8")
+        return M._frame_rows_from_cohort(np.array([1, 2]), buf, off, ln, 2)
+
+    # every truncation point + representative corruptions
+    corrupt = [good[:k] for k in range(len(good))]
+    corrupt += [b"XXXX" + good[4:], good + b"\x00"]
+    inflated = bytearray(good)
+    inflated[4] += 1  # count says one more frame than the stream holds
+    corrupt.append(bytes(inflated))
+    for payload in corrupt:
+        try:
+            list(M.iter_sampled_frames(payload, 2))
+        except ValueError as scalar_err:
+            with pytest.raises(ValueError) as cohort_err:
+                run_pair(payload)
+            assert str(cohort_err.value) == str(scalar_err)
+        else:
+            run_pair(payload)  # scalar accepts it -> cohort must too
+
+    # strict-parser handoff: 12-px-wide frame has a 12-byte P6 header
+    wide = M.encode_frame_stream([np.arange(108, dtype="uint8").reshape(3, 12, 3)])
+    got = run_pair(wide)
+    exp_rows = []
+    for did, payload in ((1, good), (2, wide)):
+        for idx, img in M.iter_sampled_frames(payload, 2):
+            a = img.astype("int64")
+            exp_rows.append(
+                (
+                    did,
+                    idx,
+                    img.shape[1],
+                    int(a[:, :, 0].sum()),
+                    int(a[:, :, 1].sum()),
+                    int(a[:, :, 2].sum()),
+                )
+            )
+    exp = pd.DataFrame(exp_rows, columns=list(got.columns)).astype(
+        got.dtypes.to_dict()
+    )
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
