@@ -221,19 +221,63 @@ def video_frame_index(blob_df: DataFrame) -> DataFrame:
     """Frame MANIFEST extraction: one row per contained frame with its
     byte offset and size, read from the real container framing only (no
     pixel decode — the cheap first pass that plans which byte ranges a
-    sampler will fetch; replaces the retired length-heuristic stub)."""
+    sampler will fetch; replaces the retired length-heuristic stub).
+    The container walk runs cohort-vectorized over the whole Arrow batch
+    (r11b, same lockstep as the frame-sample path); irregular payloads
+    replay through the scalar walker, which owns the documented
+    ValueError contract."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = {k.name: [] for k in FRAME_INDEX_SCHEMA.fields}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for idx, off, ln in iter_frame_index(bytes(payload)):
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["byte_offset"].append(off)
-                    rows["frame_bytes"].append(ln)
-                    rows["frame_uri"].append(f"rawv://{int(doc_id)}#{idx}@{off}")
-            yield pd.DataFrame(rows)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            ln = np.array([len(p) for p in payloads], dtype="int64")
+            off = np.zeros(len(payloads), dtype="int64")
+            np.cumsum(ln[:-1], out=off[1:])
+            buf = np.frombuffer(b"".join(payloads), dtype="uint8")
+            ids = pdf["doc_id"].to_numpy()
+            fdoc, fj, foff, fln, bad = _rawv_walk(buf, off, ln)
+            order = np.lexsort((fj, fdoc))
+            fdoc, fj, foff, fln = fdoc[order], fj[order], foff[order], fln[order]
+            rel_off = foff - off[fdoc]  # scalar yields payload-relative offsets
+            out = pd.DataFrame(
+                {
+                    "doc_id": ids[fdoc].astype("int64"),
+                    "frame_idx": fj.astype("int32"),
+                    "byte_offset": rel_off,
+                    "frame_bytes": fln,
+                    "_pos": fdoc,
+                }
+            )
+            out["frame_uri"] = (
+                "rawv://"
+                + pd.Series(ids[fdoc].astype("int64")).astype(str)
+                + "#"
+                + pd.Series(fj).astype(str)
+                + "@"
+                + pd.Series(rel_off).astype(str)
+            )
+            if bad.any():
+                fb = {k.name: [] for k in FRAME_INDEX_SCHEMA.fields}
+                fb["_pos"] = []
+                for s in np.nonzero(bad)[0]:
+                    for idx, o, l in iter_frame_index(payloads[s]):
+                        fb["doc_id"].append(int(ids[s]))
+                        fb["frame_idx"].append(idx)
+                        fb["byte_offset"].append(o)
+                        fb["frame_bytes"].append(l)
+                        fb["frame_uri"].append(f"rawv://{int(ids[s])}#{idx}@{o}")
+                        fb["_pos"].append(s)
+                out = pd.concat([out, pd.DataFrame(fb)], ignore_index=True)
+                out = out.sort_values(
+                    ["_pos", "frame_idx"], kind="mergesort"
+                ).reset_index(drop=True)
+            out = out.drop(columns="_pos")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["byte_offset"] = out["byte_offset"].astype("int64")
+            out["frame_bytes"] = out["frame_bytes"].astype("int64")
+            yield out[[f.name for f in FRAME_INDEX_SCHEMA.fields]]
 
     return blob_df.select("doc_id", "payload").mapInPandas(
         feats, schema=FRAME_INDEX_SCHEMA
@@ -709,18 +753,18 @@ def _synth_rawv_cohort(doc_ids):
     return buf, doc_off, doc_len
 
 
-def _rawv_sampled_sums(buf, doc_off, doc_len, every_n: int):
-    """Lockstep demux + strict-P6 decode of every Nth frame for all RAWV
-    streams in ``buf`` at once. HONEST re-parse: frame counts, length
-    prefixes, and PPM headers are read back from the bytes (never reusing
-    encode-side offsets). Streams that fail any framing/header check are
-    returned for the scalar path, which owns the documented ValueError
-    contract (same handoff rule as the JPEG cohort decoder).
+def _rawv_walk(buf, doc_off, doc_len):
+    """Lockstep RAWV container walk for all streams in ``buf`` at once —
+    an HONEST re-parse (frame counts and length prefixes are read back
+    from the bytes, never reusing encode-side offsets). Iteration count =
+    the MAX frame count of any one stream, not the sum.
 
-    Returns ``(rows, fallback_idx)``: ``rows`` is a dict of numpy arrays
-    (stream, frame_idx, frame_w, sum_r, sum_g, sum_b) covering the clean
-    streams, sorted by (stream, frame_idx); ``fallback_idx`` lists stream
-    positions needing the scalar decoder."""
+    Returns ``(fdoc, fj, foff, fln, bad)``: one entry per frame of every
+    clean stream (stream position, frame index, global byte offset of the
+    frame body, frame length) plus the per-stream ``bad`` mask of streams
+    that failed a framing check and must replay on the scalar path (which
+    owns the documented ValueError contract — same handoff rule as the
+    JPEG cohort decoder). Frames of bad streams are already dropped."""
     import numpy as np
 
     nbuf = len(buf)
@@ -733,7 +777,7 @@ def _rawv_sampled_sums(buf, doc_off, doc_len, every_n: int):
             v |= buf[clamp(pos + k)].astype("int64") << (8 * k)
         return v
 
-    bad = doc_len < 8  # scalar: magic check precedes the 8-byte check
+    bad = doc_len < 8
     for k, ch in enumerate(b"RAWV"):
         bad |= buf[clamp(doc_off + k)] != ch
     n2 = np.where(bad, 0, u32_at(doc_off + 4))
@@ -769,7 +813,26 @@ def _rawv_sampled_sums(buf, doc_off, doc_len, every_n: int):
         fln = np.concatenate(rec_ln)
     else:
         fdoc = fj = foff = fln = np.zeros(0, dtype="int64")
-    samp = (fj % every_n == 0) & ~bad[fdoc]
+    keep = ~bad[fdoc]
+    return fdoc[keep], fj[keep], foff[keep], fln[keep], bad
+
+
+def _rawv_sampled_sums(buf, doc_off, doc_len, every_n: int):
+    """Strict-P6 decode of every Nth frame for all RAWV streams in ``buf``
+    at once, on top of :func:`_rawv_walk`.
+
+    Returns ``(rows, fallback_idx)``: ``rows`` is a dict of numpy arrays
+    (stream, frame_idx, frame_w, sum_r, sum_g, sum_b) covering the clean
+    streams, sorted by (stream, frame_idx); ``fallback_idx`` lists stream
+    positions needing the scalar decoder."""
+    import numpy as np
+
+    nbuf = len(buf)
+    n_docs = len(doc_off)
+    clamp = lambda idx: np.minimum(idx, max(nbuf - 1, 0))  # noqa: E731
+
+    fdoc, fj, foff, fln, bad = _rawv_walk(buf, doc_off, doc_len)
+    samp = fj % every_n == 0
     fdoc, fj, foff, fln = fdoc[samp], fj[samp], foff[samp], fln[samp]
     # strict fixed-layout P6 header: "P6\n<w> <h>\n255\n", single digits.
     # Anything else (multi-digit dims, odd whitespace, short frame) hands

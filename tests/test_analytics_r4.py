@@ -846,3 +846,39 @@ def test_rawv_cohort_error_parity_and_scalar_handoff():
         got.dtypes.to_dict()
     )
     assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_rawv_frame_index_cohort_matches_scalar_and_errors(spark):
+    """video_frame_index's cohort walk must emit exactly the scalar
+    walker's manifest rows (including payload-relative offsets and URIs)
+    for regular streams, and a malformed stream mixed into the batch must
+    surface the scalar walker's documented ValueError."""
+    import numpy as np
+    import pytest
+
+    from slr207_mapreduce_spark.operators import multimodal as M
+
+    frames = [np.full((2, w, 3), 5, dtype="uint8") for w in (3, 4, 5)]
+    good = M.encode_frame_stream(frames)
+    wide = M.encode_frame_stream([np.zeros((2, 12, 3), dtype="uint8")])
+
+    def run(payloads):
+        df = spark.createDataFrame(
+            [(i + 1, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary",
+        )
+        return M.video_frame_index(df).collect()
+
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], r["byte_offset"], r["frame_bytes"], r["frame_uri"])
+        for r in run([good, wide])
+    )
+    exp = sorted(
+        (did, idx, off, ln, f"rawv://{did}#{idx}@{off}")
+        for did, payload in ((1, good), (2, wide))
+        for idx, off, ln in M.iter_frame_index(payload)
+    )
+    assert got == exp
+
+    with pytest.raises(Exception, match="truncated RAWV frame body"):
+        run([good, good[:-2]])
