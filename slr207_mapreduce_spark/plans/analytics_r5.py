@@ -289,3 +289,103 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs(
         hashes, max_hamming=_PHASH_MAX_HAMMING, bits=56, bands=7
     )
+
+
+# Events count-min: depth 3 x width 64 per day (per-day user cardinality
+# ~150 at sf0.01, so width 64 guarantees visible collisions — a real
+# estimator, not an identity map), same portable seed family.
+_ECM_DEPTH = 3
+_ECM_WIDTH = 64
+_ECM_TOPK = 5
+
+
+def _ecm_oracle() -> str:
+    build = portable_hash64_sql("uid", seed="' || CAST(100 + h.i AS VARCHAR) || '")
+    probe = portable_hash64_sql("t.uid", seed="' || CAST(100 + h.i AS VARCHAR) || '")
+    return f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(user_id AS VARCHAR) AS uid
+      FROM events
+    ),
+    counts AS (SELECT day, uid, COUNT(*) AS cnt FROM ev GROUP BY day, uid),
+    cm AS (
+      SELECT day, h.i AS h, {build} % {_ECM_WIDTH} AS b, SUM(cnt) AS c
+      FROM counts, (SELECT UNNEST(range({_ECM_DEPTH})) AS i) h
+      GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT day, uid, cnt FROM (
+        SELECT day, uid, cnt,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY cnt DESC, uid) AS rn
+        FROM counts
+      ) WHERE rn <= {_ECM_TOPK}
+    )
+    SELECT t.day, CAST(t.uid AS BIGINT) AS user_id,
+           CAST(t.cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS est_cnt,
+           CAST(MIN(c.c) - t.cnt AS BIGINT) AS overcount
+    FROM top t, (SELECT UNNEST(range({_ECM_DEPTH})) AS i) h, cm c
+    WHERE c.day = t.day AND c.h = h.i AND c.b = {probe} % {_ECM_WIDTH}
+    GROUP BY t.day, t.uid, t.cnt
+    """
+
+
+@register(
+    "events_countmin_trending_daily",
+    oracle=_ecm_oracle(),
+    doc="Windowed heavy hitters over the event stream — trending-entity / "
+    f"bot detection: a per-day depth-{_ECM_DEPTH} x width-{_ECM_WIDTH} "
+    "count-min sketch over user_id, probed with each day's top-5 exact "
+    "users. The sketch being PURE additive SUMs keyed by (day, row, "
+    "bucket) is the point: the identical transform runs under Structured "
+    "Streaming as a watermarked windowed aggregation with NO custom "
+    "state (tests/test_streaming.py pins stream==batch counters), "
+    "because sketch merge == partial aggregation. The oracle rebuilds "
+    "the per-day sketches in SQL, hash-checking estimates and realized "
+    "overcounts exactly.",
+    tags=("events", "sketch", "streaming-analogue"),
+)
+def events_countmin_trending_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    counts = ev.groupBy("day", "uid").agg(F.count(F.lit(1)).alias("cnt"))
+    hash_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("h"),
+                (portable_hash64(F.col("uid"), seed=_CM_SEED0 + i) % _ECM_WIDTH).alias(
+                    "b"
+                ),
+            )
+            for i in range(_ECM_DEPTH)
+        ]
+    )
+    cm = (
+        counts.select("day", F.explode(hash_rows).alias("hb"), "cnt")
+        .groupBy("day", F.col("hb.h").alias("h"), F.col("hb.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), F.asc("uid"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _ECM_TOPK)
+        .drop("rn")
+    )
+    probed = top.select("day", "uid", "cnt", F.explode(hash_rows).alias("hb")).join(
+        F.broadcast(cm).withColumnRenamed("day", "cm_day"),
+        (F.col("day") == F.col("cm_day"))
+        & (F.col("hb.h") == F.col("h"))
+        & (F.col("hb.b") == F.col("b")),
+    )
+    return probed.groupBy("day", "uid", "cnt").agg(F.min("c").alias("est")).select(
+        "day",
+        F.col("uid").cast("long").alias("user_id"),
+        F.col("cnt").cast("long").alias("exact_cnt"),
+        F.col("est").cast("long").alias("est_cnt"),
+        (F.col("est") - F.col("cnt")).cast("long").alias("overcount"),
+    )

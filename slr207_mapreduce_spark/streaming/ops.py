@@ -69,6 +69,46 @@ def tumbling_window_counts(
     )
 
 
+def streaming_countmin_counters(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    depth: int = 3,
+    width: int = 64,
+    seed0: int = 100,
+) -> DataFrame:
+    """Per-window count-min sketch counters over user_id, as a PLAIN
+    watermarked windowed aggregation — no custom state operator. The
+    sketch's counters are additive SUMs keyed by (window, row, bucket),
+    so Structured Streaming's incremental aggregation IS the sketch
+    update and partial-agg merge is the sketch merge; the batch analogue
+    (events_countmin_trending_daily, plans/analytics_r5.py) builds
+    byte-identical counters, pinned by tests/test_streaming.py."""
+    from slr207_mapreduce_spark.functions.portable import portable_hash64
+
+    uid = F.col("user_id").cast("string")
+    hash_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("h"),
+                (portable_hash64(uid, seed=seed0 + i) % width).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", F.explode(hash_rows).alias("hb"))
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("hb.h").alias("h"),
+            F.col("hb.b").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "h", "b", "c")
+    )
+
+
 def sliding_window_sums(
     events: DataFrame,
     window: str = "1 hour",

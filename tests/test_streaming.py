@@ -847,3 +847,53 @@ def test_protobuf_shim_dir_is_private_and_rejects_planted_dirs(tmp_path, monkeyp
     assert shim3 == shim
     with open(init) as f:
         assert "extend_path" in f.read()
+
+
+def test_streaming_countmin_counters_match_batch_sketch(spark, batch_dir):
+    """The streaming count-min is a plain watermarked windowed agg — its
+    emitted per-day counters must equal the batch sketch built by the
+    registered analogue's transform over the same rows (sketch update ==
+    incremental aggregation; sketch merge == partial agg). Only windows
+    closed by the final watermark are emitted; each must match exactly."""
+    from slr207_mapreduce_spark.functions.portable import portable_hash64
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        streaming_countmin_counters,
+    )
+
+    stream = read_events_stream(spark, batch_dir, max_files_per_trigger=1)
+    out = run_to_memory(
+        streaming_countmin_counters(stream, "1 day", "2 hours"),
+        "t_countmin",
+        "append",
+    )
+    got = {
+        (r["window_start"], r["h"], r["b"]): r["c"] for r in out.collect()
+    }
+    assert got, "no closed windows emitted"
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    uid = F.col("user_id").cast("string")
+    hash_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("h"),
+                (portable_hash64(uid, seed=100 + i) % 64).alias("b"),
+            )
+            for i in range(3)
+        ]
+    )
+    want = {
+        (r["day"], r["h"], r["b"]): r["c"]
+        for r in ev.select(F.date_trunc("day", "ts").alias("day"), F.explode(hash_rows).alias("hb"))
+        .groupBy("day", F.col("hb.h").alias("h"), F.col("hb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    days_got = {k[0] for k in got}
+    days_all = {k[0] for k in want}
+    assert len(days_got) >= len(days_all) - 1  # final open window may be held back
+    for k, v in got.items():
+        assert want[k] == v, f"counter {k}: stream={v} batch={want[k]}"
