@@ -64,10 +64,10 @@ def register(
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
 # For r11 (computed by tools/rotation.py over CORRECTNESS_r01..r10) that
-# is the five never-adjudicated r11 additions (estimator_error_report,
+# is the six never-adjudicated r11 additions (estimator_error_report,
 # events_countmin_trending_daily, multimodal_phash_neardup,
-# pipeline_pps_systematic_sample, text_countmin_heavy_hitters), the r05
-# block —
+# pipeline_pps_systematic_sample, text_countmin_heavy_hitters,
+# text_phrase_search), the r05 block —
 # dedup_*/embedding_*/knn_lsh_bucketed/knn_pq_adc/
 # pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_*/udtf/
 # wordcount_sequential_oracle — plus the first three r06 names in
@@ -106,6 +106,7 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "pipeline_pps_systematic_sample",
     "text_countmin_heavy_hitters",
+    "text_phrase_search",
     # --- the 38 names last driver-adjudicated in r05 ---
     "dedup_cluster_keep_canonical",
     "dedup_exact",
@@ -145,11 +146,11 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "udf_pandas_scalar_net_price",
     "udtf_positioned_words",
     "wordcount_sequential_oracle",
-    # --- first 2 r06 names in (last-round, name) tie-break order (the
-    # graph_* trio and events_sessionization_capped rotated back out when
-    # the four r11b queries joined) ---
+    # --- first r06 name in (last-round, name) tie-break order (the
+    # graph_* trio, events_sessionization_capped, and
+    # events_overlap_join_bucketed rotated back out as the r11b queries
+    # joined) ---
     "agg_histogram_equidepth",
-    "events_overlap_join_bucketed",
 )
 
 
