@@ -193,13 +193,18 @@ def knn_bruteforce(
     )
 
 
-def knn_bruteforce_sql(k: int, query_pred: str) -> str:
+def knn_bruteforce_sql(k: int, query_pred: str, corpus_pred: str = "TRUE") -> str:
+    """DuckDB oracle for the exact tier. ``corpus_pred`` (a predicate over
+    the corpus alias ``c``) supports the FILTERED search variant: the
+    predicate composes BEFORE ranking, so top-k is exact under the filter
+    (pre-filtering), never a post-filtered under-filled k."""
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
     return f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
       FROM embeddings q, embeddings c
       WHERE ({query_pred.format(col='q.vec_id')}) AND q.vec_id <> c.vec_id
+        AND ({corpus_pred})
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cos_sim,

@@ -449,3 +449,44 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p0").alias("first_pos"),
         )
     )
+
+
+def _fknn_oracle() -> str:
+    from slr207_mapreduce_spark.operators.similarity import knn_bruteforce_sql
+    from slr207_mapreduce_spark.plans.similarity_queries import KNN_K, _N_QUERIES
+
+    return knn_bruteforce_sql(
+        k=KNN_K,
+        query_pred=f"{{col}} < {_N_QUERIES}",
+        corpus_pred=f"c.label = {_FKNN_LABEL}",
+    )
+
+
+_FKNN_LABEL = 3  # most common label at sf0.01 (59 of 500 vectors)
+
+
+@register(
+    "knn_filtered_bruteforce",
+    oracle=_fknn_oracle(),
+    doc="FILTERED vector search — the canonical hard case in production "
+    "ANN systems: exact cosine top-5 among corpus vectors satisfying a "
+    f"metadata predicate (label = {_FKNN_LABEL}). The filter composes "
+    "BEFORE candidate generation (pre-filtering, pushed into the corpus "
+    "scan), so every query gets a full, exact top-k under the predicate "
+    "— not post-filtering, which silently under-fills k when the "
+    "predicate is selective. Same one-scan local-top-k kernel as "
+    "knn_bruteforce (shuffle O(|Q|·k) per batch, never O(N·|Q|)); at "
+    "production scale the same composition applies in front of the "
+    "IVF/LSH tiers by filtering their candidate sets.",
+    tags=("similarity",),
+)
+def knn_filtered_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.similarity import knn_bruteforce
+    from slr207_mapreduce_spark.plans.similarity_queries import KNN_K, _N_QUERIES
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return knn_bruteforce(
+        e.where(F.col("label") == _FKNN_LABEL),
+        e.where(F.col("vec_id") < _N_QUERIES),
+        k=KNN_K,
+    )

@@ -64,10 +64,10 @@ def register(
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
 # For r11 (computed by tools/rotation.py over CORRECTNESS_r01..r10) that
-# is the six never-adjudicated r11 additions (estimator_error_report,
-# events_countmin_trending_daily, multimodal_phash_neardup,
-# pipeline_pps_systematic_sample, text_countmin_heavy_hitters,
-# text_phrase_search), the r05 block —
+# is the seven never-adjudicated r11 additions (estimator_error_report,
+# events_countmin_trending_daily, knn_filtered_bruteforce,
+# multimodal_phash_neardup, pipeline_pps_systematic_sample,
+# text_countmin_heavy_hitters, text_phrase_search), the r05 block —
 # dedup_*/embedding_*/knn_lsh_bucketed/knn_pq_adc/
 # pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_*/udtf/
 # wordcount_sequential_oracle — plus the first three r06 names in
@@ -103,6 +103,7 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     # --- new this round (never adjudicated; stalest by definition) ---
     "estimator_error_report",
     "events_countmin_trending_daily",
+    "knn_filtered_bruteforce",
     "multimodal_phash_neardup",
     "pipeline_pps_systematic_sample",
     "text_countmin_heavy_hitters",
@@ -146,11 +147,9 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "udf_pandas_scalar_net_price",
     "udtf_positioned_words",
     "wordcount_sequential_oracle",
-    # --- first r06 name in (last-round, name) tie-break order (the
-    # graph_* trio, events_sessionization_capped, and
-    # events_overlap_join_bucketed rotated back out as the r11b queries
-    # joined) ---
-    "agg_histogram_equidepth",
+    # (the r06 tie-break tail — graph_* trio, events_sessionization_capped,
+    # events_overlap_join_bucketed, agg_histogram_equidepth — rotated back
+    # out as the six later r11 additions joined; they lead the r12 backlog)
 )
 
 
