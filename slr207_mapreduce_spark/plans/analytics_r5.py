@@ -490,3 +490,77 @@ def knn_filtered_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") < _N_QUERIES),
         k=KNN_K,
     )
+
+
+_TEMP_S = 4  # k_lang = isqrt(S * n_lang): alpha=0.5 temperature, x2 scale
+
+
+@register(
+    "pipeline_temperature_mixture_sqrt",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+    ),
+    k AS (
+      SELECT lang, n_l,
+             -- exact integer sqrt: IEEE sqrt is correctly rounded, so the
+             -- float floor is off by at most 1; one CASE step repairs it
+             CASE WHEN r0 * r0 > {_TEMP_S} * n_l THEN r0 - 1
+                  WHEN (r0 + 1) * (r0 + 1) <= {_TEMP_S} * n_l THEN r0 + 1
+                  ELSE r0 END AS k_l
+      FROM (SELECT lang, n_l,
+                   CAST(FLOOR(SQRT(CAST({_TEMP_S} * n_l AS DOUBLE))) AS BIGINT) AS r0
+            FROM counts)
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY {portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed=77)}, d.doc_id) AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.lang, CAST(k.n_l AS BIGINT) AS lang_docs,
+           CAST(k.k_l AS BIGINT) AS lang_quota
+    FROM ranked r JOIN k ON k.lang = r.lang
+    WHERE r.rn <= k.k_l
+    """,
+    doc="Temperature-based multilingual mixture sampling at alpha = 0.5 — "
+    "the standard flattening for low-resource languages (sample share "
+    "proportional to n^alpha instead of n): per-language quota k_lang = "
+    f"isqrt({_TEMP_S}·n_lang), drawn in deterministic hash order. The "
+    "alpha=0.5 case is the ONE temperature exactly computable across "
+    "engines: IEEE-754 sqrt is correctly rounded everywhere (unlike pow, "
+    "whose libm drift no hash check can pin — same reasoning as the PPS "
+    "sampler), and a one-step integer repair of floor(sqrt(x)) makes the "
+    "quota exactly isqrt, verified by integer multiplication alone. One "
+    "shuffle on lang; quotas broadcast.",
+    tags=("pipeline", "sampling"),
+)
+def pipeline_temperature_mixture_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    r0 = F.floor(F.sqrt((F.lit(_TEMP_S) * F.col("n_l")).cast("double"))).cast("long")
+    k = counts.select(
+        "lang",
+        "n_l",
+        F.when(r0 * r0 > _TEMP_S * F.col("n_l"), r0 - 1)
+        .when((r0 + 1) * (r0 + 1) <= _TEMP_S * F.col("n_l"), r0 + 1)
+        .otherwise(r0)
+        .alias("k_l"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        portable_hash64(F.col("doc_id").cast("string"), seed=77).asc(),
+        F.asc("doc_id"),
+    )
+    ranked = d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(k), "lang")
+        .where(F.col("rn") <= F.col("k_l"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_l").cast("long").alias("lang_docs"),
+            F.col("k_l").cast("long").alias("lang_quota"),
+        )
+    )
