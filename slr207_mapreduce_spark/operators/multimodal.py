@@ -1536,12 +1536,19 @@ _PHASH_P = 65521  # largest 16-bit prime: base*cell mixing stays exact int64
 def synth_phash_blobs(docs: DataFrame) -> DataFrame:
     """(doc_id, payload): real P6 bytes for the near-dup fixture. Docs
     share a base image per group of 4 (base = doc_id - doc_id % 4);
-    channel (i, j) of the base is ((base % P + k0) * (cell*k1 + k2)) % P
-    % 256 with cell = i*16 + j (multiplicative base-cell interaction —
-    an additive base term would shift all pixels by a constant and leave
-    every brighter-than-neighbor comparison, hence the hash, identical
-    across bases). Variants v = doc_id % 4 > 0 flip two source pixels by
-    +128, perturbing the sampled grid by <= 4 dHash bits (measured), so
+    channel (i, j) of the base is the PRODUCT of two independent linear
+    forms in (bb, cell) mod P mod 256, bb = base % P, cell = i*16 + j.
+    The bilinear base-cell interaction matters twice over: an additive
+    base term would shift all pixels by a constant and leave every
+    brighter-than-neighbor comparison — hence the hash — identical
+    across bases, and a single linear form ((bb+k0)*(cell*k1+k2), the
+    first cut) still left adjacent-cell comparisons correlated enough
+    that at 50k docs accidental cross-base near-pairs chained a
+    giant duplicate component (measured: 165k accidental pairs, one
+    6.5k-doc cluster); the product of two forms drops that to ~300
+    scattered accidents at 20k docs with every same-base pair intact.
+    Variants v = doc_id % 4 > 0 flip two source pixels by +128,
+    perturbing the sampled grid by <= 4 dHash bits (measured), so
     same-base pairs sit at hamming <= 4 while cross-base hashes are
     decorrelated."""
     schema = StructType(
@@ -1562,9 +1569,18 @@ def synth_phash_blobs(docs: DataFrame) -> DataFrame:
                 bb = base % _PHASH_P
                 img = np.stack(
                     [
-                        (bb + 1) * (cell * 151 + 11) % _PHASH_P % 256,
-                        (bb + 7) * (cell * 211 + 29) % _PHASH_P % 256,
-                        (bb + 13) * (cell * 59 + 47) % _PHASH_P % 256,
+                        (bb * 131 + cell * 151 + 11)
+                        * (bb * 313 + cell * 211 + 29)
+                        % _PHASH_P
+                        % 256,
+                        (bb * 173 + cell * 59 + 47)
+                        * (bb * 419 + cell * 101 + 7)
+                        % _PHASH_P
+                        % 256,
+                        (bb * 233 + cell * 241 + 91)
+                        * (bb * 523 + cell * 37 + 3)
+                        % _PHASH_P
+                        % 256,
                     ],
                     axis=2,
                 )

@@ -1,5 +1,5 @@
-"""Round-11b additions: three operators a training-data pipeline still
-lacked, each fully DuckDB-oracled.
+"""Round-11b additions: operators a training-data pipeline still lacked,
+each fully DuckDB-oracled (sf0.01 / sf0.1 / sf1 evidence in SCALE.md).
 
 - ``text_countmin_heavy_hitters`` — a REAL mergeable frequency sketch
   (count-min) built with the portable md5 hash family, so the sketch
@@ -8,6 +8,11 @@ lacked, each fully DuckDB-oracled.
   are plain SUMs, so Spark's partial aggregation IS the sketch merge —
   the map-side combine builds per-partition sketches and the reduce
   merges them, which is exactly how the sketch deploys on a cluster.
+- ``events_countmin_trending_daily`` — the windowed variant (per-day
+  trending/bot detection); the identical transform runs under
+  Structured Streaming as a plain watermarked windowed aggregation
+  (streaming/ops.py:streaming_countmin_counters), stream==batch parity
+  pinned in tests/test_streaming.py.
 - ``pipeline_pps_systematic_sample`` — weighted (probability-
   proportional-to-size) sampling with ZERO floating point: systematic
   sampling along the exact cumulative-weight line, anchored at step/2.
@@ -15,11 +20,20 @@ lacked, each fully DuckDB-oracled.
   global window; the float-free formulation is what keeps a weighted
   sampler hash-checkable across engines (u^(1/w) keys are libm-order
   dependent; integer division is not).
+- ``pipeline_temperature_mixture_sqrt`` — alpha=0.5 temperature mixture
+  sampling with exact integer-sqrt quotas (IEEE sqrt is correctly
+  rounded, so one integer repair step makes the quota exact — the one
+  temperature a cross-engine hash check can pin).
 - ``multimodal_phash_neardup`` — image NEAR-duplicate detection over
   real decoded bytes: P6 decode -> integer-luma 8x8 grid -> 56-bit
   dHash -> bit-sampling LSH bands (reusing dedup.simhash_band_pairs;
   complete recall for hamming <= 6 by pigeonhole over 7 bands). The
   multimodal counterpart of the text family's simhash near-dup.
+- ``text_phrase_search`` — exact phrase search through a positional
+  inverted index; only the phrase terms' posting lists ever shuffle.
+- ``knn_filtered_bruteforce`` — filtered vector search: the metadata
+  predicate composes BEFORE candidate generation (exact top-k under the
+  filter, never post-filtering's under-filled k).
 """
 
 from __future__ import annotations
@@ -221,12 +235,17 @@ def _phash_oracle() -> str:
     px AS (
       SELECT doc_id, i2, j2,
              CASE WHEN v > 0 AND yi = 0 AND xi = v * 3 - 2
-                  THEN ((bb + 1) * (cell * 151 + 11) % 65521 % 256 + 128) % 256
-                  ELSE (bb + 1) * (cell * 151 + 11) % 65521 % 256 END AS r,
+                  THEN ((bb * 131 + cell * 151 + 11) * (bb * 313 + cell * 211 + 29)
+                        % 65521 % 256 + 128) % 256
+                  ELSE (bb * 131 + cell * 151 + 11) * (bb * 313 + cell * 211 + 29)
+                       % 65521 % 256 END AS r,
              CASE WHEN v > 0 AND yi = 1 AND xi = v * 3 - 1
-                  THEN ((bb + 7) * (cell * 211 + 29) % 65521 % 256 + 128) % 256
-                  ELSE (bb + 7) * (cell * 211 + 29) % 65521 % 256 END AS g,
-             (bb + 13) * (cell * 59 + 47) % 65521 % 256 AS b
+                  THEN ((bb * 173 + cell * 59 + 47) * (bb * 419 + cell * 101 + 7)
+                        % 65521 % 256 + 128) % 256
+                  ELSE (bb * 173 + cell * 59 + 47) * (bb * 419 + cell * 101 + 7)
+                       % 65521 % 256 END AS g,
+             (bb * 233 + cell * 241 + 91) * (bb * 523 + cell * 37 + 3)
+             % 65521 % 256 AS b
       FROM grid
     ),
     hashes AS (
@@ -564,3 +583,40 @@ def pipeline_temperature_mixture_sqrt(spark: SparkSession, sf_dir: str) -> DataF
             F.col("k_l").cast("long").alias("lang_quota"),
         )
     )
+
+
+@register(
+    "multimodal_phash_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_phash_oracle()})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, reach.r
+      FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    doc="Image duplicate CLUSTERS: the dHash near-dup pairs transitively "
+    "closed into components by min-label propagation (O(diameter) "
+    "rounds, lineage checkpointed) — the pairs -> clusters -> keep-rule "
+    "closure the text (dedup_clusters) and embedding "
+    "(dedup_semantic_clusters) modalities already have, completed for "
+    "the image modality. A real multimodal curation run unions all three "
+    "edge sets before one closure. Oracle: recursive-CTE transitive "
+    "closure over the identical banded-pair SQL.",
+    tags=("multimodal", "dedup", "graph", "iterative"),
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.graph import connected_components
+
+    pairs = multimodal_phash_neardup(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b")
