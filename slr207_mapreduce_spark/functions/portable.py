@@ -139,3 +139,24 @@ def exact_total(sum_col: Column | str, digits: int) -> Column:
     """
     c = F.col(sum_col) if isinstance(sum_col, str) else sum_col
     return c.cast("double") / F.lit(float(10 ** digits))
+
+
+def countmin_hash_rows(key: Column, depth: int, width: int, seed0: int) -> Column:
+    """The count-min bucket array: ``array<struct<h: long, b: long>>`` with
+    one entry per sketch row — ``h`` the row index, ``b`` the portable-md5
+    bucket of ``key`` under seed ``seed0 + h``. ONE definition shared by
+    the batch sketches (plans/analytics_r5.py), the streaming counters
+    (streaming/ops.py), and the parity tests: stream==batch counter
+    equality is load-bearing (pinned in tests/test_streaming.py), so the
+    construction must not be able to drift between copies. The DuckDB
+    side is ``portable_hash64_sql`` with the seed spelled as
+    ``'s' || CAST(seed0 + h.i AS VARCHAR) || '|'`` over ``range(depth)``."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("h"),
+                (portable_hash64(key, seed=seed0 + i) % width).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )

@@ -769,7 +769,11 @@ def _rawv_walk(buf, doc_off, doc_len):
 
     nbuf = len(buf)
     n_docs = len(doc_off)
-    clamp = lambda idx: np.minimum(idx, max(nbuf - 1, 0))  # noqa: E731
+    if nbuf == 0:  # all-empty batch: nothing to gather; every stream is
+        # a scalar-path case (decode_ppm/iter_frame_index own the error)
+        z = np.zeros(0, dtype="int64")
+        return z, z, z, z, np.ones(n_docs, dtype=bool)
+    clamp = lambda idx: np.minimum(idx, nbuf - 1)  # noqa: E731
 
     def u32_at(pos):
         v = np.zeros(len(pos), dtype="int64")

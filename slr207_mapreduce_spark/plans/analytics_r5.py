@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from slr207_mapreduce_spark.functions.portable import (
+    countmin_hash_rows,
     portable_hash64,
     portable_hash64_sql,
 )
@@ -115,16 +116,8 @@ def text_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    hash_rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("h"),
-                (portable_hash64(F.col("term"), seed=_CM_SEED0 + i) % _CM_WIDTH).alias(
-                    "b"
-                ),
-            )
-            for i in range(_CM_DEPTH)
-        ]
+    hash_rows = countmin_hash_rows(
+        F.col("term"), depth=_CM_DEPTH, width=_CM_WIDTH, seed0=_CM_SEED0
     )
     cm = (
         counts.select(F.explode(hash_rows).alias("hb"), "cnt")
@@ -373,16 +366,8 @@ def events_countmin_trending_daily(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("user_id").cast("string").alias("uid"),
     )
     counts = ev.groupBy("day", "uid").agg(F.count(F.lit(1)).alias("cnt"))
-    hash_rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("h"),
-                (portable_hash64(F.col("uid"), seed=_CM_SEED0 + i) % _ECM_WIDTH).alias(
-                    "b"
-                ),
-            )
-            for i in range(_ECM_DEPTH)
-        ]
+    hash_rows = countmin_hash_rows(
+        F.col("uid"), depth=_ECM_DEPTH, width=_ECM_WIDTH, seed0=_CM_SEED0
     )
     cm = (
         counts.select("day", F.explode(hash_rows).alias("hb"), "cnt")

@@ -68,12 +68,11 @@ def register(
 # events_countmin_trending_daily, knn_filtered_bruteforce,
 # multimodal_phash_clusters, multimodal_phash_neardup,
 # pipeline_pps_systematic_sample, pipeline_temperature_mixture_sqrt,
-# text_countmin_heavy_hitters, text_phrase_search), the r05 block —
-# dedup_*/embedding_*/knn_lsh_bucketed/knn_pq_adc/
-# pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_*/udtf/
-# wordcount_sequential_oracle — plus the first three r06 names in
-# tie-break order (agg_histogram_equidepth, events_overlap_join_bucketed,
-# events_sessionization_capped).
+# text_countmin_heavy_hitters, text_phrase_search) plus the 36 stalest
+# r05 names in tie-break order — dedup_*/embedding_*/knn_lsh_bucketed/
+# knn_pq_adc/pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_* (the r05 tail
+# udtf_positioned_words + wordcount_sequential_oracle and every r06 name
+# were displaced by the additions; they lead the r12 backlog).
 #
 # WINDOW_ROUND declares which round this window serves; the rotation test
 # computes the expected window from artifacts of rounds < WINDOW_ROUND, so
@@ -111,7 +110,7 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "pipeline_temperature_mixture_sqrt",
     "text_countmin_heavy_hitters",
     "text_phrase_search",
-    # --- the 38 names last driver-adjudicated in r05 ---
+    # --- the 36 stalest names last driver-adjudicated in r05 ---
     "dedup_cluster_keep_canonical",
     "dedup_exact",
     "dedup_minhash_lsh",

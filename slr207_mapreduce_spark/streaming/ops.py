@@ -84,17 +84,10 @@ def streaming_countmin_counters(
     update and partial-agg merge is the sketch merge; the batch analogue
     (events_countmin_trending_daily, plans/analytics_r5.py) builds
     byte-identical counters, pinned by tests/test_streaming.py."""
-    from slr207_mapreduce_spark.functions.portable import portable_hash64
+    from slr207_mapreduce_spark.functions.portable import countmin_hash_rows
 
-    uid = F.col("user_id").cast("string")
-    hash_rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("h"),
-                (portable_hash64(uid, seed=seed0 + i) % width).alias("b"),
-            )
-            for i in range(depth)
-        ]
+    hash_rows = countmin_hash_rows(
+        F.col("user_id").cast("string"), depth=depth, width=width, seed0=seed0
     )
     return (
         events.withWatermark("ts", watermark)

@@ -809,7 +809,9 @@ def test_rawv_cohort_error_parity_and_scalar_handoff():
         buf = np.frombuffer(b"".join(payloads), dtype="uint8")
         return M._frame_rows_from_cohort(np.array([1, 2]), buf, off, ln, 2)
 
-    # every truncation point + representative corruptions
+    # every truncation point (including the zero-length payload, which
+    # must route through the scalar error path, not crash the gather on
+    # an empty cohort buffer) + representative corruptions
     corrupt = [good[:k] for k in range(len(good))]
     corrupt += [b"XXXX" + good[4:], good + b"\x00"]
     inflated = bytearray(good)
@@ -824,6 +826,17 @@ def test_rawv_cohort_error_parity_and_scalar_handoff():
             assert str(cohort_err.value) == str(scalar_err)
         else:
             run_pair(payload)  # scalar accepts it -> cohort must too
+
+    # an ALL-empty batch must also surface the scalar error, not an
+    # IndexError from gathering on a zero-length cohort buffer
+    with pytest.raises(ValueError, match="not a RAWV frame stream"):
+        M._frame_rows_from_cohort(
+            np.array([1]),
+            np.frombuffer(b"", dtype="uint8"),
+            np.zeros(1, dtype="int64"),
+            np.zeros(1, dtype="int64"),
+            2,
+        )
 
     # strict-parser handoff: 12-px-wide frame has a 12-byte P6 header
     wide = M.encode_frame_stream([np.arange(108, dtype="uint8").reshape(3, 12, 3)])

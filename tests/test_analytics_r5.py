@@ -25,7 +25,7 @@ def test_countmin_never_undercounts_any_term(spark):
     full vocabulary and assert the guarantee vocabulary-wide."""
     from pyspark.sql import functions as F
 
-    from slr207_mapreduce_spark.functions.portable import portable_hash64
+    from slr207_mapreduce_spark.functions.portable import countmin_hash_rows
     from slr207_mapreduce_spark.plans.analytics_r5 import (
         _CM_DEPTH,
         _CM_SEED0,
@@ -40,16 +40,8 @@ def test_countmin_never_undercounts_any_term(spark):
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    hash_rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("h"),
-                (portable_hash64(F.col("term"), seed=_CM_SEED0 + i) % _CM_WIDTH).alias(
-                    "b"
-                ),
-            )
-            for i in range(_CM_DEPTH)
-        ]
+    hash_rows = countmin_hash_rows(
+        F.col("term"), depth=_CM_DEPTH, width=_CM_WIDTH, seed0=_CM_SEED0
     )
     cm = (
         counts.select(F.explode(hash_rows).alias("hb"), "cnt")
@@ -86,7 +78,7 @@ def test_countmin_sketch_merges_across_corpus_halves(spark):
     end-to-end rather than trusting the algebra."""
     from pyspark.sql import functions as F
 
-    from slr207_mapreduce_spark.functions.portable import portable_hash64
+    from slr207_mapreduce_spark.functions.portable import countmin_hash_rows
     from slr207_mapreduce_spark.plans.analytics_r5 import (
         _CM_DEPTH,
         _CM_SEED0,
@@ -100,16 +92,8 @@ def test_countmin_sketch_merges_across_corpus_halves(spark):
         toks = df.select(F.explode(F.split("text", " ")).alias("term")).where(
             F.length("term") > 0
         )
-        rows = F.array(
-            *[
-                F.struct(
-                    F.lit(i).cast("long").alias("h"),
-                    (
-                        portable_hash64(F.col("term"), seed=_CM_SEED0 + i) % _CM_WIDTH
-                    ).alias("b"),
-                )
-                for i in range(_CM_DEPTH)
-            ]
+        rows = countmin_hash_rows(
+            F.col("term"), depth=_CM_DEPTH, width=_CM_WIDTH, seed0=_CM_SEED0
         )
         return {
             (r["h"], r["b"]): r["c"]

@@ -855,7 +855,7 @@ def test_streaming_countmin_counters_match_batch_sketch(spark, batch_dir):
     registered analogue's transform over the same rows (sketch update ==
     incremental aggregation; sketch merge == partial agg). Only windows
     closed by the final watermark are emitted; each must match exactly."""
-    from slr207_mapreduce_spark.functions.portable import portable_hash64
+    from slr207_mapreduce_spark.functions.portable import countmin_hash_rows
     from slr207_mapreduce_spark.sources.tables import load_table
     from slr207_mapreduce_spark.streaming.ops import (
         read_events_stream,
@@ -875,15 +875,8 @@ def test_streaming_countmin_counters_match_batch_sketch(spark, batch_dir):
     assert got, "no closed windows emitted"
 
     ev = load_table(spark, "events", SF_SMOKE)
-    uid = F.col("user_id").cast("string")
-    hash_rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("h"),
-                (portable_hash64(uid, seed=100 + i) % 64).alias("b"),
-            )
-            for i in range(3)
-        ]
+    hash_rows = countmin_hash_rows(
+        F.col("user_id").cast("string"), depth=3, width=64, seed0=100
     )
     want = {
         (r["day"], r["h"], r["b"]): r["c"]
