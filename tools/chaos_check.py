@@ -45,7 +45,16 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 SF = "/root/testdata/sf0.01"
-CHAOS_QUERIES = ("wordcount_topk", "dedup_minhash_lsh", "multimodal_wav_roundtrip")
+CHAOS_QUERIES = (
+    "wordcount_topk",
+    "dedup_minhash_lsh",
+    "multimodal_wav_roundtrip",
+    # r11b additions: the iterative min-label closure (checkpointed
+    # lineage must survive retries) and the two-pass prefix-sum sampler
+    # (localCheckpoint materialization tasks are themselves killed once)
+    "multimodal_phash_clusters",
+    "pipeline_pps_systematic_sample",
+)
 
 
 def _chaos_wrap(df, marker_dir: str):
