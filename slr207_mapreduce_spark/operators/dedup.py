@@ -359,6 +359,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame, threshold: float, shingle_n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin): index
+    only each doc's first ``|d| - floor(t*|d|) + 1`` shingles under a
+    global rarest-first order, because J(A,B) >= t forces an overlap of
+    at least ceil(t*|A|) elements, so two qualifying docs MUST share a
+    prefix element (flooring instead of ceiling only lengthens the
+    prefix — completeness is never at risk from float rounding).
+    Candidates meet on prefix shingles only; verification computes the
+    exact intersection JVM-side with array_intersect over the docs'
+    full sorted shingle arrays — the candidate pair list never re-joins
+    the full inverted index. Same output, bit for bit, as
+    :func:`ngram_jaccard_pairs` (pinned in tests/test_llm_ops.py); the
+    difference is WHERE the work lands at scale: the self-join touches
+    only rare-prefix postings (frequent shingles — the skewed buckets
+    that dominate the plain index join — fall out of every doc's prefix
+    by construction), and verification is O(candidates * |d|)."""
+    from pyspark.sql import Window
+
+    sh = doc_shingles(docs, id_col, shingle_n)
+    rarity = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("sh"))
+    wsz = Window.partitionBy(id_col)
+    prefix = (
+        sh.join(rarity, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+        .where(
+            F.col("rn")
+            <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select(id_col, "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    arrays = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sh")).alias("arr"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    aa = arrays.select(
+        F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sz_a")
+    )
+    ab = arrays.select(
+        F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    return (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
     return f"""
     WITH __tk AS ({shingle_tokens_cte_sql()}),
