@@ -206,3 +206,61 @@ def test_dhash_kernel_matches_reference_bits():
         bits = (g2[:, :7] < g2[:, 1:]).astype("int64")
         got = int((bits.reshape(-1) << np.arange(56)).sum())
         assert got == ref
+
+
+def test_phash_fixture_cross_base_decorrelation():
+    """The r11b fixture-defect regression guard: with the bilinear
+    (product-of-two-linear-forms) pixel mix, accidental CROSS-base
+    near-pairs must stay a small fraction of the designed same-base
+    pairs — the first-cut single-form mix put 22x more accidental than
+    designed pairs at 50k docs and chained a giant duplicate component
+    (COVERAGE.md round-11b). Checked on a numpy mirror of the synth +
+    dHash + banding at 4k docs (fast; the full decode path parity is
+    covered by the oracle-equality tests)."""
+    import numpy as np
+    from collections import defaultdict
+    from itertools import combinations
+
+    P = 65521
+    N = 4000
+    d = np.arange(N, dtype=np.int64)
+    base = d - d % 4
+    v = d % 4
+    bb = (base % P)[:, None]
+    cell = np.arange(12 * 16, dtype=np.int64)[None, :]
+    r = (bb * 131 + cell * 151 + 11) * (bb * 313 + cell * 211 + 29) % P % 256
+    g = (bb * 173 + cell * 59 + 47) * (bb * 419 + cell * 101 + 7) % P % 256
+    b = (bb * 233 + cell * 241 + 91) * (bb * 523 + cell * 37 + 3) % P % 256
+    r, g = r.copy(), g.copy()
+    for vv in (1, 2, 3):
+        sel = v == vv
+        r[sel, 0 * 16 + (vv * 3 - 2)] = (r[sel, 0 * 16 + (vv * 3 - 2)] + 128) % 256
+        g[sel, 1 * 16 + (vv * 3 - 1)] = (g[sel, 1 * 16 + (vv * 3 - 1)] + 128) % 256
+    gray = (299 * r + 587 * g + 114 * b).reshape(N, 12, 16)
+    yi = (np.arange(8) * 12) // 8
+    xi = (np.arange(8) * 16) // 8
+    g2 = gray[:, yi][:, :, xi]
+    bits = (g2[:, :, :7] < g2[:, :, 1:]).astype(np.int64)
+    hs = (bits.reshape(N, 56) << np.arange(56)).sum(axis=1)
+
+    buckets = defaultdict(list)
+    for i, h in enumerate(hs):
+        for band in range(7):
+            buckets[(band, (int(h) >> (8 * band)) & 255)].append(i)
+    seen, same, accidental = set(), 0, 0
+    for members in buckets.values():
+        for a, c in combinations(members, 2):
+            if (a, c) in seen:
+                continue
+            seen.add((a, c))
+            if bin(int(hs[a]) ^ int(hs[c])).count("1") <= 6:
+                if a // 4 == c // 4:
+                    same += 1
+                else:
+                    accidental += 1
+    designed = N // 4 * 6
+    assert same == designed, f"lost designed pairs: {same}/{designed}"
+    assert accidental < 0.05 * designed, (
+        f"cross-base decorrelation regressed: {accidental} accidental vs "
+        f"{designed} designed near-pairs"
+    )
