@@ -409,6 +409,47 @@ def wav_features(blob_df: DataFrame) -> DataFrame:
     )
 
 
+WAV_ANALYSIS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("zcr", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("n_loud", LongType()),
+    ]
+)
+
+
+def wav_analysis_features(blob_df: DataFrame, loud_threshold: int = 512) -> DataFrame:
+    """REAL audio ANALYSIS over the decode path — the classic
+    voice-activity trio a speech pipeline computes per clip: zero
+    crossings (count of adjacent sample pairs with strictly opposite
+    signs — the textbook noisiness/pitch proxy), exact integer energy
+    (sum of squares; int16 squares overflow int16, so the kernel widens
+    to int64 BEFORE multiplying), and the loud-frame count
+    (|s| >= threshold). All integers, so the whole feature set is
+    DuckDB-replayable sample-for-sample."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k.name: [] for k in WAV_ANALYSIS_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, s = decode_wav_pcm16(bytes(payload))
+                a = s.astype("int64")
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(a))
+                rows["zcr"].append(int(np.count_nonzero(a[:-1] * a[1:] < 0)))
+                rows["sum_sq"].append(int((a * a).sum()))
+                rows["n_loud"].append(int(np.count_nonzero(np.abs(a) >= loud_threshold)))
+            yield pd.DataFrame(rows)
+
+    return blob_df.select("doc_id", "payload").mapInPandas(
+        feats, schema=WAV_ANALYSIS_SCHEMA
+    )
+
+
 # --- REAL codec: G.711 mu-law companded audio (ITU-T G.711, from spec) ---
 #
 # Closes the "audio is uncompressed PCM only" gap the same way GIF/JPEG

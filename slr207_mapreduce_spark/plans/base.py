@@ -64,11 +64,12 @@ def register(
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
 # For r11 (computed by tools/rotation.py over CORRECTNESS_r01..r10) that
-# is the nine never-adjudicated r11 additions (estimator_error_report,
+# is the ten never-adjudicated r11 additions (estimator_error_report,
 # events_countmin_trending_daily, knn_filtered_bruteforce,
 # multimodal_phash_clusters, multimodal_phash_neardup,
-# pipeline_pps_systematic_sample, pipeline_temperature_mixture_sqrt,
-# text_countmin_heavy_hitters, text_phrase_search) plus the 36 stalest
+# multimodal_wav_analysis, pipeline_pps_systematic_sample,
+# pipeline_temperature_mixture_sqrt, text_countmin_heavy_hitters,
+# text_phrase_search) plus the 35 stalest
 # r05 names in tie-break order — dedup_*/embedding_*/knn_lsh_bucketed/
 # knn_pq_adc/pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_* (the r05 tail
 # udtf_positioned_words + wordcount_sequential_oracle and every r06 name
@@ -106,11 +107,12 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "knn_filtered_bruteforce",
     "multimodal_phash_clusters",
     "multimodal_phash_neardup",
+    "multimodal_wav_analysis",
     "pipeline_pps_systematic_sample",
     "pipeline_temperature_mixture_sqrt",
     "text_countmin_heavy_hitters",
     "text_phrase_search",
-    # --- the 36 stalest names last driver-adjudicated in r05 ---
+    # --- the 35 stalest names last driver-adjudicated in r05 ---
     "dedup_cluster_keep_canonical",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -146,13 +148,12 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "text_term_stats",
     "udf_apply_in_pandas_gap",
     "udf_encode_tokens",
-    "udf_pandas_scalar_net_price",
-    # (rotated back out as the eight later r11 additions joined, in
+    # (rotated back out as the nine later r11 additions joined, in
     # tie-break order: the r06 tail — graph_* trio,
     # events_sessionization_capped, events_overlap_join_bucketed,
-    # agg_histogram_equidepth — and the last two r05 names,
-    # udtf_positioned_words + wordcount_sequential_oracle; they lead the
-    # r12 backlog)
+    # agg_histogram_equidepth — and the last three r05 names,
+    # udf_pandas_scalar_net_price + udtf_positioned_words +
+    # wordcount_sequential_oracle; they lead the r12 backlog)
 )
 
 

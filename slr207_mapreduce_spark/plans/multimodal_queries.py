@@ -705,3 +705,55 @@ def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
     d = load_table(spark, "documents", sf_dir)
     return jpeg_color_roundtrip_features(d)
+
+
+@register(
+    "multimodal_wav_analysis",
+    oracle="""
+    WITH samples AS (
+      SELECT d.doc_id, t.i,
+             ((d.doc_id * 31 + t.i * 17) % 2048) - 1024 AS s
+      FROM documents d,
+           LATERAL (SELECT UNNEST(range(160 + d.doc_id % 41)) AS i) t
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+             CAST(SUM(CASE WHEN ABS(s) >= 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_loud
+      FROM samples GROUP BY doc_id
+    ),
+    zc AS (
+      SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS zcr
+      FROM samples a
+      JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.s * b.s < 0
+      GROUP BY a.doc_id
+    )
+    SELECT agg.doc_id, agg.n_samples,
+           CAST(COALESCE(zc.zcr, 0) AS BIGINT) AS zcr,
+           agg.sum_sq, agg.n_loud
+    FROM agg LEFT JOIN zc ON zc.doc_id = agg.doc_id
+    """,
+    doc="REAL audio ANALYSIS over the decoded PCM stream — the classic "
+    "voice-activity trio a speech-data pipeline computes per clip before "
+    "filtering/segmenting: zero-crossing count (adjacent samples with "
+    "strictly opposite signs — the textbook noisiness/pitch proxy), "
+    "exact integer energy (sum of squares, widened to int64 before "
+    "multiplying — int16 squares overflow int16), and loud-sample count "
+    "(|s| >= 512). Complements multimodal_wav_roundtrip (codec-integrity "
+    "features) with signal-analysis features over the same real "
+    "RIFF/WAVE decode; the oracle replays the sample generator and the "
+    "adjacent-pair zero-crossing join sample-for-sample, so the feature "
+    "arithmetic itself is hash-checked.",
+    tags=("multimodal", "codec"),
+)
+def multimodal_wav_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.multimodal import (
+        synth_wav_blobs,
+        wav_analysis_features,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return wav_analysis_features(synth_wav_blobs(d, rate=8000))
