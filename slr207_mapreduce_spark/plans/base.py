@@ -57,29 +57,26 @@ def register(
 # agg/events/udf/warehouse rotation, r08 the adjudication endgame (each
 # 50/50 green; cumulative 230/251 after r08 per VERDICT r08).
 #
-# Round 11 (this list): the second FRESHNESS rotation. Policy, pinned by
+# Round 12 (this list): the third FRESHNESS rotation. Policy, pinned by
 # tests/test_oracle.py::test_driver_sample_rotation: the 45 non-sentinel
 # slots are EXACTLY the 45 stalest registry names under the deterministic
 # order (last-adjudicated round, name) with never-adjudicated names
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
-# For r11 (computed by tools/rotation.py over CORRECTNESS_r01..r10) that
-# is the ten never-adjudicated r11 additions (estimator_error_report,
-# events_countmin_trending_daily, knn_filtered_bruteforce,
-# multimodal_phash_clusters, multimodal_phash_neardup,
-# multimodal_wav_analysis, pipeline_pps_systematic_sample,
-# pipeline_temperature_mixture_sqrt, text_countmin_heavy_hitters,
-# text_phrase_search) plus the 35 stalest
-# r05 names in tie-break order — dedup_*/embedding_*/knn_lsh_bucketed/
-# knn_pq_adc/pipeline_*/q2/q8/q9/q21/subq_*/text_*/udf_* (the r05 tail
-# udtf_positioned_words + wordcount_sequential_oracle and every r06 name
-# were displaced by the additions; they lead the r12 backlog).
+# For r12 (computed by tools/rotation.py over CORRECTNESS_r01..r11) that
+# is the never-adjudicated r12 additions first (stalest by definition),
+# then the displaced r05 tail (udf_pandas_scalar_net_price,
+# udtf_positioned_words, wordcount_sequential_oracle) and the r06 block —
+# graph_* trio, events_sessionization_capped /
+# events_overlap_join_bucketed, agg_histogram_equidepth, the q4-q22
+# TPC-H names, scalar_*, stats_*, window frame names — in tie-break
+# order, filling the remaining slots from the r07 block.
 #
 # WINDOW_ROUND declares which round this window serves; the rotation test
 # computes the expected window from artifacts of rounds < WINDOW_ROUND, so
 # the driver landing CORRECTNESS_r{WINDOW_ROUND}.json after the final
 # commit does not redden a finished tree (r10 VERDICT item 1).
-WINDOW_ROUND: int = 11
+WINDOW_ROUND: int = 12
 #
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
@@ -89,71 +86,67 @@ WINDOW_ROUND: int = 11
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = ()
 
-# Every name in the r11 window carries a DuckDB oracle (the two agg
-# sketch estimators rotated out with the r03 block; dedup_minhash_ml is
-# not among the 45 stalest) — the rotation test pins this empty.
+# Every name in the r12 window carries a DuckDB oracle — the rotation
+# test pins this empty.
 ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = ()
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (driver-green in r01-r09)
+    # sentinels (driver-green in r01-r11)
     "wordcount_topk",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # --- new this round (never adjudicated; stalest by definition) ---
-    "estimator_error_report",
-    "events_countmin_trending_daily",
-    "knn_filtered_bruteforce",
-    "multimodal_phash_clusters",
-    "multimodal_phash_neardup",
-    "multimodal_wav_analysis",
-    "pipeline_pps_systematic_sample",
-    "pipeline_temperature_mixture_sqrt",
-    "text_countmin_heavy_hitters",
-    "text_phrase_search",
-    # --- the 35 stalest names last driver-adjudicated in r05 ---
-    "dedup_cluster_keep_canonical",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_centroid_by_label",
-    "embedding_neardup_pairs",
-    "embedding_normalize_quantize",
-    "knn_lsh_bucketed",
-    "knn_pq_adc",
-    "pipeline_chunk_documents",
-    "pipeline_decontaminate",
-    "pipeline_domain_cap",
-    "pipeline_mixture_reweight",
-    "pipeline_pack_sequences",
-    "pipeline_quality_quantile",
-    "pipeline_repetition_filter",
-    "pipeline_stratified_sample",
-    "pipeline_train_split",
-    "q21_suppliers_kept_waiting",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "subq_correlated_avg_per_brand",
-    "subq_lateral_topk_per_nation",
-    "subq_scalar_global_avg",
-    "text_bm25",
-    "text_doc_similarity_sparse",
-    "text_inverted_index",
-    "text_langid",
-    "text_quality",
-    "text_term_stats",
-    "udf_apply_in_pandas_gap",
-    "udf_encode_tokens",
-    # (rotated back out as the nine later r11 additions joined, in
-    # tie-break order: the r06 tail — graph_* trio,
-    # events_sessionization_capped, events_overlap_join_bucketed,
-    # agg_histogram_equidepth — and the last three r05 names,
-    # udf_pandas_scalar_net_price + udtf_positioned_words +
-    # wordcount_sequential_oracle; they lead the r12 backlog)
+    # --- the r05 tail displaced by the r11 additions ---
+    "udf_pandas_scalar_net_price",
+    "udtf_positioned_words",
+    "wordcount_sequential_oracle",
+    # --- the r06 block, in (round, name) tie-break order ---
+    "agg_histogram_equidepth",
+    "events_overlap_join_bucketed",
+    "events_sessionization_capped",
+    "graph_bfs_distances",
+    "graph_degree_hubs",
+    "graph_triangle_count",
+    "multimodal_blob_dedup",
+    "multimodal_cross_modal_join",
+    "pipeline_integrity_audit",
+    "q11_important_part_value",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    "q4_order_priority_exists",
+    "q7_volume_shipping",
+    "scalar_datetime_extra",
+    "scalar_higher_order_funcs",
+    "scalar_json_funcs",
+    "scalar_map_type",
+    "scalar_try_functions",
+    "scalar_url_parse",
+    "scalar_variant_type",
+    "scalar_xml_extract",
+    "stat_crosstab",
+    "stats_column_profile",
+    "stats_profile_drift",
+    "stats_robust",
+    "warehouse_snapshot_diff",
+    "window_count_distinct_frame",
+    "window_numeric_range_frame",
+    "window_share_of_total",
+    # --- the head of the r07 block fills the remaining slots ---
+    "agg_bitmap_distinct",
+    "agg_bitwise_bool",
+    "agg_count_min_frequency",
+    "agg_exact_percentiles",
+    "agg_filter_clause",
+    # (the rest of the r07 block — agg_grouping_sets onward — leads the
+    # r13 backlog; r12 additions displace this block's tail as they land)
 )
 
 
