@@ -298,9 +298,48 @@ def auto_lsh_tables(n_corpus: int) -> int:
 
 
 def auto_ivf_nprobe(n_corpus: int) -> int:
-    """3 cells at the anchor, +5 per doubling (13 at sf0.1 ≥ the measured
-    12-cell restore point)."""
-    return 3 + 5 * budget_doublings(n_corpus)
+    """6 cells at the anchor, +5 per doubling — recalibrated for the
+    TRAINED bounded-k quantizer (r12): its isqrt cell counts (22 at the
+    500-vector anchor vs the stride quantizer's 10) shrink the per-probe
+    corpus fraction, so the anchor doubled to keep the probed-cell
+    fraction ≈ 27% there. Measured through knn_recall_report: 0.62 at
+    sf0.01 / 0.78 at sf0.1 — at or above the stride-quantizer figures in
+    SCALE.md's round-11 table (0.60 / 0.68)."""
+    return 6 + 5 * budget_doublings(n_corpus)
+
+
+# Trained-quantizer size bound (r11 VERDICT item 2): the stride quantizer's
+# |C| = N/50 was linear in N behind a 65,536 reject guard; the trained
+# quantizer is min(256, max(4, isqrt(N))) — genuinely O(sqrt N) with a hard
+# 256-cell ceiling, so the centroid collect/broadcast is bounded by
+# construction at ANY corpus size (256 × d doubles ≈ 128 KiB at d=64).
+IVF_MAX_CENTROIDS = 256
+IVF_GRID = 1_000_000  # centroid means snap to the 1e-6 fixed-point grid
+
+
+def auto_ivf_centroids(n_corpus: int) -> int:
+    """min(256, max(4, isqrt(N))) — the trained coarse quantizer's cell
+    count. Python's math.isqrt is exact; the SQL mirror corrects
+    floor(sqrt(double)) by ±1 so both engines compute the same integer."""
+    import math
+
+    return min(IVF_MAX_CENTROIDS, max(4, math.isqrt(n_corpus)))
+
+
+def auto_ivf_centroids_sql(count_expr: str) -> str:
+    """DuckDB mirror of :func:`auto_ivf_centroids` (same integer).
+
+    floor(sqrt(CAST(n AS DOUBLE))) can be off by one near perfect squares
+    (1-ulp sqrt rounding); two sequential corrections — subtract while
+    s*s > n, then add while (s+1)^2 <= n — recover math.isqrt exactly for
+    n < 2^50 (sqrt error is at most 1 there)."""
+    return (
+        f"(SELECT LEAST({IVF_MAX_CENTROIDS}, GREATEST(4, "
+        "s2 + (CASE WHEN (s2+1)*(s2+1) <= n THEN 1 ELSE 0 END))) FROM ("
+        "SELECT s1 - (CASE WHEN s1*s1 > n THEN 1 ELSE 0 END) AS s2, n FROM ("
+        "SELECT CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s1, n "
+        f"FROM (SELECT ({count_expr}) AS n))))"
+    )
 
 
 def auto_pq_rerank(n_corpus: int) -> int:
@@ -458,134 +497,260 @@ def knn_lsh_bucketed_sql(
     """
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_corpus: int | None = None,
+):
+    """Train the bounded-k fixed-point coarse quantizer (Lloyd's k-means).
+
+    Deterministic and DuckDB-reproducible by construction (r11 VERDICT
+    item 2 — the stride quantizer's |C| = N/50 was linear in N):
+
+    - **k** = min(256, max(4, isqrt(N))) — genuinely O(sqrt N) with a hard
+      256-cell ceiling, so the centroid set is bounded at ANY corpus size.
+    - **init**: the k corpus vectors ranked first by
+      (portable_hash64(vec_id), vec_id) — a seeded md5 shuffle both engines
+      compute bit-identically; cell index ``cidx`` (1..k) is that rank and
+      is stable across iterations.
+    - **iterate** ``iters`` times: assign every valid corpus vector to its
+      max-cosine centroid (smallest-cidx tie-break), then move each
+      centroid to its cell's component-wise mean SNAPPED to the 1e-6
+      fixed-point grid — scaled components floor(x·1e6) are exact BIGINTs,
+      their per-cell SUM and COUNT are exact, and the mean is the
+      truncating integer division both engines share (DuckDB ``//``
+      truncates toward zero; numpy mirrors it explicitly). Empty cells and
+      cells whose snapped mean is the all-zero vector keep their previous
+      centroid, so every centroid always has norm > 0.
+
+    Every step is an aggregation DuckDB replays verbatim (argmin-join +
+    SUM/COUNT + integer division), so the whole trained quantizer — not
+    just its output — is oracle-checkable.
+
+    Zero-norm / non-finite corpus vectors are EXCLUDED from training (and,
+    in :func:`knn_ivf`, from the inverted lists): their cosine is
+    undefined, and the family contract is exclusion-by-construction rather
+    than engine NaN ordering (r07 ADVICE).
+
+    Scale shape: each iteration is one Arrow-batched ``mapInPandas`` pass
+    over the corpus emitting ≤ k partial-sum rows per batch (collected:
+    O(partitions · k) driver rows, never vectors), so training is
+    ``iters + 1`` corpus scans with no shuffle — the same cost profile as
+    any k-means fit; a real deployment trains once and caches the k × d
+    integer table (≤ 256 × d ≈ 128 KiB).
+
+    Returns ``(cidx, cint)``: int64 arrays of shape (k,) and (k, d) — cell
+    ids 1..k and grid-scaled centroid components (value = cint · 1e-6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from slr207_mapreduce_spark.functions.portable import portable_hash64
+
+    if n_corpus is None:
+        n_corpus = corpus.count()
+    kc = (
+        auto_ivf_centroids(n_corpus)
+        if n_centroids == "auto"
+        else int(n_centroids)
+    )
+
+    nrm = norm_f64(F.col("v"))
+    valid = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .where((nrm > 0) & (nrm < F.lit(float("inf"))))
+    )
+
+    seed_rows = (
+        valid.select(
+            "vid", "v", portable_hash64(F.col("vid").cast("string"), seed).alias("h")
+        )
+        .orderBy("h", "vid")
+        .limit(kc)
+        .collect()
+    )
+    if not seed_rows:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.int64)
+    smat = np.asarray([r.v for r in seed_rows], dtype=np.float64)
+    cint = np.floor(smat * 1e6).astype(np.int64)
+    if not (cint != 0).any(axis=1).all():
+        # A valid (norm > 0) vector whose every component floors to zero on
+        # the 1e-6 grid — degenerate for a grid quantizer; fail loudly
+        # rather than let NaN cosines order differently per engine.
+        raise ValueError(
+            "ivf_train_centroids: a seed vector is all-zero on the 1e-6 "
+            "fixed-point grid; embeddings this small need a finer grid"
+        )
+    kc = len(cint)  # fewer valid vectors than requested cells
+    cidx = np.arange(1, kc + 1, dtype=np.int64)
+    d = cint.shape[1]
+
+    for _ in range(iters):
+        cmat = cint.astype(np.float64) * 1e-6
+        cnorm = np.sqrt(_np_seq_self_dot(cmat))
+
+        def partial_sums(batches, cmat=cmat, cnorm=cnorm):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                best = _np_assign_cells(vmat, cmat, cnorm)
+                vi = np.floor(vmat * 1e6).astype(np.int64)
+                present = np.unique(best)
+                yield pd.DataFrame(
+                    {
+                        "cidx": present + 1,
+                        "n": np.asarray(
+                            [(best == c).sum() for c in present], dtype=np.int64
+                        ),
+                        "s": [
+                            vi[best == c].sum(axis=0, dtype=np.int64)
+                            for c in present
+                        ],
+                    }
+                )
+
+        partials = valid.select("v").mapInPandas(
+            partial_sums, schema="cidx long, n long, s array<long>"
+        ).collect()
+        sums = np.zeros((kc, d), dtype=np.int64)
+        counts = np.zeros(kc, dtype=np.int64)
+        for r in partials:
+            sums[r.cidx - 1] += np.asarray(r.s, dtype=np.int64)
+            counts[r.cidx - 1] += r.n
+        nz = counts > 0
+        newc = cint.copy()
+        s, c = sums[nz], counts[nz, None]
+        # DuckDB // truncates toward zero; Python // floors — mirror trunc.
+        newc[nz] = np.where(s >= 0, s // c, -((-s) // c))
+        keep = ~(newc != 0).any(axis=1)  # all-zero snapped mean
+        newc[keep] = cint[keep]
+        cint = newc
+    return cidx, cint
+
+
+def _np_seq_self_dot(m):
+    """Sequential-in-j self-dot — bit-identical to the aggregate() fold."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0])
+    for j in range(m.shape[1]):
+        acc += m[:, j] * m[:, j]
+    return acc
+
+
+def _np_assign_cells(vmat, cmat, cnorm):
+    """Max-cosine cell per row (0-based), smallest-cell tie-break.
+
+    Sequential-in-j accumulation == the aggregate() fold / DuckDB
+    list_dot_product, bitwise; cells are cidx-ascending so argmax's
+    first-max rule IS the (cos DESC, cidx ASC) ROW_NUMBER order."""
+    import numpy as np
+
+    dots = np.zeros((vmat.shape[0], cmat.shape[0]))
+    for j in range(vmat.shape[1]):
+        dots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
+    vnorm = np.sqrt(_np_seq_self_dot(vmat))
+    ccos = dots / (vnorm[:, None] * cnorm[None, :])
+    return np.argmax(ccos, axis=1)
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     nprobe: int | str = 3,
-    centroid_stride: int = 50,
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
 ) -> DataFrame:
-    """IVF-style ANN top-k: inverted lists under a deterministic coarse
+    """IVF-style ANN top-k: inverted lists under a TRAINED bounded-k coarse
     quantizer.
 
-    Centroids are the corpus vectors with ``id % centroid_stride == 0`` —
-    a seeded coarse quantizer instead of trained k-means, which keeps the
-    whole operator oracle-checkable (MLlib KMeans is not reproducible in
-    SQL; swapping trained centroids in changes nothing structurally, and
-    the centroid-training aggregation shape is covered by
-    embedding_centroid_by_label). Every corpus vector is assigned to its
-    nearest centroid by cosine (argmax, centroid-id tie-break) — the
-    inverted lists. A query probes its ``nprobe`` nearest cells and ranks
-    exact cosine only against those lists.
+    Centroids come from :func:`ivf_train_centroids` — a deterministic
+    fixed-point Lloyd's k-means (seeded md5 init, ``iters`` argmin-join +
+    snapped-mean rounds) with k = min(256, max(4, isqrt(N))), so the
+    centroid set is O(sqrt N) with a hard 256 ceiling and the old stride
+    quantizer's linear |C| = N/50 growth (and its 65,536 reject guard) is
+    gone by construction (r11 VERDICT item 2). Every training step is an
+    aggregation shape DuckDB replays exactly, so the whole operator —
+    training included — stays hash-checkable.
 
-    Scale path: centroids are O(sqrt N) and broadcast, so assignment is a
-    map over the corpus (no shuffle); the lists would be written bucketed
-    by cell id so a probe reads only nprobe/|C| of the corpus (partition
-    pruning), and the candidate join shuffles candidates, never N×Q.
+    Every valid corpus vector is assigned to its max-cosine centroid
+    (smallest-cidx tie-break) — the inverted lists. A query probes its
+    ``nprobe`` nearest cells and ranks exact cosine only against those
+    lists.
 
-    Assignment kernel: the original shape — corpus ⨯ broadcast(centroids)
-    cross join scoring every pair with the interpreted ``aggregate()``
-    cosine fold, then an argmax aggregation — is O(N·|C|) in INTERPRETED
-    expression eval, and with the stride quantizer |C| grows with N, so
-    the sf1 tier measured a 142 s single stage (50k × 1000 = 50M folds ×
-    64 dims). The pair scoring is now one Arrow-batched ``mapInPandas``
-    pass: centroids are collected once (same O(|C|) bound the broadcast
-    already implied; guarded at 65 536 — past that you train a real
-    k-means with fewer cells), each corpus batch scores against all
-    centroids with the dimension-sequential numpy accumulation (bit-
-    identical to the fold and to DuckDB's list_dot_product), and emits
-    exactly one (vector, cell) row — the argmax with smallest-cid
-    tie-break resolved in-kernel. Same bits, same output, 142 s → <1 s at
-    sf1, and the N·|C| work is now vectorized instead of interpreted.
+    Scale path: centroids are ≤ 256 grid-snapped integer vectors,
+    broadcast; assignment is one Arrow-batched ``mapInPandas`` over the
+    corpus (no shuffle); the lists would be written bucketed by cell id so
+    a probe reads only nprobe/k of the corpus (partition pruning), and the
+    candidate join shuffles candidates, never N×Q. Training adds
+    ``iters + 1`` corpus scans emitting O(partitions · k) partial-sum rows
+    — at 100 TB you train once, cache the 128 KiB centroid table, and
+    amortize it over every query batch.
 
     Probe kernel (r09): the query side is collected once (bounded by
     ``max_queries``, reject-don't-truncate — the same contract as
-    knn_bruteforce) and validated: a zero-norm QUERY vector raises naming
-    the offending ids (r08 ADVICE — previously its nprobe ranking rode
-    engine NaN ordering through a crossJoin(broadcast(centroids)) probe
-    plan, which was also the knn family's last BroadcastNestedLoopJoin).
-    The |Q|x|C| probe scoring runs driver-side in numpy with the same
-    bit-exact sequential fold; only the (query_id, cid) probe pairs —
-    |Q|·nprobe rows — enter the plan, as a broadcast.
+    knn_bruteforce) and validated: a zero-norm or non-finite QUERY vector
+    raises naming the offending ids. The |Q|×k probe scoring runs
+    driver-side in numpy with the same bit-exact sequential fold; only the
+    (query_id, cidx) probe pairs — |Q|·nprobe rows — enter the plan, as a
+    broadcast.
+
+    Zero-norm / non-finite CORPUS vectors are excluded from training and
+    from the inverted lists (cosine undefined — the family-wide
+    exclusion-by-construction contract, r07 ADVICE).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
+    n_corpus = corpus.count()
     if nprobe == "auto":
-        nprobe = auto_ivf_nprobe(corpus.count())
-    cent = corpus.where(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
+        nprobe = auto_ivf_nprobe(n_corpus)
+
+    cidx, cint = ivf_train_centroids(
+        corpus,
+        n_centroids=n_centroids,
+        iters=iters,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_corpus=n_corpus,
     )
-
-    crows = cent.orderBy("cid").collect()
-    if len(crows) > 65_536:
-        raise ValueError(
-            "knn_ivf has >65536 stride centroids; use a trained quantizer "
-            "with a bounded cell count at this corpus size"
-        )
-    cids = np.asarray([r.cid for r in crows], dtype=np.int64)
-    cmat = (
-        np.asarray([r.cemb for r in crows], dtype=np.float64)
-        if crows
-        else np.zeros((0, 0))
-    )
-
-    def _seq_self_dot(m):
-        acc = np.zeros(m.shape[0])
-        for j in range(m.shape[1]):
-            acc += m[:, j] * m[:, j]
-        return acc
-
-    cnorm = np.sqrt(_seq_self_dot(cmat)) if len(crows) else np.zeros(0)
-    cvalid = np.isfinite(cnorm) & (cnorm > 0)
-    if len(crows) and not np.all(cvalid):
-        # isfinite catches ±Inf components (Inf norm passes > 0); the > 0
-        # test catches zero-norm and NaN (r09 ADVICE)
-        bad = cids[~cvalid].tolist()
-        raise ValueError(
-            f"knn_ivf: zero-norm or non-finite centroid vector(s) {bad[:5]} "
-            "— every cell assignment would be undefined; drop or re-embed "
-            "these rows"
-        )
+    cmat = cint.astype(np.float64) * 1e-6
+    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
 
     def assign(batches):
         for pdf in batches:
-            if len(pdf) == 0 or len(cids) == 0:
+            if len(pdf) == 0 or len(cidx) == 0:
                 continue
             nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            dots = np.zeros((len(nid), len(cids)))
-            # Sequential-in-j accumulation == the aggregate() fold, bitwise.
-            for j in range(vmat.shape[1]):
-                dots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
-            vnorm = np.sqrt(_seq_self_dot(vmat))
-            # Zero-norm corpus rows: cosine (and hence the cell argmax) is
-            # undefined — excluded from the inverted lists by the same
-            # family-wide contract as knn_bruteforce (r07 ADVICE); np.where
-            # keeps the one-division shape bit-identical for valid rows.
-            valid = vnorm > 0
-            ccos = dots / (np.where(valid, vnorm, 1.0)[:, None] * cnorm[None, :])
-            # Centroids are cid-ascending, so argmax's first-max rule IS the
-            # struct-max (ccos, -cid) smallest-cid tie-break.
-            best = np.argmax(ccos, axis=1)
-            yield pd.DataFrame(
-                {"neighbor_id": nid[valid], "cid": cids[best[valid]]}
-            )
+            best = _np_assign_cells(vmat, cmat, cnorm)
+            yield pd.DataFrame({"neighbor_id": nid, "cidx": cidx[best]})
 
-    cells = corpus.selectExpr(
-        f"{id_col} AS neighbor_id", f"{vec_col} AS v"
-    ).mapInPandas(assign, schema="neighbor_id long, cid long")
-    # Probe selection: the query side is small by contract (collected once,
-    # reject-don't-truncate like knn_bruteforce — this also closed the r08
-    # ADVICE hole where a zero-norm QUERY vector rode NaN ordering through
-    # the old crossJoin(broadcast(centroids)) probe plan, which was the
-    # family's last BroadcastNestedLoopJoin). Scoring |Q|x|C| probe cells
-    # happens driver-side in the same sequential-in-j numpy accumulation —
-    # bit-identical to the aggregate() fold and DuckDB's list_dot_product.
+    nrm = norm_f64(F.col("v"))
+    cells = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .where((nrm > 0) & (nrm < F.lit(float("inf"))))
+        .mapInPandas(assign, schema="neighbor_id long, cidx long")
+    )
+
     qrows = queries.selectExpr(
         f"{id_col} AS query_id", f"CAST({vec_col} AS array<double>) AS qvec"
     ).collect()
@@ -601,7 +766,7 @@ def knn_ivf(
         if qrows
         else np.zeros((0, 0))
     )
-    qnorm = np.sqrt(_seq_self_dot(qmat)) if len(qrows) else np.zeros(0)
+    qnorm = np.sqrt(_np_seq_self_dot(qmat)) if len(qrows) else np.zeros(0)
     qvalid = np.isfinite(qnorm) & (qnorm > 0)
     if len(qrows) and not np.all(qvalid):
         # isfinite catches ±Inf components (Inf norm passes > 0); the > 0
@@ -612,24 +777,24 @@ def knn_ivf(
             "their nprobe cell ranking and top-k are undefined; drop or "
             "re-embed these rows"
         )
-    qdots = np.zeros((len(qids), len(cids)))
+    qdots = np.zeros((len(qids), len(cidx)))
     for j in range(qmat.shape[1] if len(qrows) else 0):
         qdots += qmat[:, j : j + 1] * cmat.T[j : j + 1, :]
     probe_rows = []
-    if len(qids) and len(cids):
+    if len(qids) and len(cidx):
         qccos = qdots / (qnorm[:, None] * cnorm[None, :])
         for i in range(len(qids)):
-            # lexsort (cid asc within -ccos desc) == ROW_NUMBER ORDER BY
-            # ccos DESC, cid ASC — total order, no NaN by the guards above.
-            top = np.lexsort((cids, -qccos[i]))[:nprobe]
-            probe_rows.extend((int(qids[i]), int(c)) for c in cids[top])
+            # lexsort (cidx asc within -ccos desc) == ROW_NUMBER ORDER BY
+            # ccos DESC, cidx ASC — total order, no NaN by the guards above.
+            top = np.lexsort((cidx, -qccos[i]))[:nprobe]
+            probe_rows.extend((int(qids[i]), int(c)) for c in cidx[top])
     probes = queries.sparkSession.createDataFrame(
-        probe_rows, "query_id long, cid long"
+        probe_rows, "query_id long, cidx long"
     )
     # Probes (and hence candidates-with-query-vector) are |Q|-sized —
     # broadcast them, so the only shuffle the corpus ever takes in this
-    # operator is the single N-row cells aggregation above.
-    cand = cells.join(F.broadcast(probes), "cid").where(
+    # operator is the |Q|·k-row rank exchange below.
+    cand = cells.join(F.broadcast(probes), "cidx").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
@@ -650,51 +815,132 @@ def knn_ivf(
 
 
 def knn_ivf_sql(
-    k: int, nprobe: int | str, centroid_stride: int, query_pred: str
+    k: int,
+    nprobe: int | str,
+    query_pred: str,
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
 ) -> str:
-    cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    """DuckDB mirror of :func:`knn_ivf` INCLUDING the trained quantizer:
+    the seeded md5 init, every Lloyd iteration (argmin cross join +
+    exact integer SUM/COUNT + truncating division + grid snap + the
+    empty/all-zero keep rule), the inverted lists, probes, and the exact
+    re-rank — all replayed as plain SQL, so centroid drift anywhere in
+    training becomes a driver hash mismatch."""
+    from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
+
     if nprobe == "auto":
         d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
-        nprobe = f"(SELECT 3 + 5 * ({d_sql}))"
-    return f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-      WHERE vec_id % {centroid_stride} = 0
-    ),
-    cell_rank AS (
-      SELECT e.vec_id AS neighbor_id, cent.cid,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                ORDER BY {COSINE_SQL.format(a='e.embedding', b='cent.cemb')} DESC,
-                                         cent.cid ASC) AS crn
-      FROM embeddings e, cent
-    ),
-    cells AS (SELECT neighbor_id, cid FROM cell_rank WHERE crn = 1),
-    probe_rank AS (
-      SELECT e.vec_id AS query_id, cent.cid,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                ORDER BY {COSINE_SQL.format(a='e.embedding', b='cent.cemb')} DESC,
-                                         cent.cid ASC) AS crn
-      FROM embeddings e, cent
-      WHERE ({query_pred.format(col='e.vec_id')})
-    ),
-    probes AS (SELECT query_id, cid FROM probe_rank WHERE crn <= {nprobe}),
-    cand AS (
+        np_sql = f"(SELECT 6 + 5 * ({d_sql}))"
+    else:
+        np_sql = str(int(nprobe))
+    kc_sql = (
+        auto_ivf_centroids_sql("SELECT COUNT(*) FROM embeddings")
+        if n_centroids == "auto"
+        else str(int(n_centroids))
+    )
+    h_sql = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed)
+    nrm = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+    cd = "list_transform(c.ci, cx -> CAST(cx AS DOUBLE) * 1e-6)"
+    cos_v = COSINE_SQL.format(a="v.e", b=cd)
+    ctes = [
+        f"""valid AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+      WHERE {nrm} > 0 AND isfinite({nrm})
+    )""",
+        f"""seeded AS (
+      SELECT e, ROW_NUMBER() OVER (ORDER BY {h_sql}, vec_id) AS cidx
+      FROM valid
+    )""",
+        f"""cent0 AS (
+      SELECT cidx, list_transform(e, x -> CAST(floor(x * 1e6) AS BIGINT)) AS ci
+      FROM seeded WHERE cidx <= ({kc_sql})
+    )""",
+        """comps AS (
+      SELECT vec_id, unnest(range(1, len(e) + 1)) AS dim,
+             CAST(floor(unnest(e) * 1e6) AS BIGINT) AS xi
+      FROM valid
+    )""",
+    ]
+    for t in range(iters + 1):
+        ctes.append(
+            f"""assign{t} AS (
+      SELECT v.vec_id, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_v} DESC,
+                                         c.cidx ASC) AS rn
+      FROM valid v CROSS JOIN cent{t} c
+    )"""
+        )
+        if t == iters:
+            break
+        ctes.append(
+            f"""sums{t} AS (
+      SELECT a.cidx, m.dim, CAST(SUM(m.xi) AS BIGINT) AS s, COUNT(*) AS nrow
+      FROM (SELECT vec_id, cidx FROM assign{t} WHERE rn = 1) a
+      JOIN comps m ON a.vec_id = m.vec_id
+      GROUP BY a.cidx, m.dim
+    )"""
+        )
+        ctes.append(
+            f"""upd{t} AS (
+      SELECT cidx, list(s // nrow ORDER BY dim) AS nc
+      FROM sums{t} GROUP BY cidx
+    )"""
+        )
+        ctes.append(
+            f"""cent{t + 1} AS (
+      SELECT c.cidx,
+             CASE WHEN u.nc IS NOT NULL
+                       AND len(list_filter(u.nc, x -> x <> 0)) > 0
+                  THEN u.nc ELSE c.ci END AS ci
+      FROM cent{t} c LEFT JOIN upd{t} u ON c.cidx = u.cidx
+    )"""
+        )
+    cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    ctes.append(
+        f"""cells AS (SELECT vec_id AS neighbor_id, cidx FROM assign{iters} WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""probe_rank AS (
+      SELECT v.vec_id AS query_id, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_v} DESC, c.cidx ASC) AS rn
+      FROM valid v CROSS JOIN cent{iters} c
+      WHERE ({query_pred.format(col='v.vec_id')})
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (SELECT query_id, cidx FROM probe_rank WHERE rn <= ({np_sql}))"""
+    )
+    ctes.append(
+        """cand AS (
       SELECT p.query_id, cells.neighbor_id
-      FROM probes p JOIN cells ON p.cid = cells.cid
+      FROM probes p JOIN cells ON p.cidx = cells.cidx
       WHERE p.query_id <> cells.neighbor_id
-    ),
-    scored AS (
+    )"""
+    )
+    ctes.append(
+        f"""scored AS (
       SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_sim
       FROM cand
       JOIN embeddings q ON q.vec_id = cand.query_id
       JOIN embeddings c ON c.vec_id = cand.neighbor_id
-    ),
-    ranked AS (
+    )"""
+    )
+    ctes.append(
+        """ranked AS (
       SELECT query_id, neighbor_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
       FROM scored
+    )"""
     )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {k}
     """
@@ -827,9 +1073,9 @@ def knn_pq_adc(
     1. **Codebook**: the vector space is cut into ``m`` subspaces of
        ``sub_dim`` dims; each subspace gets ``ksub`` centroids. Centroids
        are the sub-vectors of the first ``ksub`` corpus ids — a seeded
-       codebook instead of trained k-means so the whole operator stays
-       oracle-checkable (same stance as knn_ivf's coarse quantizer;
-       trained centroids swap in without changing the plan).
+       codebook; knn_ivf's coarse quantizer showed trained fixed-point
+       k-means IS oracle-checkable (r12), and the same Lloyd's recipe
+       would swap in here per-subspace without changing the plan.
     2. **Encode** (offline at scale): each corpus vector becomes m small
        codes — argmin centroid per subspace via MIN over struct(dist,
        cid), a plain aggregation with full map-side combine (the corpus

@@ -68,14 +68,20 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_ivf",
     oracle=knn_ivf_sql(
-        k=KNN_K, nprobe="auto", centroid_stride=50, query_pred=f"{{col}} < {_N_QUERIES}"
+        k=KNN_K, nprobe="auto", n_centroids="auto",
+        query_pred=f"{{col}} < {_N_QUERIES}",
     ),
-    doc="ANN top-5 via IVF: deterministic coarse quantizer (seed vectors "
-    "vec_id % 50 == 0), nearest-centroid inverted lists, auto-scaled cell "
-    "probe (3 cells at the 500-vector anchor, +5 per corpus doubling — "
-    "operators/similarity.py:auto_ivf_nprobe; the oracle computes the same "
-    "budget from COUNT(*)), exact cosine re-rank inside the probed cells. "
-    "The FAISS-IVF shape on DataFrames: centroids broadcast (assignment is "
+    doc="ANN top-5 via IVF with a TRAINED bounded-k coarse quantizer: "
+    "deterministic fixed-point Lloyd's k-means (seeded md5 init, 2 "
+    "argmin-join + grid-snapped-mean rounds; k = min(256, max(4, "
+    "isqrt(N))) — O(sqrt N) cells with a hard 256 ceiling, r11 VERDICT "
+    "item 2), nearest-centroid inverted lists, auto-scaled cell probe "
+    "(3 cells at the 500-vector anchor, +5 per corpus doubling — "
+    "operators/similarity.py:auto_ivf_nprobe), exact cosine re-rank "
+    "inside the probed cells. The oracle replays the ENTIRE training in "
+    "SQL (init, every iteration's integer sums and truncating division, "
+    "the keep rules), so quantizer drift is a driver hash mismatch. The "
+    "FAISS-IVF shape on DataFrames: centroids broadcast (assignment is "
     "a shuffle-free map), lists bucket by cell id for partition-pruned "
     "probes at scale. Recall audited by knn_recall_report.",
     tags=("similarity",),
@@ -84,7 +90,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     return knn_ivf(
         e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, nprobe="auto",
-        centroid_stride=50,
+        n_centroids="auto",
     )
 
 

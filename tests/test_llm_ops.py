@@ -113,9 +113,9 @@ def test_rolling_fingerprint_order_sensitive(spark):
 
 def test_ivf_knn_recall_grows_with_nprobe(spark):
     """IVF invariants vs brute force: probing more cells can only add
-    candidates (recall monotone in nprobe), and a handful of probed cells
-    already beats random at sf0.01 (10 seed centroids, near-noise
-    vectors: measured 0.54 @ nprobe=3, 0.75 @ nprobe=5)."""
+    candidates (recall monotone in nprobe), and the auto budget meets the
+    floor the stride quantizer set at sf0.01 (0.60 — SCALE.md round-11
+    table; the trained quantizer measured 0.62 at the auto nprobe=6)."""
     from slr207_mapreduce_spark.operators.similarity import knn_bruteforce, knn_ivf
     from slr207_mapreduce_spark.sources.tables import load_table
 
@@ -128,47 +128,63 @@ def test_ivf_knn_recall_grows_with_nprobe(spark):
         for r in knn_bruteforce(emb, q, k=5).collect()
     }
 
-    def recall(nprobe: int) -> float:
+    def recall(nprobe) -> float:
         got = {
             (r["query_id"], r["neighbor_id"])
-            for r in knn_ivf(emb, q, k=5, nprobe=nprobe, centroid_stride=50).collect()
+            for r in knn_ivf(emb, q, k=5, nprobe=nprobe).collect()
         }
         return len(exact & got) / len(exact)
 
-    r3, r5 = recall(3), recall(5)
-    assert r3 > 0.4, f"IVF nprobe=3 recall {r3:.2%} too low"
-    assert r5 >= r3, "probing more cells must not lose neighbors"
+    r_auto, r12 = recall("auto"), recall(12)
+    assert r_auto >= 0.55, f"IVF auto-nprobe recall {r_auto:.2%} too low"
+    assert r12 >= r_auto, "probing more cells must not lose neighbors"
 
 
-def test_ivf_assignment_is_a_partition_of_the_corpus(spark):
-    """Every corpus vector lands in exactly one inverted list, and every
-    list's centroid is a seed vector — the structure that makes bucketed
-    writes + partition-pruned probes possible at scale."""
-    from slr207_mapreduce_spark.operators.similarity import knn_ivf  # noqa: F401
+def test_ivf_trained_assignment_is_a_partition_of_the_corpus(spark):
+    """Every corpus vector lands in exactly one inverted list, the cell
+    count is the bounded-k formula (never the corpus size — the r11 stride
+    quantizer's linear |C| is gone), and training is deterministic: two
+    runs produce identical grid-snapped centroids."""
+    import math
 
+    import numpy as np
+    from pyspark.sql import Window
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        IVF_MAX_CENTROIDS,
+        auto_ivf_centroids,
+        cosine,
+        ivf_train_centroids,
+    )
     from slr207_mapreduce_spark.sources.tables import load_table
 
     emb = load_table(spark, "embeddings", SF_SMOKE)
-    # rebuild the assignment exactly as knn_ivf does (nearest, n=1)
-    from pyspark.sql import Window
-
-    from slr207_mapreduce_spark.operators.similarity import cosine
-
-    cent = emb.where(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    n = emb.count()
+    cidx, cint = ivf_train_centroids(emb)
+    cidx2, cint2 = ivf_train_centroids(emb)
+    assert np.array_equal(cint, cint2) and np.array_equal(cidx, cidx2)
+    assert len(cidx) == auto_ivf_centroids(n) == min(
+        IVF_MAX_CENTROIDS, max(4, math.isqrt(n))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assert (np.abs(cint) < 10**7).all()  # grid-scaled, bounded components
+
+    # rebuild the assignment exactly as knn_ivf does (nearest, rn=1)
+    crows = [(int(i), [float(x) * 1e-6 for x in row]) for i, row in zip(cidx, cint)]
+    cent = spark.createDataFrame(crows, "cidx long, cemb array<double>")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cidx"))
     cells = (
         emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", cosine(F.col("embedding"), F.col("cemb")).alias("ccos"))
+        .select(
+            "vec_id", "cidx",
+            cosine(F.col("embedding"), F.col("cemb")).alias("ccos"),
+        )
         .withColumn("crn", F.row_number().over(w))
         .where(F.col("crn") == 1)
     )
-    n = emb.count()
     assert cells.count() == n  # exactly one cell per vector
     assert cells.select("vec_id").distinct().count() == n
-    cids = {r["cid"] for r in cells.select("cid").distinct().collect()}
-    assert cids <= {r["vec_id"] for r in cent.select(F.col("cid").alias("vec_id")).collect()}
+    got_cells = {r["cidx"] for r in cells.select("cidx").distinct().collect()}
+    assert got_cells <= set(cidx.tolist())
 
 
 def test_ivf_corpus_shuffles_once(spark):
@@ -360,35 +376,44 @@ def test_zero_norm_embeddings_excluded_by_contract(spark):
 
 def test_zero_norm_excluded_from_ivf_lists(spark):
     """Family-wide zero-norm contract, IVF leg: a zero-norm corpus vector
-    never enters an inverted list (its cell argmax is undefined), and a
-    zero-norm CENTROID fails loudly (every assignment would be
-    undefined)."""
+    never enters training or an inverted list (its cell argmax is
+    undefined), and can therefore never become a trained centroid — the
+    old stride quantizer had to RAISE when a stride position was
+    degenerate; the trained quantizer excludes it by construction."""
     import pytest as _pytest
 
-    from slr207_mapreduce_spark.operators.similarity import knn_ivf
+    from slr207_mapreduce_spark.operators.similarity import (
+        ivf_train_centroids,
+        knn_ivf,
+    )
 
     rows = [(i, [float(i + 1), 1.0, 0.0]) for i in range(6)]
-    rows[2] = (2, [0.0, 0.0, 0.0])  # zero-norm non-centroid
+    rows[2] = (2, [0.0, 0.0, 0.0])  # zero-norm corpus row
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = knn_ivf(
-        emb, emb.where(F.col("vec_id") == 1), k=5, nprobe=1, centroid_stride=5
-    ).collect()
+    out = knn_ivf(emb, emb.where(F.col("vec_id") == 1), k=5, nprobe=4).collect()
     assert out and all(r["neighbor_id"] != 2 for r in out)
 
-    bad = spark.createDataFrame(
-        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])],
-        "vec_id long, embedding array<double>",
-    )
-    with _pytest.raises(ValueError, match="zero-norm or non-finite centroid"):
-        knn_ivf(bad, bad.where(F.col("vec_id") == 1), k=1, centroid_stride=5)
+    # the zero-norm row is excluded from the seed ranking too: with only
+    # 5 valid vectors and k clamped to max(4, isqrt(6)) = 4, no trained
+    # centroid can be the zero vector
+    import numpy as np
+
+    _, cint = ivf_train_centroids(emb)
+    assert (cint != 0).any(axis=1).all()
 
     # r08 ADVICE item 3: a zero-norm QUERY vector must raise naming the
     # offending id BEFORE the probe join — previously its nprobe cell
     # ranking rode engine NaN ordering through the probe plan.
     with _pytest.raises(ValueError, match=r"zero-norm or non-finite query.*\[2\]"):
-        knn_ivf(
-            emb, emb.where(F.col("vec_id") == 2), k=2, nprobe=1, centroid_stride=5
-        )
+        knn_ivf(emb, emb.where(F.col("vec_id") == 2), k=2, nprobe=1)
+
+    # a corpus where EVERY vector is degenerate yields an empty quantizer,
+    # not a NaN-ordering plan
+    allbad = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cidx, cint = ivf_train_centroids(allbad)
+    assert len(cidx) == 0 and cint.size == 0
 
 
 def test_nan_query_vector_named_not_empty(spark):
@@ -423,21 +448,24 @@ def test_nan_query_vector_named_not_empty(spark):
     with _pytest.raises(ValueError, match=r"non-finite query.*\[2\]"):
         knn_bruteforce(good, nan_q, k=2).collect()
     with _pytest.raises(ValueError, match=r"non-finite query.*\[2\]"):
-        knn_ivf(good, nan_q, k=2, nprobe=1, centroid_stride=5)
+        knn_ivf(good, nan_q, k=2, nprobe=1)
     with _pytest.raises(ValueError, match=r"non-finite query.*\[6, 7\]"):
         knn_bruteforce(good, inf_q, k=2).collect()
     with _pytest.raises(ValueError, match=r"non-finite query.*\[6, 7\]"):
-        knn_ivf(good, inf_q, k=2, nprobe=1, centroid_stride=5)
-    # an Inf-component CENTROID is likewise rejected by the corpus-side
-    # guard (stride 6 picks vec_ids 0 and 6 as centroids)
-    with _pytest.raises(ValueError, match=r"non-finite centroid.*\[6\]"):
-        knn_ivf(
-            emb.where(F.col("vec_id") != 2).where(F.col("vec_id") != 7),
-            emb.where(F.col("vec_id") == 0),
-            k=2,
-            nprobe=1,
-            centroid_stride=6,
-        )
+        knn_ivf(good, inf_q, k=2, nprobe=1)
+    # Inf/NaN-component CORPUS rows are excluded from training (the old
+    # stride quantizer had to raise when one landed on a stride position;
+    # the trained quantizer's validity filter nrm>0 AND nrm<inf drops
+    # them), from the inverted lists, and hence from every result set
+    from slr207_mapreduce_spark.operators.similarity import ivf_train_centroids
+    import numpy as np
+
+    cidx, cint = ivf_train_centroids(emb)
+    # k = max(4, isqrt(8)) = 4 seeds, drawn from the 5 valid rows only
+    assert len(cidx) == 4
+    assert np.isfinite(cint.astype("float64")).all()
+    out = knn_ivf(emb.where(F.col("vec_id") != 2), good, k=7, nprobe=4).collect()
+    assert out and all(r["neighbor_id"] not in (6, 7) for r in out)
 
 
 def test_auto_budget_formulas_match_sql():
@@ -470,7 +498,9 @@ def test_auto_budget_formulas_match_sql():
     # calibration anchors: fixed configs at sf0.01 (500 vectors), the
     # hand-measured restore points at sf0.1 (2000 vectors = 2 doublings)
     assert (auto_lsh_tables(500), auto_lsh_tables(2000)) == (8, 16)
-    assert (auto_ivf_nprobe(500), auto_ivf_nprobe(2000)) == (3, 13)
+    # r12: IVF anchor recalibrated 3 -> 6 for the trained bounded-k
+    # quantizer (its isqrt cell counts shrink the per-probe fraction)
+    assert (auto_ivf_nprobe(500), auto_ivf_nprobe(2000)) == (6, 16)
     assert (auto_pq_rerank(500), auto_pq_rerank(2000)) == (20, 150)
     assert (auto_jl_shortlist(500), auto_jl_shortlist(2000)) == (150, 600)
     # monotone and capped
@@ -480,6 +510,34 @@ def test_auto_budget_formulas_match_sql():
         cur = auto_ivf_nprobe(n)
         assert cur >= prev
         prev = cur
+
+
+def test_auto_ivf_centroids_matches_sql_isqrt():
+    """The trained quantizer's cell count k = min(256, max(4, isqrt(N)))
+    must be the same integer on both engines. math.isqrt is exact; the SQL
+    mirror corrects floor(sqrt(double)) by ±1 — sweep perfect squares and
+    their neighbors (where 1-ulp sqrt rounding actually bites) plus the
+    4 and 256 clamp boundaries."""
+    import duckdb
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        IVF_MAX_CENTROIDS,
+        auto_ivf_centroids,
+        auto_ivf_centroids_sql,
+    )
+
+    ns = [1, 2, 3, 4, 15, 16, 17, 499, 500, 2000, 20000, 65535, 65536, 65537]
+    ns += [s * s + d for s in (22, 44, 141, 255, 256, 257, 1000) for d in (-1, 0, 1)]
+    con = duckdb.connect()
+    for n in ns:
+        k_py = auto_ivf_centroids(n)
+        k_sql = con.execute("SELECT " + auto_ivf_centroids_sql(str(n))).fetchone()[0]
+        assert k_py == k_sql, f"n={n}: python {k_py} != sql {k_sql}"
+        assert 4 <= k_py <= IVF_MAX_CENTROIDS
+    # the r11 guard scenario: 3.3M vectors used to mean 65k stride
+    # centroids and a ValueError; the trained quantizer caps at 256
+    assert auto_ivf_centroids(3_300_000) == IVF_MAX_CENTROIDS
+    assert auto_ivf_centroids(10**12) == IVF_MAX_CENTROIDS
 
 
 def test_ngram_jaccard_prefix_filter_parity_and_skew_rationale(spark):
