@@ -46,22 +46,29 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_lsh_bucketed",
     oracle=knn_lsh_bucketed_sql(
-        k=KNN_K, bits=4, tables="auto", query_pred=f"{{col}} < {_N_QUERIES}"
+        k=KNN_K, bits=6, tables="auto", probe_radius=1,
+        query_pred=f"{{col}} < {_N_QUERIES}",
     ),
-    doc="ANN top-5 via multi-table sign-bit LSH (4 bits/table, OR-of-ANDs): "
+    doc="ANN top-5 via MULTI-PROBE multi-table sign-bit LSH (6 bits/table, "
+    "OR-of-ANDs; each query also probes its Hamming-1 neighbor buckets — "
+    "a deterministic XOR bit-flip expansion, Lv et al. VLDB'07): "
     "candidates meet through an equi-join on (table, bucket) — the scale "
-    "path (shuffle ∝ bucket sizes, not N×Q). The table count auto-scales "
-    "with corpus size (8 at the 500-vector anchor, +4 per doubling — "
-    "operators/similarity.py:auto_lsh_tables) so recall holds as the "
-    "corpus grows instead of decaying at a fixed budget; the oracle "
-    "computes the same integer budget from COUNT(*). Recall audited by "
-    "knn_recall_report and tests/test_llm_ops.py.",
+    "path (shuffle ∝ bucket sizes, not N×Q). Multi-probe moved the recall "
+    "budget from the CORPUS side (each table costs a full bucket-"
+    "projection pass) to the |Q|-sized probe side: the table dial is 6 at "
+    "the 500-vector anchor, +2 per doubling, capped 16 (r11 VERDICT item "
+    "3 — the single-probe dial needed 28 tables at sf1, 12 of them "
+    "duplicate dimension subsets at 4 bits). The oracle computes the same "
+    "budget from COUNT(*) and unrolls the same probe masks. Recall "
+    "audited by knn_recall_report: 0.88/0.96/1.00 at sf0.01/sf0.1/sf1 vs "
+    "the single-probe dial's 0.80/0.88/0.98.",
     tags=("similarity",),
 )
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     return knn_lsh_bucketed(
-        e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, bits=4, tables="auto"
+        e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, bits=6,
+        tables="auto", probe_radius=1,
     )
 
 
@@ -76,7 +83,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argmin-join + grid-snapped-mean rounds; k = min(256, max(4, "
     "isqrt(N))) — O(sqrt N) cells with a hard 256 ceiling, r11 VERDICT "
     "item 2), nearest-centroid inverted lists, auto-scaled cell probe "
-    "(3 cells at the 500-vector anchor, +5 per corpus doubling — "
+    "(6 cells at the 500-vector anchor, +5 per corpus doubling — "
     "operators/similarity.py:auto_ivf_nprobe), exact cosine re-rank "
     "inside the probed cells. The oracle replays the ENTIRE training in "
     "SQL (init, every iteration's integer sums and truncating division, "
