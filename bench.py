@@ -130,7 +130,6 @@ def main() -> int:
 
     load_before = os.getloadavg()
     calibration_probe()  # warm the probe itself (JIT of the range-sum job)
-    cal_before = calibration_probe()
 
     for name in BENCH_QUERIES:
         run(name)
@@ -141,15 +140,45 @@ def main() -> int:
     # along so a loaded machine is auditable from the artifact alone: a
     # large median/min spread + high loadavg = env noise, not a regression
     # (BENCH_r03 and r05 both recorded phantom regressions exactly this way).
+    #
+    # Stable-window retry (r11 VERDICT item 6): the drift flag used to be
+    # computed once over the WHOLE capture and the driver's r10/r11
+    # artifacts both landed window_stable=false while the builder's twin
+    # captured stable minutes later — host throughput changes on the
+    # scale of one capture. The headline timed pass now retries (bounded,
+    # default 3 attempts) until the probe pair bracketing IT is stable;
+    # every attempt's drift is recorded like the loadavg gate's
+    # rejections, so an exhausted budget is self-describing rather than a
+    # silently-noisy number.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    drift_gate = float(os.environ.get("SPARK_GRAFT_DRIFT_GATE", "1.25"))
+    stable_attempts = int(os.environ.get("SPARK_GRAFT_STABLE_ATTEMPTS", "3"))
+
+    def probe_drift(b: dict[str, float], a: dict[str, float]) -> float:
+        return max(
+            max(b["jvm_mt_sec"], a["jvm_mt_sec"])
+            / max(1e-9, min(b["jvm_mt_sec"], a["jvm_mt_sec"])),
+            max(b["numpy_1t_sec"], a["numpy_1t_sec"])
+            / max(1e-9, min(b["numpy_1t_sec"], a["numpy_1t_sec"])),
+        )
+
+    attempt_drifts: list[float] = []
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        runs = sorted(run(name) for _ in range(n_runs))
-        all_runs[name] = [round(r, 3) for r in runs]
-        timings[name] = round(runs[0], 3)
-        medians[name] = round(runs[len(runs) // 2], 3)
+    for _attempt in range(max(1, stable_attempts)):
+        cal_before = calibration_probe()
+        timings, medians, all_runs = {}, {}, {}
+        for name in BENCH_QUERIES:
+            runs = sorted(run(name) for _ in range(n_runs))
+            all_runs[name] = [round(r, 3) for r in runs]
+            timings[name] = round(runs[0], 3)
+            medians[name] = round(runs[len(runs) // 2], 3)
+        cal_after = calibration_probe()
+        drift = probe_drift(cal_before, cal_after)
+        attempt_drifts.append(round(drift, 3))
+        if drift <= drift_gate:
+            break
 
     out = {
         "metric": "headline-query wall time, local[%s], sf=%s" % (cpus, sf),
@@ -288,18 +317,16 @@ def main() -> int:
         except Exception as e:  # must never break the headline bench
             out["codec"] = {"error": f"{type(e).__name__}: {e}"}
 
-    # Closing calibration capture + calibrated view of the headline set.
-    cal_after = calibration_probe()
+    # Calibrated view of the headline set. The probe pair brackets the
+    # HEADLINE timed pass (the retried window above) — the tiers run
+    # outside it, so a slow sf1/codec window can no longer flip the flag
+    # on a clean headline capture; a closing post-tiers probe rides along
+    # as context.
     jvm_cal = (cal_before["jvm_mt_sec"] + cal_after["jvm_mt_sec"]) / 2.0
-    drift = max(
-        max(cal_before["jvm_mt_sec"], cal_after["jvm_mt_sec"])
-        / max(1e-9, min(cal_before["jvm_mt_sec"], cal_after["jvm_mt_sec"])),
-        max(cal_before["numpy_1t_sec"], cal_after["numpy_1t_sec"])
-        / max(1e-9, min(cal_before["numpy_1t_sec"], cal_after["numpy_1t_sec"])),
-    )
     out["calibration"] = {
         "before": cal_before,
         "after": cal_after,
+        "after_tiers": calibration_probe(),
         "jvm_mt_mean_sec": round(jvm_cal, 4),
         "numpy_1t_mean_sec": round(
             (cal_before["numpy_1t_sec"] + cal_after["numpy_1t_sec"]) / 2.0, 4
@@ -322,11 +349,19 @@ def main() -> int:
             / ((cal_before["numpy_1t_sec"] + cal_after["numpy_1t_sec"]) / 2.0),
             3,
         ),
-        # worst before/after probe ratio: > 1.25 means host throughput
-        # CHANGED during the capture window itself — raw and calibrated
-        # numbers from an unstable window are upper bounds, not estimates
-        "probe_drift_ratio": round(drift, 3),
-        "window_stable": drift <= 1.25,
+        # worst before/after probe ratio around the ACCEPTED headline
+        # window: > drift_gate means host throughput changed during the
+        # timed pass itself even after the bounded retries — raw and
+        # calibrated numbers from an unstable window are upper bounds,
+        # not estimates
+        "probe_drift_ratio": attempt_drifts[-1],
+        "window_stable": attempt_drifts[-1] <= drift_gate,
+        "stable_window_retry": {
+            "threshold": drift_gate,
+            "attempts": len(attempt_drifts),
+            "budget": max(1, stable_attempts),
+            "drifts": attempt_drifts,
+        },
     }
 
     # Two lines (r10 VERDICT item 5): the full-detail artifact first, then
@@ -348,6 +383,7 @@ def main() -> int:
         "value_calibrated_numpy": out["calibration"]["value_calibrated_numpy"],
         "probe_drift_ratio": out["calibration"]["probe_drift_ratio"],
         "window_stable": out["calibration"]["window_stable"],
+        "stable_attempts": len(attempt_drifts),
         "gate_failed": gate_failed,
         "tiers": {
             k: out[k].get("value")

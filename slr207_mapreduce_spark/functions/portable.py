@@ -141,6 +141,33 @@ def exact_total(sum_col: Column | str, digits: int) -> Column:
     return c.cast("double") / F.lit(float(10 ** digits))
 
 
+# Count-min geometry shared by the batch events sketch
+# (plans/analytics_r5.py), the streaming counters (streaming/ops.py),
+# and the stream==batch parity test — ONE definition so a one-sided
+# change desyncs imports, not silently-matching stale literals
+# (r11 ADVICE item 2).
+COUNTMIN_SEED0 = 100
+COUNTMIN_EVENTS_DEPTH = 3
+COUNTMIN_EVENTS_WIDTH = 64
+
+
+def countmin_hash_sql(
+    key_expr: str, row_expr: str, width: int, seed0: int = COUNTMIN_SEED0
+) -> str:
+    """DuckDB bucket expression mirroring one :func:`countmin_hash_rows`
+    entry: the portable md5 hash of ``key_expr`` under seed
+    ``seed0 + row_expr`` (``row_expr`` is the SQL expression for the
+    sketch row index, e.g. ``h.i``), mod ``width``. Dedicated helper so
+    count-min oracles never have to splice a seed SQL fragment through
+    :func:`portable_hash64_sql`'s int-typed ``seed`` (r11 ADVICE item 1
+    — that splice relied on f-string internals and would silently corrupt
+    the oracles if ``seed`` ever gained quoting/validation)."""
+    return (
+        f"(CAST(('0x' || substring(md5('s' || CAST({seed0} + {row_expr} AS VARCHAR)"
+        f" || '|' || {key_expr}), 1, 15)) AS BIGINT) % {width})"
+    )
+
+
 def countmin_hash_rows(key: Column, depth: int, width: int, seed0: int) -> Column:
     """The count-min bucket array: ``array<struct<h: long, b: long>>`` with
     one entry per sketch row — ``h`` the row index, ``b`` the portable-md5

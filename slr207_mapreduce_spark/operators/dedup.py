@@ -431,6 +431,57 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+# Plan-choice threshold for ngram_jaccard_pairs_auto: take the prefix
+# path when the hottest posting list covers at least 1/SKEW_DF_RATIO of
+# the corpus — a bucket that size makes the plain self-join's hottest
+# bucket ~(n/RATIO)^2 pairs, the quadratic regime prefix filtering
+# exists for. Measured regimes (SCALE.md round-11b): boilerplate corpora
+# sit at max_df/n ≈ 1.0, the real documents tables at 0.005-0.014 —
+# three orders of magnitude of separation, so the exact ratio is not
+# delicate.
+SKEW_DF_RATIO = 4
+
+
+def ngram_jaccard_skew_probe(
+    docs: DataFrame, shingle_n: int = 3, id_col: str = "doc_id"
+) -> tuple[int, int]:
+    """(max posting-list df, corpus doc count) — the decision probe for
+    :func:`ngram_jaccard_pairs_auto`. One aggregation over the shingle
+    projection (the same shingle-df aggregate the prefix plan computes as
+    its rarity table) plus a metadata-cheap doc count."""
+    sh = doc_shingles(docs, id_col, shingle_n)
+    row = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("max_df"))
+        .collect()[0]
+    )
+    return int(row.max_df or 0), docs.count()
+
+
+def ngram_jaccard_pairs_auto(
+    docs: DataFrame, threshold: float, shingle_n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard pairs with a SELF-SELECTING plan (r11 VERDICT item 5).
+
+    :func:`ngram_jaccard_pairs` (plain inverted-index self-join) is ~2x
+    faster on bounded-bucket corpora; :func:`ngram_jaccard_pairs_prefix`
+    (AllPairs/PPJoin prefix filtering) is 3.2x faster under boilerplate
+    skew and the gap grows ~N^2 (SCALE.md round-11b). Both emit
+    bit-identical pairs, so the choice is pure physics — this entry point
+    makes it per-run from a cheap probe: the max posting-list df from the
+    shingle-df aggregate the prefix plan needs anyway. If the hottest
+    posting list covers >= 1/``SKEW_DF_RATIO`` of the corpus, the plain
+    join's hottest bucket is quadratic in corpus size -> prefix plan;
+    otherwise plain. The probe costs one shingle aggregation — one
+    corpus pass, amortized against the 3-5 passes either plan runs.
+    Output (and hence the oracle) is identical either way."""
+    max_df, n_docs = ngram_jaccard_skew_probe(docs, shingle_n, id_col)
+    if max_df * SKEW_DF_RATIO >= n_docs and n_docs > 0:
+        return ngram_jaccard_pairs_prefix(docs, threshold, shingle_n, id_col)
+    return ngram_jaccard_pairs(docs, threshold, shingle_n, id_col)
+
+
 def ngram_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
     return f"""
     WITH __tk AS ({shingle_tokens_cte_sql()}),

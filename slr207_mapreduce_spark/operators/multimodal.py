@@ -241,23 +241,23 @@ def video_frame_index(blob_df: DataFrame) -> DataFrame:
             order = np.lexsort((fj, fdoc))
             fdoc, fj, foff, fln = fdoc[order], fj[order], foff[order], fln[order]
             rel_off = foff - off[fdoc]  # scalar yields payload-relative offsets
+            frame_ids = ids[fdoc].astype("int64")
             out = pd.DataFrame(
                 {
-                    "doc_id": ids[fdoc].astype("int64"),
+                    "doc_id": frame_ids,
                     "frame_idx": fj.astype("int32"),
                     "byte_offset": rel_off,
                     "frame_bytes": fln,
                     "_pos": fdoc,
                 }
             )
-            out["frame_uri"] = (
-                "rawv://"
-                + pd.Series(ids[fdoc].astype("int64")).astype(str)
-                + "#"
-                + pd.Series(fj).astype(str)
-                + "@"
-                + pd.Series(rel_off).astype(str)
-            )
+            # one pass over the already-sorted arrays (r11 ADVICE item 4 —
+            # the previous Series-concat chain allocated three temporary
+            # string Series per batch and stringified frame_ids twice)
+            out["frame_uri"] = [
+                f"rawv://{d}#{j}@{o}"
+                for d, j, o in zip(frame_ids, fj, rel_off)
+            ]
             if bad.any():
                 fb = {k.name: [] for k in FRAME_INDEX_SCHEMA.fields}
                 fb["_pos"] = []

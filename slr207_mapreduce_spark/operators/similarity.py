@@ -197,14 +197,22 @@ def knn_bruteforce_sql(k: int, query_pred: str, corpus_pred: str = "TRUE") -> st
     """DuckDB oracle for the exact tier. ``corpus_pred`` (a predicate over
     the corpus alias ``c``) supports the FILTERED search variant: the
     predicate composes BEFORE ranking, so top-k is exact under the filter
-    (pre-filtering), never a post-filtered under-filled k."""
+    (pre-filtering), never a post-filtered under-filled k. The corpus
+    side mirrors knn_bruteforce's documented zero-norm exclusion
+    explicitly (r11 ADVICE item 3 — without the guard, a zero-norm row
+    inside a filtered slice would ride DuckDB's NaN-greatest ordering
+    while the engine excludes it by contract)."""
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    cnorm = (
+        "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[])))"
+    )
     return f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
       FROM embeddings q, embeddings c
       WHERE ({query_pred.format(col='q.vec_id')}) AND q.vec_id <> c.vec_id
-        AND ({corpus_pred})
+        AND ({corpus_pred}) AND {cnorm} > 0
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cos_sim,

@@ -42,7 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from slr207_mapreduce_spark.functions.portable import (
+    COUNTMIN_EVENTS_DEPTH,
+    COUNTMIN_EVENTS_WIDTH,
+    COUNTMIN_SEED0,
     countmin_hash_rows,
+    countmin_hash_sql,
     portable_hash64,
     portable_hash64_sql,
 )
@@ -55,17 +59,13 @@ from slr207_mapreduce_spark.sources.tables import load_table
 # enough that the report's realized-error column is a real measurement.
 _CM_DEPTH = 3
 _CM_WIDTH = 1024
-_CM_SEED0 = 100
+_CM_SEED0 = COUNTMIN_SEED0
 _CM_TOPK = 20
 
 
 def _cm_oracle() -> str:
-    probe = portable_hash64_sql(
-        "t.term", seed="' || CAST(100 + h.i AS VARCHAR) || '"
-    )
-    build = portable_hash64_sql(
-        "term", seed="' || CAST(100 + h.i AS VARCHAR) || '"
-    )
+    probe = countmin_hash_sql("t.term", "h.i", _CM_WIDTH, _CM_SEED0)
+    build = countmin_hash_sql("term", "h.i", _CM_WIDTH, _CM_SEED0)
     return f"""
     WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS term FROM documents
@@ -74,7 +74,7 @@ def _cm_oracle() -> str:
       SELECT term, COUNT(*) AS cnt FROM toks WHERE length(term) > 0 GROUP BY term
     ),
     cm AS (
-      SELECT h.i AS h, {build} % {_CM_WIDTH} AS b, SUM(cnt) AS c
+      SELECT h.i AS h, {build} AS b, SUM(cnt) AS c
       FROM counts, (SELECT UNNEST(range({_CM_DEPTH})) AS i) h
       GROUP BY 1, 2
     ),
@@ -86,7 +86,7 @@ def _cm_oracle() -> str:
            CAST(MIN(c.c) AS BIGINT) AS est_tf,
            CAST(MIN(c.c) - t.cnt AS BIGINT) AS overcount
     FROM top t, (SELECT UNNEST(range({_CM_DEPTH})) AS i) h, cm c
-    WHERE c.h = h.i AND c.b = {probe} % {_CM_WIDTH}
+    WHERE c.h = h.i AND c.b = {probe}
     GROUP BY t.term, t.cnt
     """
 
@@ -306,14 +306,14 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Events count-min: depth 3 x width 64 per day (per-day user cardinality
 # ~150 at sf0.01, so width 64 guarantees visible collisions — a real
 # estimator, not an identity map), same portable seed family.
-_ECM_DEPTH = 3
-_ECM_WIDTH = 64
+_ECM_DEPTH = COUNTMIN_EVENTS_DEPTH
+_ECM_WIDTH = COUNTMIN_EVENTS_WIDTH
 _ECM_TOPK = 5
 
 
 def _ecm_oracle() -> str:
-    build = portable_hash64_sql("uid", seed="' || CAST(100 + h.i AS VARCHAR) || '")
-    probe = portable_hash64_sql("t.uid", seed="' || CAST(100 + h.i AS VARCHAR) || '")
+    build = countmin_hash_sql("uid", "h.i", _ECM_WIDTH, _CM_SEED0)
+    probe = countmin_hash_sql("t.uid", "h.i", _ECM_WIDTH, _CM_SEED0)
     return f"""
     WITH ev AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -322,7 +322,7 @@ def _ecm_oracle() -> str:
     ),
     counts AS (SELECT day, uid, COUNT(*) AS cnt FROM ev GROUP BY day, uid),
     cm AS (
-      SELECT day, h.i AS h, {build} % {_ECM_WIDTH} AS b, SUM(cnt) AS c
+      SELECT day, h.i AS h, {build} AS b, SUM(cnt) AS c
       FROM counts, (SELECT UNNEST(range({_ECM_DEPTH})) AS i) h
       GROUP BY 1, 2, 3
     ),
@@ -338,7 +338,7 @@ def _ecm_oracle() -> str:
            CAST(MIN(c.c) AS BIGINT) AS est_cnt,
            CAST(MIN(c.c) - t.cnt AS BIGINT) AS overcount
     FROM top t, (SELECT UNNEST(range({_ECM_DEPTH})) AS i) h, cm c
-    WHERE c.day = t.day AND c.h = h.i AND c.b = {probe} % {_ECM_WIDTH}
+    WHERE c.day = t.day AND c.h = h.i AND c.b = {probe}
     GROUP BY t.day, t.uid, t.cnt
     """
 

@@ -97,6 +97,9 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
+    # --- new this round (never adjudicated; stalest by definition) ---
+    "estimator_countmin_bounds",
+    "pipeline_crossmodal_dedup",
     # --- the r05 tail displaced by the r11 additions ---
     "udf_pandas_scalar_net_price",
     "udtf_positioned_words",
@@ -143,10 +146,9 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "agg_bitmap_distinct",
     "agg_bitwise_bool",
     "agg_count_min_frequency",
-    "agg_exact_percentiles",
-    "agg_filter_clause",
-    # (the rest of the r07 block — agg_grouping_sets onward — leads the
-    # r13 backlog; r12 additions displace this block's tail as they land)
+    # (the r12 additions displaced agg_exact_percentiles and
+    # agg_filter_clause; they and the rest of the r07 block —
+    # agg_grouping_sets onward — lead the r13 backlog)
 )
 
 
@@ -196,6 +198,7 @@ def all_queries() -> dict[str, QuerySpec]:
         recall_report,
         estimator_report,
         analytics_r5,
+        analytics_r6,
     )
 
     ordered: dict[str, QuerySpec] = {}

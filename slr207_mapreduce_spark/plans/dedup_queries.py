@@ -45,13 +45,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=ngram_jaccard_sql(threshold=0.5, shingle_n=3),
-    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the "
-    "inverted-index self-join — docs meet only when they share a shingle.",
+    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.5) with a "
+    "SELF-SELECTING plan (r11 VERDICT item 5): a cheap shingle-df probe "
+    "(max posting-list df vs corpus size) picks the plain inverted-index "
+    "self-join on bounded-bucket corpora and AllPairs/PPJoin prefix "
+    "filtering under boilerplate skew — bit-identical output either way "
+    "(pinned in tests/test_llm_ops.py), so the oracle is unchanged; only "
+    "WHERE the work lands changes. See "
+    "operators/dedup.py:ngram_jaccard_pairs_auto.",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.dedup import ngram_jaccard_pairs_auto
+
     d = load_table(spark, "documents", sf_dir)
-    return ngram_jaccard_pairs(d, threshold=0.5, shingle_n=3)
+    return ngram_jaccard_pairs_auto(d, threshold=0.5, shingle_n=3)
 
 
 from slr207_mapreduce_spark.functions.portable import portable_hash64_lane_sql

@@ -73,9 +73,9 @@ def streaming_countmin_counters(
     events: DataFrame,
     window: str = "1 day",
     watermark: str = "2 hours",
-    depth: int = 3,
-    width: int = 64,
-    seed0: int = 100,
+    depth: int | None = None,
+    width: int | None = None,
+    seed0: int | None = None,
 ) -> DataFrame:
     """Per-window count-min sketch counters over user_id, as a PLAIN
     watermarked windowed aggregation — no custom state operator. The
@@ -83,9 +83,22 @@ def streaming_countmin_counters(
     so Structured Streaming's incremental aggregation IS the sketch
     update and partial-agg merge is the sketch merge; the batch analogue
     (events_countmin_trending_daily, plans/analytics_r5.py) builds
-    byte-identical counters, pinned by tests/test_streaming.py."""
-    from slr207_mapreduce_spark.functions.portable import countmin_hash_rows
+    byte-identical counters, pinned by tests/test_streaming.py.
 
+    Geometry defaults come from the SHARED constants in
+    functions/portable.py (r11 ADVICE item 2 — hardcoded 3/64/100 here
+    duplicated the batch module's literals, so a one-sided batch change
+    would not have broken the parity pin)."""
+    from slr207_mapreduce_spark.functions.portable import (
+        COUNTMIN_EVENTS_DEPTH,
+        COUNTMIN_EVENTS_WIDTH,
+        COUNTMIN_SEED0,
+        countmin_hash_rows,
+    )
+
+    depth = COUNTMIN_EVENTS_DEPTH if depth is None else depth
+    width = COUNTMIN_EVENTS_WIDTH if width is None else width
+    seed0 = COUNTMIN_SEED0 if seed0 is None else seed0
     hash_rows = countmin_hash_rows(
         F.col("user_id").cast("string"), depth=depth, width=width, seed0=seed0
     )

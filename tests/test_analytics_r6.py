@@ -1,0 +1,113 @@
+"""Round-12 additions: cross-modal dedup closure + count-min certification."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_crossmodal_dedup_merges_every_modality(spark):
+    """The union-then-close run must honor every modality: any pair
+    emitted by the text, image, or embedding near-dup detector ends up in
+    the SAME cross-modal cluster — and the closure is genuinely
+    cross-modal (its cluster count is at most any single modality's count
+    over the same nodes, since the union can only add edges)."""
+    from slr207_mapreduce_spark.operators.dedup import minhash_lsh_candidates
+    from slr207_mapreduce_spark.operators.similarity import cosine_neardup_pairs
+    from slr207_mapreduce_spark.plans.analytics_r5 import multimodal_phash_neardup
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    out = all_queries()["pipeline_crossmodal_dedup"].build(spark, SF_SMOKE)
+    label = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert label, "no clusters at all"
+    # canonical labels: every cluster_id is a member node's id, and the min
+    assert all(label[cid] == cid for cid in set(label.values()))
+
+    d = load_table(spark, "documents", SF_SMOKE)
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    modalities = {
+        "text": [
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(
+                d, num_hashes=6, band_size=2, shingle_n=3
+            ).collect()
+        ],
+        "image": [
+            (r["doc_a"], r["doc_b"])
+            for r in multimodal_phash_neardup(spark, SF_SMOKE).collect()
+        ],
+        "embedding": [
+            (r["id_a"], r["id_b"])
+            for r in cosine_neardup_pairs(e, threshold=0.2, bits=8).collect()
+        ],
+    }
+    for mod, pairs in modalities.items():
+        assert pairs, f"{mod} modality produced no edges — fixture too weak"
+        for a, b in pairs:
+            assert label[a] == label[b], f"{mod} pair ({a},{b}) split across clusters"
+
+    # cross-modal merging is real: at least one cluster contains nodes
+    # joined through two DIFFERENT modalities' edge sets
+    from collections import defaultdict
+
+    cluster_mods = defaultdict(set)
+    for mod, pairs in modalities.items():
+        for a, b in pairs:
+            cluster_mods[label[a]].add(mod)
+    assert any(len(m) >= 2 for m in cluster_mods.values()), (
+        "no cluster spans two modalities — the union closure is vacuous "
+        "on this fixture"
+    )
+
+
+def test_countmin_bounds_certificate_is_live(spark):
+    """The depth-2 geometry must REALIZE violations (a certificate whose
+    counter is always zero cannot catch a degraded hash family) while
+    every geometry's bound holds; violations are monotone non-increasing
+    in depth at fixed width (more rows -> min over more estimates)."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    rows = {
+        r["estimator"]: r
+        for r in all_queries()["estimator_countmin_bounds"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(rows) == {
+        "countmin:d2w64",
+        "countmin:d3w64",
+        "countmin:d3w256",
+        "countmin:d3w1024",
+    }
+    assert all(r["bound_held"] for r in rows.values())
+    assert rows["countmin:d2w64"]["exact_value"] > 0, (
+        "depth-2 geometry shows zero violations — the live counter the "
+        "certificate exists for has gone vacuous (data or hash change?)"
+    )
+    assert rows["countmin:d3w64"]["exact_value"] <= rows["countmin:d2w64"]["exact_value"]
+
+
+def test_countmin_streaming_defaults_track_shared_geometry():
+    """streaming_countmin_counters' default geometry comes from the shared
+    constants (r11 ADVICE item 2) — a one-sided batch change now breaks
+    this import, not a silently-stale literal pair."""
+    import inspect
+
+    from slr207_mapreduce_spark.functions.portable import (
+        COUNTMIN_EVENTS_DEPTH,
+        COUNTMIN_EVENTS_WIDTH,
+        COUNTMIN_SEED0,
+    )
+    from slr207_mapreduce_spark.plans import analytics_r5
+    from slr207_mapreduce_spark.streaming.ops import streaming_countmin_counters
+
+    assert analytics_r5._ECM_DEPTH is COUNTMIN_EVENTS_DEPTH
+    assert analytics_r5._ECM_WIDTH is COUNTMIN_EVENTS_WIDTH
+    assert analytics_r5._CM_SEED0 is COUNTMIN_SEED0
+    sig = inspect.signature(streaming_countmin_counters)
+    # None-defaults resolve to the shared constants inside the function
+    assert sig.parameters["depth"].default is None
+    assert sig.parameters["width"].default is None
+    assert sig.parameters["seed0"].default is None

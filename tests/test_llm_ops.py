@@ -572,6 +572,52 @@ def test_auto_ivf_centroids_matches_sql_isqrt():
     assert auto_ivf_centroids(10**12) == IVF_MAX_CENTROIDS
 
 
+def test_ngram_jaccard_auto_plan_choice(spark):
+    """ngram_jaccard_pairs_auto picks the plan per run from the shingle-df
+    probe (r11 VERDICT item 5): plain inverted-index join on the bounded
+    real corpus (max_df/n ~ 1%), prefix filtering under boilerplate skew
+    (max_df = n) — and the output is bit-identical either way, so the
+    registered oracle never changes. The chosen plan is pinned through its
+    physical signature: only the prefix plan verifies candidates with
+    array_intersect over collected shingle arrays."""
+    from slr207_mapreduce_spark.operators.dedup import (
+        SKEW_DF_RATIO,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+        ngram_jaccard_skew_probe,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    def physical(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    # bounded regime: real documents table -> plain plan
+    d = load_table(spark, "documents", SF_CORRECT)
+    max_df, n = ngram_jaccard_skew_probe(d)
+    assert max_df * SKEW_DF_RATIO < n  # the probe sees a bounded corpus
+    auto = ngram_jaccard_pairs_auto(d, 0.5, 3)
+    assert "array_intersect" not in physical(auto)
+    base = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in ngram_jaccard_pairs(d, 0.5, 3).collect()}
+    assert {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in auto.collect()} == base
+
+    # skewed regime: universal boilerplate header -> prefix plan
+    header = "copyright notice all rights reserved legal header"
+    rows = [
+        (dd, header + " " + " ".join(f"w{dd // 2}_{j}" for j in range(30)))
+        for dd in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    max_df, n = ngram_jaccard_skew_probe(docs)
+    assert max_df * SKEW_DF_RATIO >= n  # the probe sees the hot bucket
+    auto_skew = ngram_jaccard_pairs_auto(docs, 0.5, 3)
+    assert "array_intersect" in physical(auto_skew)
+    got = {(r["doc_a"], r["doc_b"]) for r in auto_skew.collect()}
+    assert got == {(dd, dd + 1) for dd in range(0, 100, 2)}
+
+
 def test_ngram_jaccard_prefix_filter_parity_and_skew_rationale(spark):
     """The prefix-filtered (AllPairs/PPJoin) exact-Jaccard operator must
     emit bit-identical pairs to the plain inverted-index join on the real

@@ -875,8 +875,19 @@ def test_streaming_countmin_counters_match_batch_sketch(spark, batch_dir):
     assert got, "no closed windows emitted"
 
     ev = load_table(spark, "events", SF_SMOKE)
+    # geometry from the SHARED constants — the parity pin must track the
+    # batch/streaming geometry, not restate it (r11 ADVICE item 2)
+    from slr207_mapreduce_spark.functions.portable import (
+        COUNTMIN_EVENTS_DEPTH,
+        COUNTMIN_EVENTS_WIDTH,
+        COUNTMIN_SEED0,
+    )
+
     hash_rows = countmin_hash_rows(
-        F.col("user_id").cast("string"), depth=3, width=64, seed0=100
+        F.col("user_id").cast("string"),
+        depth=COUNTMIN_EVENTS_DEPTH,
+        width=COUNTMIN_EVENTS_WIDTH,
+        seed0=COUNTMIN_SEED0,
     )
     want = {
         (r["day"], r["h"], r["b"]): r["c"]

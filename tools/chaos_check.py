@@ -54,6 +54,10 @@ CHAOS_QUERIES = (
     # (localCheckpoint materialization tasks are themselves killed once)
     "multimodal_phash_clusters",
     "pipeline_pps_systematic_sample",
+    # r12: the cross-modal union-then-close run — three edge generators
+    # (MinHash, dHash bands, cosine buckets) feeding ONE checkpointed
+    # closure; retries must not desync any modality's edge set
+    "pipeline_crossmodal_dedup",
 )
 
 
