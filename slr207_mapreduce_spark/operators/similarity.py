@@ -910,27 +910,18 @@ def knn_ivf(
     )
 
 
-def knn_ivf_sql(
-    k: int,
-    nprobe: int | str,
-    query_pred: str,
-    n_centroids: int | str = "auto",
-    iters: int = 2,
-    seed: int = 7,
-) -> str:
-    """DuckDB mirror of :func:`knn_ivf` INCLUDING the trained quantizer:
-    the seeded md5 init, every Lloyd iteration (argmin cross join +
-    exact integer SUM/COUNT + truncating division + grid snap + the
-    empty/all-zero keep rule), the inverted lists, probes, and the exact
-    re-rank — all replayed as plain SQL, so centroid drift anywhere in
-    training becomes a driver hash mismatch."""
+def ivf_train_sql_ctes(
+    n_centroids: int | str = "auto", iters: int = 2, seed: int = 7
+) -> list[str]:
+    """The trained quantizer's DuckDB CTE chain, shared by every query
+    that reuses the fixed-point Lloyd's (knn_ivf, embedding_kmeans_train,
+    dedup_semantic_semdedup): ``valid`` (zero-norm/non-finite exclusion),
+    ``seeded``/``cent0`` (md5 init), ``comps`` (grid-scaled components),
+    ``assign{t}``/``sums{t}``/``upd{t}``/``cent{t+1}`` per iteration —
+    ending with the final centroids ``cent{iters}`` and the final
+    assignment ranking ``assign{iters}`` (rn = 1 rows are the cells)."""
     from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
 
-    if nprobe == "auto":
-        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
-        np_sql = f"(SELECT 6 + 5 * ({d_sql}))"
-    else:
-        np_sql = str(int(nprobe))
     kc_sql = (
         auto_ivf_centroids_sql("SELECT COUNT(*) FROM embeddings")
         if n_centroids == "auto"
@@ -938,8 +929,7 @@ def knn_ivf_sql(
     )
     h_sql = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed)
     nrm = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
-    cd = "list_transform(c.ci, cx -> CAST(cx AS DOUBLE) * 1e-6)"
-    cos_v = COSINE_SQL.format(a="v.e", b=cd)
+    cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
     ctes = [
         f"""valid AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -995,6 +985,35 @@ def knn_ivf_sql(
       FROM cent{t} c LEFT JOIN upd{t} u ON c.cidx = u.cidx
     )"""
         )
+    return ctes
+
+
+# SQL view of a grid-scaled centroid list as doubles (alias `c` holding
+# the BIGINT list column `ci`), shared by every training-CTE consumer.
+IVF_CENT_DBL_SQL = "list_transform(c.ci, cx -> CAST(cx AS DOUBLE) * 1e-6)"
+
+
+def knn_ivf_sql(
+    k: int,
+    nprobe: int | str,
+    query_pred: str,
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of :func:`knn_ivf` INCLUDING the trained quantizer:
+    the seeded md5 init, every Lloyd iteration (argmin cross join +
+    exact integer SUM/COUNT + truncating division + grid snap + the
+    empty/all-zero keep rule), the inverted lists, probes, and the exact
+    re-rank — all replayed as plain SQL, so centroid drift anywhere in
+    training becomes a driver hash mismatch."""
+    if nprobe == "auto":
+        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+        np_sql = f"(SELECT 6 + 5 * ({d_sql}))"
+    else:
+        np_sql = str(int(nprobe))
+    cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
+    ctes = ivf_train_sql_ctes(n_centroids=n_centroids, iters=iters, seed=seed)
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
     ctes.append(
         f"""cells AS (SELECT vec_id AS neighbor_id, cidx FROM assign{iters} WHERE rn = 1)"""

@@ -106,6 +106,220 @@ def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Trained k-means as a first-class training op + SemDeDup (r12)
+# --------------------------------------------------------------------------
+#
+# knn_ivf's r12 quantizer proved that fixed-point Lloyd's k-means is
+# exactly DuckDB-replayable. These two queries promote that machinery
+# from an index-internal detail to the training-data-pipeline surface:
+# the k-means fit itself (the centroid table a 100 TB pipeline trains
+# once and caches), and SemDeDup (Abbas et al., 2023, arXiv:2303.09540)
+# — semantic dedup that only compares embeddings WITHIN a k-means cell,
+# turning the O(N^2) global pair problem into sum-of-cell-squares.
+
+# Within-cell cosine at/above which the larger id drops. 0.4 measured:
+# 21/500 docs drop at sf0.01, 148/2000 at sf0.1 — a live minority, the
+# dedup-rate regime (0.2 dropped 75%: within-cell pairs are similarity-
+# BIASED because k-means co-located them, so the global near-dup
+# threshold is too loose here).
+_SEMDEDUP_TAU = 0.4
+
+
+def _kmeans_train_oracle() -> str:
+    from slr207_mapreduce_spark.operators.similarity import ivf_train_sql_ctes
+
+    ctes = ",\n    ".join(ivf_train_sql_ctes())
+    return f"""
+    WITH {ctes},
+    cells AS (SELECT vec_id, cidx FROM assign2 WHERE rn = 1),
+    sizes AS (SELECT cidx, COUNT(*) AS n FROM cells GROUP BY cidx),
+    comps_out AS (
+      SELECT cidx, unnest(range(1, len(ci) + 1)) AS dim,
+             unnest(ci) AS component_e6
+      FROM cent2
+    )
+    SELECT co.cidx, CAST(co.dim AS BIGINT) AS dim,
+           CAST(co.component_e6 AS BIGINT) AS component_e6,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS cell_size
+    FROM comps_out co LEFT JOIN sizes s ON s.cidx = co.cidx
+    """
+
+
+@register(
+    "embedding_kmeans_train",
+    oracle=_kmeans_train_oracle(),
+    doc="The trained coarse quantizer as a first-class training op: "
+    "fixed-point Lloyd's k-means over the embeddings (seeded md5 init, "
+    "2 argmin + grid-snapped-mean rounds, k = min(256, max(4, "
+    "isqrt(N)))), emitting every centroid component on the exact 1e-6 "
+    "integer grid plus each cell's final population. The ENTIRE fit is "
+    "replayed by the oracle — init ranking, every iteration's integer "
+    "sums and truncating divisions, the empty/all-zero keep rules — so "
+    "this is a hash-checkable distributed k-means, the centroid table a "
+    "100 TB pipeline trains once and broadcasts everywhere "
+    "(operators/similarity.py:ivf_train_centroids; each iteration is one "
+    "Arrow-batched corpus pass emitting O(partitions*k) partial-sum "
+    "rows, no shuffle).",
+    tags=("similarity", "agg", "pipeline"),
+)
+def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: F401
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        _np_assign_cells,
+        _np_seq_self_dot,
+        ivf_train_centroids,
+        norm_f64,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cidx, cint = ivf_train_centroids(e)
+    rows = [
+        (int(c), d + 1, int(cint[i, d]))
+        for i, c in enumerate(cidx)
+        for d in range(cint.shape[1])
+    ]
+    cent_df = spark.createDataFrame(rows, "cidx long, dim long, component_e6 long")
+
+    import numpy as np
+    import pandas as pd
+
+    cmat = cint.astype(np.float64) * 1e-6
+    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(cidx) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            best = _np_assign_cells(vmat, cmat, cnorm)
+            yield pd.DataFrame({"vec_id": vid, "cidx": cidx[best]})
+
+    nrm = norm_f64(F.col("v"))
+    sizes = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .where((nrm > 0) & (nrm < F.lit(float("inf"))))
+        .mapInPandas(assign, schema="vec_id long, cidx long")
+        .groupBy("cidx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cent_df.join(F.broadcast(sizes), "cidx", "left")
+        .select(
+            "cidx",
+            "dim",
+            "component_e6",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("cell_size"),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    from slr207_mapreduce_spark.operators.similarity import (
+        COSINE_SQL,
+        ivf_train_sql_ctes,
+    )
+
+    ctes = ",\n    ".join(ivf_train_sql_ctes())
+    cos = COSINE_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH {ctes},
+    cells AS (SELECT vec_id, cidx FROM assign2 WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {cos} >= {_SEMDEDUP_TAU}
+    )
+    SELECT c.vec_id, c.cidx,
+           (d.vec_id IS NULL) AS kept
+    FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup that clusters the "
+    "embeddings with the trained fixed-point k-means and compares "
+    f"cosine ONLY within each cell — a doc drops iff a smaller-id "
+    f"in-cell neighbor sits at cosine >= {_SEMDEDUP_TAU} (deterministic "
+    "min-id keep rule, no transitive closure needed). The cell scoping "
+    "is the scale story: pair volume falls from O(N^2) to "
+    "sum-of-cell-squares, and with k = isqrt(N) cells the expected cell "
+    "is sqrt(N) docs, so pair work is ~N^1.5 with uniform cells — on "
+    "clustered real corpora far less, because the near-dups this op "
+    "exists to find are exactly what k-means co-locates. Training, "
+    "assignment, AND the keep verdicts replay in the oracle. "
+    "Complements dedup_semantic_clusters (global sign-bit-bucket pairs "
+    "+ closure): SemDeDup trades recall ACROSS cell boundaries for "
+    "bounded per-cell work at 100 TB.",
+    tags=("dedup", "similarity", "pipeline"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        _np_assign_cells,
+        _np_seq_self_dot,
+        cosine,
+        ivf_train_centroids,
+        norm_f64,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cidx, cint = ivf_train_centroids(e)
+    cmat = cint.astype(np.float64) * 1e-6
+    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
+
+    # The kernel carries the (double-cast) vector THROUGH the assignment,
+    # so the within-cell pair join needs no re-join back to the table —
+    # 3 embeddings scans total (cells x2 for the self-join + the verdict
+    # leg), within the sweep's default budget. At 100 TB the cells frame
+    # is what you'd materialize bucketed by cidx anyway.
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(cidx) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            best = _np_assign_cells(vmat, cmat, cnorm)
+            yield pd.DataFrame(
+                {"vec_id": vid, "cidx": cidx[best], "v": list(pdf["v"])}
+            )
+
+    nrm = norm_f64(F.col("v"))
+    cells = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .where((nrm > 0) & (nrm < F.lit(float("inf"))))
+        .mapInPandas(assign, schema="vec_id long, cidx long, v array<double>")
+    )
+    a = cells.select(F.col("vec_id").alias("va"), "cidx", F.col("v").alias("emb_a"))
+    b = cells.select(
+        F.col("vec_id").alias("vb"), F.col("cidx").alias("cidx_b"), F.col("v").alias("emb_b")
+    )
+    dropped = (
+        a.join(b, (F.col("cidx") == F.col("cidx_b")) & (F.col("va") < F.col("vb")))
+        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(_SEMDEDUP_TAU))
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cidx",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Count-min epsilon-delta certification (r11 VERDICT item 7)
 # --------------------------------------------------------------------------
 #

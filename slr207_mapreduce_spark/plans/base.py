@@ -98,6 +98,8 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "join_salted",
     "events_sessionization",
     # --- new this round (never adjudicated; stalest by definition) ---
+    "dedup_semantic_semdedup",
+    "embedding_kmeans_train",
     "estimator_countmin_bounds",
     "pipeline_crossmodal_dedup",
     # --- the r05 tail displaced by the r11 additions ---
@@ -142,13 +144,11 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "window_count_distinct_frame",
     "window_numeric_range_frame",
     "window_share_of_total",
-    # --- the head of the r07 block fills the remaining slots ---
+    # --- the head of the r07 block fills the remaining slot ---
     "agg_bitmap_distinct",
-    "agg_bitwise_bool",
-    "agg_count_min_frequency",
-    # (the r12 additions displaced agg_exact_percentiles and
-    # agg_filter_clause; they and the rest of the r07 block —
-    # agg_grouping_sets onward — lead the r13 backlog)
+    # (the r12 additions displaced agg_bitwise_bool through
+    # agg_filter_clause; they and the rest of the r07 block lead the
+    # r13 backlog)
 )
 
 

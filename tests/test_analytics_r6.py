@@ -89,6 +89,80 @@ def test_countmin_bounds_certificate_is_live(spark):
     assert rows["countmin:d3w64"]["exact_value"] <= rows["countmin:d2w64"]["exact_value"]
 
 
+def test_kmeans_train_query_matches_operator_and_partitions(spark):
+    """embedding_kmeans_train emits exactly the operator's trained grid
+    components (the registered query IS the fit, not a re-derivation),
+    cell sizes sum to the valid corpus, and k follows the bounded-k
+    formula."""
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        auto_ivf_centroids,
+        ivf_train_centroids,
+    )
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    n = e.count()
+    cidx, cint = ivf_train_centroids(e)
+    out = all_queries()["embedding_kmeans_train"].build(spark, SF_SMOKE).collect()
+    got = {(r["cidx"], r["dim"]): r["component_e6"] for r in out}
+    assert len(got) == len(cidx) * cint.shape[1]
+    for i, c in enumerate(cidx):
+        for d in range(cint.shape[1]):
+            assert got[(int(c), d + 1)] == int(cint[i, d])
+    # one size per cell (repeated across its dim rows); cells partition
+    # the valid corpus
+    sizes = {r["cidx"]: r["cell_size"] for r in out}
+    assert sum(sizes.values()) == n
+    assert len(cidx) == auto_ivf_centroids(n)
+    assert np.all(np.abs(cint) < 10**7)
+
+
+def test_semdedup_drops_minority_within_cells_only(spark):
+    """SemDeDup semantics: a minority of docs drop (live counter), every
+    doc appears exactly once, and a dropped doc always has a smaller-id
+    neighbor in ITS OWN cell at cosine >= tau (spot-verified on the
+    smallest cells)."""
+    from slr207_mapreduce_spark.plans.analytics_r6 import _SEMDEDUP_TAU
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    n = e.count()
+    out = all_queries()["dedup_semantic_semdedup"].build(spark, SF_SMOKE).collect()
+    assert len(out) == n and len({r["vec_id"] for r in out}) == n
+    dropped = [r for r in out if not r["kept"]]
+    assert 0 < len(dropped) < n // 2, f"{len(dropped)}/{n} dropped"
+
+    # spot verify: recompute cosine for dropped docs in one small cell
+    import numpy as np
+
+    cell = dropped[0]["cidx"]
+    members = sorted(r["vec_id"] for r in out if r["cidx"] == cell)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in e.where(F.col("vec_id").isin(members)).collect()
+    }
+
+    def cos(a, b):
+        return float(
+            np.dot(vecs[a], vecs[b])
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+
+    for r in out:
+        if r["cidx"] != cell:
+            continue
+        has_smaller_neighbor = any(
+            cos(m, r["vec_id"]) >= _SEMDEDUP_TAU - 1e-9
+            for m in members
+            if m < r["vec_id"]
+        )
+        assert (not r["kept"]) == has_smaller_neighbor, r
+
+
 def test_countmin_streaming_defaults_track_shared_geometry():
     """streaming_countmin_counters' default geometry comes from the shared
     constants (r11 ADVICE item 2) — a one-sided batch change now breaks
