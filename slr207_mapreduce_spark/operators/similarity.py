@@ -1170,6 +1170,202 @@ _L2SQ_FP_SQL = (
 )
 
 
+def _np_d2_int(a, b):
+    """Pairwise floor(((aa - 2ab) + bb) * 1e9) as int64 — the numpy twin
+    of ``_L2SQ_FP_SQL``, with every dot accumulated dimension-sequentially
+    (== the aggregate() fold / DuckDB list_dot_product, bitwise).
+    a: (n, d), b: (k, d) -> (n, k)."""
+    import numpy as np
+
+    ab = np.zeros((a.shape[0], b.shape[0]))
+    for j in range(a.shape[1]):
+        ab += a[:, j : j + 1] * b.T[j : j + 1, :]
+    aa = _np_seq_self_dot(a)
+    bb = _np_seq_self_dot(b)
+    return np.floor(((aa[:, None] - 2.0 * ab) + bb[None, :]) * 1e9).astype(np.int64)
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-subspace trained PQ codebooks — the knn_ivf fixed-point Lloyd's
+    recipe applied under the PQ metric (r12; the seeded first-ksub-rows
+    codebook's docstring said trained centroids "swap in without changing
+    the plan" — this is that swap, still DuckDB-replayable end to end).
+
+    One seed ranking (portable_hash64(vec_id), vec_id — the ksub top rows)
+    initializes EVERY subspace with its slice of the same rows; each of
+    ``iters`` rounds assigns every corpus sub-vector to its argmin
+    nano-int L2 centroid (``_np_d2_int`` == ``_L2SQ_FP_SQL``, smallest-
+    cidx tie-break) and moves each centroid to its cell's grid-snapped
+    integer mean (exact BIGINT sums, truncating division). Empty cells
+    keep their previous centroid; all-zero means are VALID here (L2 has
+    no zero-norm singularity), so there is no all-zero keep rule.
+
+    All m subspaces train in the SAME corpus pass per iteration (one
+    Arrow-batched ``mapInPandas`` emitting ≤ m·ksub partial-sum rows per
+    batch), so training costs ``iters`` corpus scans total regardless of
+    m.
+
+    Returns ``(cidx, cint)``: (ksub,) int64 cell ids 1..ksub and
+    (m, ksub, sub_dim) int64 grid-scaled components.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from slr207_mapreduce_spark.functions.portable import portable_hash64
+
+    seed_rows = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            portable_hash64(F.col(id_col).cast("string"), seed).alias("h"),
+        )
+        .orderBy("h", "vid")
+        .limit(ksub)
+        .collect()
+    )
+    if not seed_rows:
+        return np.zeros(0, dtype=np.int64), np.zeros((m, 0, sub_dim), dtype=np.int64)
+    smat = np.asarray([r.v for r in seed_rows], dtype=np.float64)
+    kc = len(seed_rows)
+    cidx = np.arange(1, kc + 1, dtype=np.int64)
+    cint = np.stack(
+        [
+            np.floor(smat[:, s * sub_dim : (s + 1) * sub_dim] * 1e6).astype(np.int64)
+            for s in range(m)
+        ]
+    )  # (m, kc, sub_dim)
+
+    for _ in range(iters):
+        cmats = cint.astype(np.float64) * 1e-6
+
+        def partial_sums(batches, cmats=cmats):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                out_s, out_c, out_n, out_sum = [], [], [], []
+                for s in range(m):
+                    sub = vmat[:, s * sub_dim : (s + 1) * sub_dim]
+                    # argmin first-min rule IS the (d2 ASC, cidx ASC) order
+                    best = np.argmin(_np_d2_int(sub, cmats[s]), axis=1)
+                    vi = np.floor(sub * 1e6).astype(np.int64)
+                    for c in np.unique(best):
+                        sel = best == c
+                        out_s.append(s)
+                        out_c.append(int(c) + 1)
+                        out_n.append(int(sel.sum()))
+                        out_sum.append(vi[sel].sum(axis=0, dtype=np.int64))
+                yield pd.DataFrame(
+                    {"s": out_s, "cidx": out_c, "n": out_n, "sm": out_sum}
+                )
+
+        parts = (
+            corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .mapInPandas(partial_sums, schema="s long, cidx long, n long, sm array<long>")
+            .collect()
+        )
+        sums = np.zeros((m, kc, sub_dim), dtype=np.int64)
+        counts = np.zeros((m, kc), dtype=np.int64)
+        for r in parts:
+            sums[r.s, r.cidx - 1] += np.asarray(r.sm, dtype=np.int64)
+            counts[r.s, r.cidx - 1] += r.n
+        nz = counts > 0
+        newc = cint.copy()
+        s_, c_ = sums[nz], counts[nz][:, None]
+        # DuckDB // truncates toward zero; numpy // floors — mirror trunc.
+        newc[nz] = np.where(s_ >= 0, s_ // c_, -((-s_) // c_))
+        cint = newc
+    return cidx, cint
+
+
+def pq_train_sql_ctes(
+    m: int, sub_dim: int, ksub: int, iters: int = 2, seed: int = 7
+) -> list[str]:
+    """DuckDB CTE chain replaying :func:`pq_train_codebooks` exactly,
+    ending with ``cents (s, cid, cvec)`` — drop-in for knn_pq_adc_sql's
+    seeded-codebook ``cents`` CTE."""
+    from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
+
+    h_sql = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed)
+    slice_expr = (
+        "list_slice(CAST(embedding AS DOUBLE[]), s * {sd} + 1, s * {sd} + {sd})"
+    ).format(sd=sub_dim)
+    cd = "list_transform(c.ci, cx -> CAST(cx AS DOUBLE) * 1e-6)"
+    d2 = _L2SQ_FP_SQL.format(a="b.sub", b=cd)
+    ctes = [
+        f"subspaces AS (SELECT unnest(range(0, {m})) AS s)",
+        f"""pqseed AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY {h_sql}, vec_id) AS cidx
+      FROM embeddings
+    )""",
+        f"""pqbase AS (
+      SELECT vec_id, s, {slice_expr} AS sub
+      FROM embeddings CROSS JOIN subspaces
+    )""",
+        f"""pqcent0 AS (
+      SELECT b.s, p.cidx,
+             list_transform(b.sub, x -> CAST(floor(x * 1e6) AS BIGINT)) AS ci
+      FROM pqseed p JOIN pqbase b ON b.vec_id = p.vec_id
+      WHERE p.cidx <= {ksub}
+    )""",
+        f"""pqcomps AS (
+      SELECT vec_id, s, unnest(range(1, {sub_dim} + 1)) AS dim,
+             CAST(floor(unnest(sub) * 1e6) AS BIGINT) AS xi
+      FROM pqbase
+    )""",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""pqassign{t} AS (
+      SELECT b.vec_id, b.s, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s
+                                ORDER BY {d2} ASC,
+                                         c.cidx ASC) AS rn
+      FROM pqbase b JOIN pqcent{t} c ON c.s = b.s
+    )"""
+        )
+        ctes.append(
+            f"""pqsums{t} AS (
+      SELECT a.s, a.cidx, mm.dim, CAST(SUM(mm.xi) AS BIGINT) AS sm,
+             COUNT(*) AS nrow
+      FROM (SELECT vec_id, s, cidx FROM pqassign{t} WHERE rn = 1) a
+      JOIN pqcomps mm ON mm.vec_id = a.vec_id AND mm.s = a.s
+      GROUP BY a.s, a.cidx, mm.dim
+    )"""
+        )
+        ctes.append(
+            f"""pqupd{t} AS (
+      SELECT s, cidx, list(sm // nrow ORDER BY dim) AS nc
+      FROM pqsums{t} GROUP BY s, cidx
+    )"""
+        )
+        ctes.append(
+            f"""pqcent{t + 1} AS (
+      SELECT c.s, c.cidx,
+             CASE WHEN u.nc IS NOT NULL THEN u.nc ELSE c.ci END AS ci
+      FROM pqcent{t} c LEFT JOIN pqupd{t} u
+        ON u.s = c.s AND u.cidx = c.cidx
+    )"""
+        )
+    ctes.append(
+        f"""cents AS (
+      SELECT s, cidx AS cid,
+             list_transform(ci, cx -> CAST(cx AS DOUBLE) * 1e-6) AS cvec
+      FROM pqcent{iters}
+    )"""
+    )
+    return ctes
+
+
 def knn_pq_adc(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1180,17 +1376,28 @@ def knn_pq_adc(
     rerank: int | str = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
+    seed: int = 7,
 ) -> DataFrame:
     """ANN top-k via product quantization + asymmetric distance (ADC).
 
     The FAISS-IndexPQ pipeline as a declarative plan:
 
     1. **Codebook**: the vector space is cut into ``m`` subspaces of
-       ``sub_dim`` dims; each subspace gets ``ksub`` centroids. Centroids
-       are the sub-vectors of the first ``ksub`` corpus ids — a seeded
-       codebook; knn_ivf's coarse quantizer showed trained fixed-point
-       k-means IS oracle-checkable (r12), and the same Lloyd's recipe
-       would swap in here per-subspace without changing the plan.
+       ``sub_dim`` dims; each subspace gets ``ksub`` centroids. With
+       ``train_iters=0`` centroids are the sub-vectors of the first
+       ``ksub`` corpus ids (the seeded codebook); with ``train_iters>0``
+       they are TRAINED per-subspace by :func:`pq_train_codebooks` — the
+       knn_ivf fixed-point Lloyd's recipe under the PQ nano-int L2
+       metric, still DuckDB-replayable end to end (r12). Measured
+       honestly: on THIS corpus the seeded codebook wins (recall 0.46 vs
+       0.34 at sf0.01, 0.84 vs 0.80 at sf0.1, both 1.0 at sf1) — on
+       shell-distributed noise, Lloyd means regress toward the origin
+       and the collapsed centroids discriminate WORSE than actual data
+       points, the classic k-means-on-uniform-data failure. The
+       registered query therefore stays seeded; the trained path exists
+       (bit-exact parity pinned) for clustered real-world corpora, where
+       sub-vector distributions have structure for the cells to track.
     2. **Encode** (offline at scale): each corpus vector becomes m small
        codes — argmin centroid per subspace via MIN over struct(dist,
        cid), a plain aggregation with full map-side combine (the corpus
@@ -1238,9 +1445,18 @@ def knn_pq_adc(
         order = np.argsort(ids, kind="stable")
         return ids[order], mat[order]
 
-    cent_ids, cent_mat = _collect_mat(corpus.where(F.col(id_col) < ksub))
     qids, qmat = _collect_mat(queries)
     nq = len(qids)
+
+    if train_iters > 0:
+        _, pq_cint = pq_train_codebooks(
+            corpus, m=m, sub_dim=sub_dim, ksub=ksub, iters=train_iters,
+            seed=seed, id_col=id_col, vec_col=vec_col,
+        )
+        cent_subs = [pq_cint[s].astype("float64") * 1e-6 for s in range(m)]
+    else:
+        _cent_ids, cent_mat = _collect_mat(corpus.where(F.col(id_col) < ksub))
+        cent_subs = None  # sliced lazily below (keeps the seeded path intact)
 
     def _seq_dots(a, b):
         """Pairwise dots with dimension-sequential accumulation (== the
@@ -1268,10 +1484,13 @@ def knn_pq_adc(
             np.int64
         )
 
+    def _csub(s):
+        return cent_subs[s] if cent_subs is not None else _sub(cent_mat, s)
+
     # LUT[q, s, cid]: integer subspace distances, queries vs centroids.
     lut = np.stack(
-        [_d2_int(_sub(qmat, s), _sub(cent_mat, s)) for s in range(m)], axis=1
-    ) if nq else np.zeros((0, m, len(cent_ids)), dtype=np.int64)
+        [_d2_int(_sub(qmat, s), _csub(s)) for s in range(m)], axis=1
+    ) if nq else np.zeros((0, m, _csub(0).shape[0]), dtype=np.int64)
 
     def adc_batches(batches):
         for pdf in batches:
@@ -1281,7 +1500,7 @@ def knn_pq_adc(
             vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
             approx = np.zeros((len(nid), nq), dtype=np.int64)
             for s in range(m):
-                d2 = _d2_int(_sub(vmat, s), _sub(cent_mat, s))
+                d2 = _d2_int(_sub(vmat, s), _csub(s))
                 # centroids are cid-ascending, so argmin's first-min rule
                 # IS the struct-min (d2, cid) smallest-cid tie-break
                 code = np.argmin(d2, axis=1)
@@ -1333,24 +1552,40 @@ def knn_pq_adc(
 
 
 def knn_pq_adc_sql(
-    k: int, m: int, sub_dim: int, ksub: int, rerank: int | str, query_pred: str
+    k: int,
+    m: int,
+    sub_dim: int,
+    ksub: int,
+    rerank: int | str,
+    query_pred: str,
+    train_iters: int = 0,
+    seed: int = 7,
 ) -> str:
-    """DuckDB mirror of :func:`knn_pq_adc` (same codes, same bits)."""
+    """DuckDB mirror of :func:`knn_pq_adc` (same codes, same bits). With
+    ``train_iters>0`` the ``cents`` CTE is the full per-subspace Lloyd's
+    replay from :func:`pq_train_sql_ctes` — codebook drift anywhere in
+    training becomes a driver hash mismatch."""
     if rerank == "auto":
         d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
         rerank = f"(SELECT 20 + 65 * ({d_sql}))"
     slice_expr = (
         "list_slice(CAST(embedding AS DOUBLE[]), s * {sd} + 1, s * {sd} + {sd})"
     ).format(sd=sub_dim)
+    if train_iters > 0:
+        head = ",\n    ".join(
+            pq_train_sql_ctes(m=m, sub_dim=sub_dim, ksub=ksub, iters=train_iters, seed=seed)
+        )
+    else:
+        head = f"""subspaces AS (SELECT unnest(range(0, {m})) AS s),
+    cents AS (
+      SELECT vec_id AS cid, s, {slice_expr} AS cvec
+      FROM embeddings CROSS JOIN subspaces WHERE vec_id < {ksub}
+    )"""
     d2 = _L2SQ_FP_SQL.format(a="d.dvec", b="c.cvec")
     qd2 = _L2SQ_FP_SQL.format(a="q.qvec", b="c.cvec")
     cos = COSINE_SQL.format(a="qv.embedding", b="cv.embedding")
     return f"""
-    WITH subspaces AS (SELECT unnest(range(0, {m})) AS s),
-    cents AS (
-      SELECT vec_id AS cid, s, {slice_expr} AS cvec
-      FROM embeddings CROSS JOIN subspaces WHERE vec_id < {ksub}
-    ),
+    WITH {head},
     docsub AS (
       SELECT vec_id AS doc_id, s, {slice_expr} AS dvec
       FROM embeddings CROSS JOIN subspaces

@@ -163,6 +163,59 @@ def test_semdedup_drops_minority_within_cells_only(spark):
         assert (not r["kept"]) == has_smaller_neighbor, r
 
 
+def test_pq_trained_codebooks_parity_and_determinism(spark):
+    """The trained PQ codebook path (pq_train_codebooks, r12) must be
+    bit-exact against its DuckDB replay and deterministic across runs —
+    the capability contract for clustered corpora, even though the
+    REGISTERED query stays seeded (measured: Lloyd means collapse toward
+    the origin on this shell-distributed fixture and recall drops 0.46 →
+    0.34 at sf0.01 — see the knn_pq_adc docstring)."""
+    import duckdb
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        knn_pq_adc,
+        knn_pq_adc_sql,
+        pq_train_codebooks,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    cidx, cint = pq_train_codebooks(e, m=8, sub_dim=8, ksub=16, iters=2)
+    cidx2, cint2 = pq_train_codebooks(e, m=8, sub_dim=8, ksub=16, iters=2)
+    assert np.array_equal(cint, cint2) and np.array_equal(cidx, cidx2)
+    assert cint.shape == (8, 16, 8)
+    assert (np.abs(cint) < 10**7).all()
+
+    sp = (
+        knn_pq_adc(
+            e, e.where(F.col("vec_id") < 5), k=3, rerank=20, train_iters=2
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    du = (
+        con.execute(
+            knn_pq_adc_sql(
+                k=3, m=8, sub_dim=8, ksub=16, rerank=20,
+                query_pred="{col} < 5", train_iters=2,
+            )
+        )
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert sp.shape == du.shape
+    assert (sp["neighbor_id"].values == du["neighbor_id"].values).all()
+    assert (sp["cos_sim"].values == du["cos_sim"].values).all()
+
+
 def test_countmin_streaming_defaults_track_shared_geometry():
     """streaming_countmin_counters' default geometry comes from the shared
     constants (r11 ADVICE item 2) — a one-sided batch change now breaks
