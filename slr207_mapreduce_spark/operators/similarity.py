@@ -593,6 +593,17 @@ def knn_lsh_bucketed_sql(
     """
 
 
+# Training-sample multiplier: Lloyd's iterates over the first
+# IVF_TRAIN_SAMPLE_MULT * k corpus vectors under the seeded md5 ranking
+# (a uniform deterministic sample), NOT the whole corpus — the FAISS
+# train-on-a-sample discipline. With k <= 256 the sample is <= 16,384
+# vectors (~8 MiB at d=64), so training cost is INDEPENDENT of corpus
+# size by construction: one bounded top-k collect + driver-side numpy.
+# Corpora at or below the sample size train on everything (sf0.01 and
+# sf0.1 are bit-identical to full-corpus training).
+IVF_TRAIN_SAMPLE_MULT = 64
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     n_centroids: int | str = "auto",
@@ -609,12 +620,16 @@ def ivf_train_centroids(
 
     - **k** = min(256, max(4, isqrt(N))) — genuinely O(sqrt N) with a hard
       256-cell ceiling, so the centroid set is bounded at ANY corpus size.
-    - **init**: the k corpus vectors ranked first by
+    - **init + sample**: rank the valid corpus by
       (portable_hash64(vec_id), vec_id) — a seeded md5 shuffle both engines
-      compute bit-identically; cell index ``cidx`` (1..k) is that rank and
-      is stable across iterations.
-    - **iterate** ``iters`` times: assign every valid corpus vector to its
-      max-cosine centroid (smallest-cidx tie-break), then move each
+      compute bit-identically. The first k rows initialize the centroids
+      (cell index ``cidx`` = that rank, stable across iterations); the
+      first ``IVF_TRAIN_SAMPLE_MULT · k`` rows are the TRAINING SAMPLE
+      (≤ 16,384 vectors at the 256-cell ceiling — collected once, ~8 MiB),
+      so Lloyd's runs driver-side in numpy and training cost is
+      independent of corpus size, the FAISS train-on-a-sample discipline.
+    - **iterate** ``iters`` times over the sample: assign each vector to
+      its max-cosine centroid (smallest-cidx tie-break), then move each
       centroid to its cell's component-wise mean SNAPPED to the 1e-6
       fixed-point grid — scaled components floor(x·1e6) are exact BIGINTs,
       their per-cell SUM and COUNT are exact, and the mean is the
@@ -623,27 +638,26 @@ def ivf_train_centroids(
       cells whose snapped mean is the all-zero vector keep their previous
       centroid, so every centroid always has norm > 0.
 
-    Every step is an aggregation DuckDB replays verbatim (argmin-join +
-    SUM/COUNT + integer division), so the whole trained quantizer — not
-    just its output — is oracle-checkable.
+    Every step is an aggregation DuckDB replays verbatim (the sample is a
+    CTE over the same seeded ranking; argmin-join + SUM/COUNT + integer
+    division), so the whole trained quantizer — not just its output — is
+    oracle-checkable.
 
     Zero-norm / non-finite corpus vectors are EXCLUDED from training (and,
     in :func:`knn_ivf`, from the inverted lists): their cosine is
     undefined, and the family contract is exclusion-by-construction rather
     than engine NaN ordering (r07 ADVICE).
 
-    Scale shape: each iteration is one Arrow-batched ``mapInPandas`` pass
-    over the corpus emitting ≤ k partial-sum rows per batch (collected:
-    O(partitions · k) driver rows, never vectors), so training is
-    ``iters + 1`` corpus scans with no shuffle — the same cost profile as
-    any k-means fit; a real deployment trains once and caches the k × d
-    integer table (≤ 256 × d ≈ 128 KiB).
+    Scale shape: training = ONE bounded TakeOrdered collect (the ranked
+    sample) + pure numpy; the only corpus-sized work the quantizer ever
+    asks for is the final assignment pass its consumers run. A real
+    deployment trains once and caches the k × d integer table (≤ 256 × d
+    ≈ 128 KiB).
 
     Returns ``(cidx, cint)``: int64 arrays of shape (k,) and (k, d) — cell
     ids 1..k and grid-scaled centroid components (value = cint · 1e-6).
     """
     import numpy as np
-    import pandas as pd
 
     from slr207_mapreduce_spark.functions.portable import portable_hash64
 
@@ -664,18 +678,18 @@ def ivf_train_centroids(
         .where((nrm > 0) & (nrm < F.lit(float("inf"))))
     )
 
-    seed_rows = (
+    sample_rows = (
         valid.select(
             "vid", "v", portable_hash64(F.col("vid").cast("string"), seed).alias("h")
         )
         .orderBy("h", "vid")
-        .limit(kc)
+        .limit(IVF_TRAIN_SAMPLE_MULT * kc)
         .collect()
     )
-    if not seed_rows:
+    if not sample_rows:
         return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.int64)
-    smat = np.asarray([r.v for r in seed_rows], dtype=np.float64)
-    cint = np.floor(smat * 1e6).astype(np.int64)
+    tmat = np.asarray([r.v for r in sample_rows], dtype=np.float64)
+    cint = np.floor(tmat[:kc] * 1e6).astype(np.int64)
     if not (cint != 0).any(axis=1).all():
         # A valid (norm > 0) vector whose every component floors to zero on
         # the 1e-6 grid — degenerate for a grid quantizer; fail loudly
@@ -686,41 +700,15 @@ def ivf_train_centroids(
         )
     kc = len(cint)  # fewer valid vectors than requested cells
     cidx = np.arange(1, kc + 1, dtype=np.int64)
-    d = cint.shape[1]
+    ti = np.floor(tmat * 1e6).astype(np.int64)
 
     for _ in range(iters):
         cmat = cint.astype(np.float64) * 1e-6
         cnorm = np.sqrt(_np_seq_self_dot(cmat))
-
-        def partial_sums(batches, cmat=cmat, cnorm=cnorm):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-                best = _np_assign_cells(vmat, cmat, cnorm)
-                vi = np.floor(vmat * 1e6).astype(np.int64)
-                present = np.unique(best)
-                yield pd.DataFrame(
-                    {
-                        "cidx": present + 1,
-                        "n": np.asarray(
-                            [(best == c).sum() for c in present], dtype=np.int64
-                        ),
-                        "s": [
-                            vi[best == c].sum(axis=0, dtype=np.int64)
-                            for c in present
-                        ],
-                    }
-                )
-
-        partials = valid.select("v").mapInPandas(
-            partial_sums, schema="cidx long, n long, s array<long>"
-        ).collect()
-        sums = np.zeros((kc, d), dtype=np.int64)
-        counts = np.zeros(kc, dtype=np.int64)
-        for r in partials:
-            sums[r.cidx - 1] += np.asarray(r.s, dtype=np.int64)
-            counts[r.cidx - 1] += r.n
+        best = _np_assign_cells(tmat, cmat, cnorm)
+        sums = np.zeros((kc, ti.shape[1]), dtype=np.int64)
+        counts = np.bincount(best, minlength=kc).astype(np.int64)
+        np.add.at(sums, best, ti)
         nz = counts > 0
         newc = cint.copy()
         s, c = sums[nz], counts[nz, None]
@@ -791,10 +779,11 @@ def knn_ivf(
     broadcast; assignment is one Arrow-batched ``mapInPandas`` over the
     corpus (no shuffle); the lists would be written bucketed by cell id so
     a probe reads only nprobe/k of the corpus (partition pruning), and the
-    candidate join shuffles candidates, never N×Q. Training adds
-    ``iters + 1`` corpus scans emitting O(partitions · k) partial-sum rows
-    — at 100 TB you train once, cache the 128 KiB centroid table, and
-    amortize it over every query batch.
+    candidate join shuffles candidates, never N×Q. Training costs one
+    bounded TakeOrdered collect (the ≤ 16,384-vector seeded sample) plus
+    driver-side numpy — independent of corpus size; at 100 TB you train
+    once, cache the 128 KiB centroid table, and amortize it over every
+    query batch.
 
     Probe kernel (r09): the query side is collected once (bounded by
     ``max_queries``, reject-don't-truncate — the same contract as
@@ -916,10 +905,13 @@ def ivf_train_sql_ctes(
     """The trained quantizer's DuckDB CTE chain, shared by every query
     that reuses the fixed-point Lloyd's (knn_ivf, embedding_kmeans_train,
     dedup_semantic_semdedup): ``valid`` (zero-norm/non-finite exclusion),
-    ``seeded``/``cent0`` (md5 init), ``comps`` (grid-scaled components),
-    ``assign{t}``/``sums{t}``/``upd{t}``/``cent{t+1}`` per iteration —
-    ending with the final centroids ``cent{iters}`` and the final
-    assignment ranking ``assign{iters}`` (rn = 1 rows are the cells)."""
+    ``seeded``/``cent0`` (md5 init), ``train`` (the bounded
+    ``IVF_TRAIN_SAMPLE_MULT · k`` seeded-rank sample Lloyd's iterates
+    over), ``tcomps`` (the sample's grid-scaled components),
+    ``assign{t}``/``sums{t}``/``upd{t}``/``cent{t+1}`` per training
+    iteration — ending with the final centroids ``cent{iters}`` and the
+    FULL-corpus assignment ranking ``assign{iters}`` (rn = 1 rows are the
+    cells)."""
     from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
 
     kc_sql = (
@@ -930,6 +922,7 @@ def ivf_train_sql_ctes(
     h_sql = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed)
     nrm = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
     cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
+    cos_t = COSINE_SQL.format(a="t.e", b=IVF_CENT_DBL_SQL)
     ctes = [
         f"""valid AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -937,36 +930,37 @@ def ivf_train_sql_ctes(
       WHERE {nrm} > 0 AND isfinite({nrm})
     )""",
         f"""seeded AS (
-      SELECT e, ROW_NUMBER() OVER (ORDER BY {h_sql}, vec_id) AS cidx
+      SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY {h_sql}, vec_id) AS cidx
       FROM valid
     )""",
         f"""cent0 AS (
       SELECT cidx, list_transform(e, x -> CAST(floor(x * 1e6) AS BIGINT)) AS ci
       FROM seeded WHERE cidx <= ({kc_sql})
     )""",
-        """comps AS (
+        f"""train AS (
+      SELECT vec_id, e FROM seeded WHERE cidx <= {IVF_TRAIN_SAMPLE_MULT} * ({kc_sql})
+    )""",
+        """tcomps AS (
       SELECT vec_id, unnest(range(1, len(e) + 1)) AS dim,
              CAST(floor(unnest(e) * 1e6) AS BIGINT) AS xi
-      FROM valid
+      FROM train
     )""",
     ]
-    for t in range(iters + 1):
+    for t in range(iters):
         ctes.append(
             f"""assign{t} AS (
-      SELECT v.vec_id, c.cidx,
-             ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                ORDER BY {cos_v} DESC,
+      SELECT t.vec_id, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                ORDER BY {cos_t} DESC,
                                          c.cidx ASC) AS rn
-      FROM valid v CROSS JOIN cent{t} c
+      FROM train t CROSS JOIN cent{t} c
     )"""
         )
-        if t == iters:
-            break
         ctes.append(
             f"""sums{t} AS (
       SELECT a.cidx, m.dim, CAST(SUM(m.xi) AS BIGINT) AS s, COUNT(*) AS nrow
       FROM (SELECT vec_id, cidx FROM assign{t} WHERE rn = 1) a
-      JOIN comps m ON a.vec_id = m.vec_id
+      JOIN tcomps m ON a.vec_id = m.vec_id
       GROUP BY a.cidx, m.dim
     )"""
         )
@@ -985,6 +979,17 @@ def ivf_train_sql_ctes(
       FROM cent{t} c LEFT JOIN upd{t} u ON c.cidx = u.cidx
     )"""
         )
+    # Final assignment: the FULL valid corpus against the trained
+    # centroids (training sampled; the inverted lists never do).
+    ctes.append(
+        f"""assign{iters} AS (
+      SELECT v.vec_id, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_v} DESC,
+                                         c.cidx ASC) AS rn
+      FROM valid v CROSS JOIN cent{iters} c
+    )"""
+    )
     return ctes
 
 

@@ -157,9 +157,10 @@ def _kmeans_train_oracle() -> str:
     "sums and truncating divisions, the empty/all-zero keep rules — so "
     "this is a hash-checkable distributed k-means, the centroid table a "
     "100 TB pipeline trains once and broadcasts everywhere "
-    "(operators/similarity.py:ivf_train_centroids; each iteration is one "
-    "Arrow-batched corpus pass emitting O(partitions*k) partial-sum "
-    "rows, no shuffle).",
+    "(operators/similarity.py:ivf_train_centroids; training iterates over "
+    "a bounded seeded sample collected once — cost independent of corpus "
+    "size — and only the final cell assignment touches the full corpus, "
+    "as one Arrow-batched shuffle-free pass).",
     tags=("similarity", "agg", "pipeline"),
 )
 def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
