@@ -58,6 +58,10 @@ CHAOS_QUERIES = (
     # (MinHash, dHash bands, cosine buckets) feeding ONE checkpointed
     # closure; retries must not desync any modality's edge set
     "pipeline_crossmodal_dedup",
+    # r12: eager driver-side k-means training (bounded TakeOrdered
+    # collect) + the within-cell pair kernel — the training collect's
+    # tasks are themselves killed once
+    "dedup_semantic_semdedup",
 )
 
 
