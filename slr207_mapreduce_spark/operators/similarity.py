@@ -201,7 +201,13 @@ def knn_bruteforce_sql(k: int, query_pred: str, corpus_pred: str = "TRUE") -> st
     side mirrors knn_bruteforce's documented zero-norm exclusion
     explicitly (r11 ADVICE item 3 — without the guard, a zero-norm row
     inside a filtered slice would ride DuckDB's NaN-greatest ordering
-    while the engine excludes it by contract)."""
+    while the engine excludes it by contract). isfinite() covers the
+    NaN-norm case too: DuckDB evaluates NaN > 0 as TRUE (NaN compares
+    greatest) where numpy's `cnorm > 0` is False — without it a
+    NaN-component corpus row would take rank 1 in the oracle while the
+    engine drops it (r12 review). Inf-norm rows produce NaN cosines the
+    engine lexsorts past every finite candidate, so excluding them here
+    keeps inclusion parity for every realizable top-k."""
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
     cnorm = (
         "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
@@ -212,7 +218,7 @@ def knn_bruteforce_sql(k: int, query_pred: str, corpus_pred: str = "TRUE") -> st
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
       FROM embeddings q, embeddings c
       WHERE ({query_pred.format(col='q.vec_id')}) AND q.vec_id <> c.vec_id
-        AND ({corpus_pred}) AND {cnorm} > 0
+        AND ({corpus_pred}) AND {cnorm} > 0 AND isfinite({cnorm})
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cos_sim,
@@ -338,7 +344,6 @@ def auto_ivf_nprobe(n_corpus: int) -> int:
 # 256-cell ceiling, so the centroid collect/broadcast is bounded by
 # construction at ANY corpus size (256 × d doubles ≈ 128 KiB at d=64).
 IVF_MAX_CENTROIDS = 256
-IVF_GRID = 1_000_000  # centroid means snap to the 1e-6 fixed-point grid
 
 
 def auto_ivf_centroids(n_corpus: int) -> int:
@@ -746,6 +751,58 @@ def _np_assign_cells(vmat, cmat, cnorm):
     return np.argmax(ccos, axis=1)
 
 
+def ivf_assign_cells(
+    corpus: DataFrame,
+    cidx,
+    cint,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Assign every valid corpus vector to its trained cell — THE shared
+    assignment stage for every trained-quantizer consumer (knn_ivf's
+    inverted lists, embedding_kmeans_train's cell sizes,
+    dedup_semantic_semdedup's cell scoping). One definition so the
+    validity predicate and the argmax tie-break cannot drift between
+    copies while they all share the same SQL training CTEs (r12 review —
+    the count-min drift class from r11 ADVICE item 2).
+
+    Zero-norm / non-finite vectors are excluded (the family contract);
+    ``carry_vec=True`` additionally carries the double-cast vector
+    through the kernel so downstream pair joins need no re-join back to
+    the table. One Arrow-batched ``mapInPandas`` over the corpus scan —
+    no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = cint.astype(np.float64) * 1e-6
+    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(cidx) == 0:
+                continue
+            vid = pdf["__id"].to_numpy(dtype=np.int64)
+            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            best = _np_assign_cells(vmat, cmat, cnorm)
+            out = {out_id: vid, "cidx": cidx[best]}
+            if carry_vec:
+                out["v"] = list(pdf["v"])
+            yield pd.DataFrame(out)
+
+    nrm = norm_f64(F.col("v"))
+    schema = f"{out_id} long, cidx long" + (", v array<double>" if carry_vec else "")
+    return (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .where((nrm > 0) & (nrm < F.lit(float("inf"))))
+        .mapInPandas(assign, schema=schema)
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -816,24 +873,8 @@ def knn_ivf(
     )
     cmat = cint.astype(np.float64) * 1e-6
     cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0 or len(cidx) == 0:
-                continue
-            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            best = _np_assign_cells(vmat, cmat, cnorm)
-            yield pd.DataFrame({"neighbor_id": nid, "cidx": cidx[best]})
-
-    nrm = norm_f64(F.col("v"))
-    cells = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .where((nrm > 0) & (nrm < F.lit(float("inf"))))
-        .mapInPandas(assign, schema="neighbor_id long, cidx long")
+    cells = ivf_assign_cells(
+        corpus, cidx, cint, id_col=id_col, vec_col=vec_col, out_id="neighbor_id"
     )
 
     qrows = queries.selectExpr(

@@ -45,7 +45,6 @@ from slr207_mapreduce_spark.operators.similarity import (
     cosine_neardup_sql,
 )
 from slr207_mapreduce_spark.plans.analytics_r5 import (
-    _PHASH_MAX_HAMMING,
     _phash_oracle,
     multimodal_phash_neardup,
 )
@@ -164,13 +163,9 @@ def _kmeans_train_oracle() -> str:
     tags=("similarity", "agg", "pipeline"),
 )
 def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np  # noqa: F401
-
     from slr207_mapreduce_spark.operators.similarity import (
-        _np_assign_cells,
-        _np_seq_self_dot,
+        ivf_assign_cells,
         ivf_train_centroids,
-        norm_f64,
     )
 
     e = load_table(spark, "embeddings", sf_dir)
@@ -182,26 +177,8 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cent_df = spark.createDataFrame(rows, "cidx long, dim long, component_e6 long")
 
-    import numpy as np
-    import pandas as pd
-
-    cmat = cint.astype(np.float64) * 1e-6
-    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0 or len(cidx) == 0:
-                continue
-            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            best = _np_assign_cells(vmat, cmat, cnorm)
-            yield pd.DataFrame({"vec_id": vid, "cidx": cidx[best]})
-
-    nrm = norm_f64(F.col("v"))
     sizes = (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .where((nrm > 0) & (nrm < F.lit(float("inf"))))
-        .mapInPandas(assign, schema="vec_id long, cidx long")
+        ivf_assign_cells(e, cidx, cint)
         .groupBy("cidx")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -261,44 +238,21 @@ def _semdedup_oracle() -> str:
     tags=("dedup", "similarity", "pipeline"),
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     from slr207_mapreduce_spark.operators.similarity import (
-        _np_assign_cells,
-        _np_seq_self_dot,
         cosine,
+        ivf_assign_cells,
         ivf_train_centroids,
-        norm_f64,
     )
 
     e = load_table(spark, "embeddings", sf_dir)
     cidx, cint = ivf_train_centroids(e)
-    cmat = cint.astype(np.float64) * 1e-6
-    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
-
-    # The kernel carries the (double-cast) vector THROUGH the assignment,
-    # so the within-cell pair join needs no re-join back to the table —
-    # 3 embeddings scans total (cells x2 for the self-join + the verdict
-    # leg), within the sweep's default budget. At 100 TB the cells frame
-    # is what you'd materialize bucketed by cidx anyway.
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0 or len(cidx) == 0:
-                continue
-            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            best = _np_assign_cells(vmat, cmat, cnorm)
-            yield pd.DataFrame(
-                {"vec_id": vid, "cidx": cidx[best], "v": list(pdf["v"])}
-            )
-
-    nrm = norm_f64(F.col("v"))
-    cells = (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .where((nrm > 0) & (nrm < F.lit(float("inf"))))
-        .mapInPandas(assign, schema="vec_id long, cidx long, v array<double>")
-    )
+    # carry_vec: the shared assignment kernel carries the double-cast
+    # vector through, so the within-cell pair join needs no re-join back
+    # to the table — 3 embeddings scans total (cells x2 for the
+    # self-join + the verdict leg), within the sweep's default budget.
+    # At 100 TB the cells frame is what you'd materialize bucketed by
+    # cidx anyway.
+    cells = ivf_assign_cells(e, cidx, cint, carry_vec=True)
     a = cells.select(F.col("vec_id").alias("va"), "cidx", F.col("v").alias("emb_a"))
     b = cells.select(
         F.col("vec_id").alias("vb"), F.col("cidx").alias("cidx_b"), F.col("v").alias("emb_b")

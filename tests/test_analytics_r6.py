@@ -152,15 +152,23 @@ def test_semdedup_drops_minority_within_cells_only(spark):
             / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
         )
 
+    # np.dot accumulates in a different order than the engine's
+    # sequential fold, so a pair whose true cosine sits within float
+    # noise of tau could disagree — skip those rows instead of asserting
+    # through the noise band (r12 review; the exact verdicts are already
+    # hash-checked against the DuckDB oracle, this is a semantics spot
+    # check)
+    checked = 0
     for r in out:
         if r["cidx"] != cell:
             continue
-        has_smaller_neighbor = any(
-            cos(m, r["vec_id"]) >= _SEMDEDUP_TAU - 1e-9
-            for m in members
-            if m < r["vec_id"]
-        )
+        smaller_cosines = [cos(m, r["vec_id"]) for m in members if m < r["vec_id"]]
+        if any(abs(c - _SEMDEDUP_TAU) < 1e-6 for c in smaller_cosines):
+            continue  # boundary pair: recompute order could flip the verdict
+        has_smaller_neighbor = any(c >= _SEMDEDUP_TAU for c in smaller_cosines)
         assert (not r["kept"]) == has_smaller_neighbor, r
+        checked += 1
+    assert checked > 0, "every row in the cell was a boundary pair"
 
 
 def test_pq_trained_codebooks_parity_and_determinism(spark):
