@@ -834,8 +834,10 @@ def knn_ivf(
 
     Scale path: centroids are ≤ 256 grid-snapped integer vectors,
     broadcast; assignment is one Arrow-batched ``mapInPandas`` over the
-    corpus (no shuffle); the lists would be written bucketed by cell id so
-    a probe reads only nprobe/k of the corpus (partition pruning), and the
+    corpus (no shuffle); lists written partitioned by cell id turn a
+    probe into PartitionFilters reading only nprobe/k of the corpus
+    (pinned by tests/test_layout_runtime.py::
+    test_ivf_lists_written_by_cell_prune_probe_scans), and the
     candidate join shuffles candidates, never N×Q. Training costs one
     bounded TakeOrdered collect (the ≤ 16,384-vector seeded sample) plus
     driver-side numpy — independent of corpus size; at 100 TB you train

@@ -19,6 +19,43 @@ def _formatted_plan(df) -> str:
     )
 
 
+def test_ivf_lists_written_by_cell_prune_probe_scans(spark, tmp_path):
+    """knn_ivf's scale claim, materialized: write the inverted lists
+    partitioned by cell id, and a probe touching nprobe cells must reach
+    the scan as PartitionFilters — reading nprobe/k of the corpus from
+    disk instead of filtering it after a full scan. At 100 TB this is
+    the difference between an ANN probe and a table scan (r12 — the
+    docstring said 'would be written bucketed'; this pins that the
+    layout actually prunes)."""
+    from slr207_mapreduce_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_train_centroids,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    cidx, cint = ivf_train_centroids(e)
+    cells = ivf_assign_cells(e, cidx, cint, carry_vec=True)
+
+    lists_path = str(tmp_path / "ivf_lists")
+    cells.write.partitionBy("cidx").parquet(lists_path)
+    lists = spark.read.parquet(lists_path)
+
+    probe_cells = [int(c) for c in cidx[:3]]  # an nprobe=3 probe set
+    probed = lists.where(F.col("cidx").isin(probe_cells))
+    plan = _formatted_plan(probed)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cidx" in pf.group(1), plan  # the probe reached the scan
+    # value sanity: exactly the probed cells' vectors are read, and the
+    # probe fraction is genuinely partial
+    want = cells.where(F.col("cidx").isin(probe_cells)).count()
+    total = cells.count()
+    assert probed.count() == want
+    assert 0 < want < total
+
+
 def test_zorder_layout_tightens_both_dims(spark, tmp_path):
     """Files written in z-order have per-file min/max spans that are narrow
     in BOTH clustered dimensions; a linear sort is narrow in its own key but
