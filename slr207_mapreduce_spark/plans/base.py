@@ -57,26 +57,24 @@ def register(
 # agg/events/udf/warehouse rotation, r08 the adjudication endgame (each
 # 50/50 green; cumulative 230/251 after r08 per VERDICT r08).
 #
-# Round 12 (this list): the third FRESHNESS rotation. Policy, pinned by
+# Round 13 (this list): the fourth FRESHNESS rotation. Policy, pinned by
 # tests/test_oracle.py::test_driver_sample_rotation: the 45 non-sentinel
 # slots are EXACTLY the 45 stalest registry names under the deterministic
 # order (last-adjudicated round, name) with never-adjudicated names
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
-# For r12 (computed by tools/rotation.py over CORRECTNESS_r01..r11) that
-# is the never-adjudicated r12 additions first (stalest by definition),
-# then the displaced r05 tail (udf_pandas_scalar_net_price,
-# udtf_positioned_words, wordcount_sequential_oracle) and the r06 block —
-# graph_* trio, events_sessionization_capped /
-# events_overlap_join_bucketed, agg_histogram_equidepth, the q4-q22
-# TPC-H names, scalar_*, stats_*, window frame names — in tie-break
-# order, filling the remaining slots from the r07 block.
+# For r13 (computed by tools/rotation.py over CORRECTNESS_r01..r12) that
+# is any never-adjudicated r13 additions first (stalest by definition),
+# then the r07 adjudication block — the setop-era agg_* names, asof_*,
+# the events batch analogues, pipeline curation names, scalar/math
+# variants, pivot/scd2/unpivot, udf_map_in_arrow and the udtf pair —
+# with the head of the r08 block filling the remaining slots.
 #
 # WINDOW_ROUND declares which round this window serves; the rotation test
 # computes the expected window from artifacts of rounds < WINDOW_ROUND, so
 # the driver landing CORRECTNESS_r{WINDOW_ROUND}.json after the final
 # commit does not redden a finished tree (r10 VERDICT item 1).
-WINDOW_ROUND: int = 12
+WINDOW_ROUND: int = 13
 #
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
@@ -86,69 +84,65 @@ WINDOW_ROUND: int = 12
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = ()
 
-# Every name in the r12 window carries a DuckDB oracle — the rotation
+# Every name in the r13 window carries a DuckDB oracle — the rotation
 # test pins this empty.
 ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = ()
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (driver-green in r01-r11)
+    # sentinels (driver-green in r01-r12)
     "wordcount_topk",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # --- new this round (never adjudicated; stalest by definition) ---
-    "dedup_semantic_semdedup",
-    "embedding_kmeans_train",
-    "estimator_countmin_bounds",
-    "pipeline_crossmodal_dedup",
-    # --- the r05 tail displaced by the r11 additions ---
-    "udf_pandas_scalar_net_price",
-    "udtf_positioned_words",
-    "wordcount_sequential_oracle",
-    # --- the r06 block, in (round, name) tie-break order ---
-    "agg_histogram_equidepth",
-    "events_overlap_join_bucketed",
-    "events_sessionization_capped",
-    "graph_bfs_distances",
-    "graph_degree_hubs",
-    "graph_triangle_count",
-    "multimodal_blob_dedup",
-    "multimodal_cross_modal_join",
-    "pipeline_integrity_audit",
-    "q11_important_part_value",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    "q4_order_priority_exists",
-    "q7_volume_shipping",
-    "scalar_datetime_extra",
-    "scalar_higher_order_funcs",
-    "scalar_json_funcs",
-    "scalar_map_type",
-    "scalar_try_functions",
-    "scalar_url_parse",
-    "scalar_variant_type",
-    "scalar_xml_extract",
-    "stat_crosstab",
-    "stats_column_profile",
-    "stats_profile_drift",
-    "stats_robust",
-    "warehouse_snapshot_diff",
-    "window_count_distinct_frame",
-    "window_numeric_range_frame",
-    "window_share_of_total",
-    # --- the head of the r07 block fills the remaining slot ---
-    "agg_bitmap_distinct",
-    # (the r12 additions displaced agg_bitwise_bool through
-    # agg_filter_clause; they and the rest of the r07 block lead the
-    # r13 backlog)
+    # --- the 45 stalest names: the r07 adjudication block (setop-era
+    # agg_*, asof_*, events_*, pipeline_*, scalar_*, udf/udtf, pivot,
+    # scd2, text_bpe) then the r08 head, in (round, name) order ---
+    "agg_bitwise_bool",
+    "agg_count_min_frequency",
+    "agg_exact_percentiles",
+    "agg_filter_clause",
+    "agg_grouping_flags",
+    "agg_histogram_equiwidth",
+    "agg_hll_portable",
+    "agg_min_by_max_by",
+    "agg_mode_deterministic",
+    "agg_mode_exact",
+    "agg_multi_distinct",
+    "agg_percentile_disc",
+    "agg_regression_exact",
+    "agg_salted_skewed_groups",
+    "agg_skew_kurt_exact",
+    "agg_string_agg_ordered",
+    "agg_width_bucket_histogram",
+    "asof_next_purchase_after_view",
+    "asof_tolerance_30m",
+    "dedup_simhash_pairs",
+    "dedup_streaming_gate_batch",
+    "dedup_substring_spans",
+    "events_dedup_latest",
+    "events_funnel",
+    "events_retention_cohort",
+    "events_session_window_batch",
+    "events_sessionization_capped_segmented",
+    "events_tumbling_window",
+    "pipeline_curation_end_to_end",
+    "pipeline_incremental_dedup",
+    "pipeline_json_ingest_quarantine",
+    "pivot_status_by_priority",
+    "scalar_array_map_funcs",
+    "scalar_conditional_null",
+    "scalar_math_funcs",
+    "scd2_user_status_history",
+    "text_bpe_apply",
+    "udf_map_in_arrow",
+    "udtf_inline_structs",
+    "udtf_stack_measures",
+    "unpivot_lineitem_measures",
+    "dedup_cdc_chunks",
+    "dedup_minhash_estimator_error",
+    "dedup_substring_span_positions",
+    "embedding_outlier_by_label",
 )
 
 
