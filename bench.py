@@ -77,24 +77,47 @@ def main() -> int:
     # Calibration probe (r10, VERDICT r09 item 2): the loadavg gate sees
     # GUEST load only — host-side throughput variance (the r07/r09 "uniform
     # inflation" ambiguity: four same-tree quiet captures spanned
-    # 4.37-6.83 s) is invisible to it. Two fixed CPU-bound kernels are
+    # 4.37-6.83 s) is invisible to it. Three fixed CPU-bound kernels are
     # timed immediately before the warm pass and again after the last
     # tier: (a) a pinned single-thread numpy elementwise sweep (no BLAS
-    # threading) and (b) a pinned all-core JVM aggregation (the same
-    # resource the queries use). Per-query walls are reported ALSO as
+    # threading), (b) the same sweep on every core at once through a
+    # thread pool (JIT-free multicore — the unit that actually detects
+    # the host-regime shifts of SCALE.md round-12), and (c) a pinned
+    # all-core JVM aggregation (the same resource the queries use).
+    # Per-query walls are reported ALSO as
     # wall/calibration ratios — a host-noise drift inflates probe and
     # queries alike (flat calibrated ratios), a tree regression inflates
     # only its query. Round-over-round deltas should be read in calibrated
     # units first.
     def calibration_probe() -> dict[str, float]:
         import numpy as np
+        from concurrent.futures import ThreadPoolExecutor
 
-        def np_once() -> float:
-            t0 = time.perf_counter()
+        def np_kernel() -> float:
             a = np.random.RandomState(42).rand(1_000_000)
             for _ in range(40):
                 a = np.sin(a) * 1.0000001 + 0.1  # elementwise: single-thread
-            _sink = float(a[0])  # noqa: F841 — defeat dead-code elimination
+            return float(a[0])  # defeat dead-code elimination
+
+        def np_once() -> float:
+            t0 = time.perf_counter()
+            np_kernel()
+            return time.perf_counter() - t0
+
+        # Multicore numpy probe (r13, VERDICT r12 finding 2): host-regime
+        # shifts inflate multicore JVM wall ~50% while moving the
+        # single-thread numpy probe only ~8% — neither old unit DETECTS
+        # them (the JVM probe also carries its own JIT/scheduler variance,
+        # so its movement alone can't be attributed to the host). This is
+        # the same elementwise sweep run on every core at once via a
+        # thread pool (numpy releases the GIL): JIT-free, scheduler-bound,
+        # so its before/after ratio isolates multicore host throughput.
+        n_threads = int(cpus)
+
+        def np_mt_once() -> float:
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                list(pool.map(lambda _i: np_kernel(), range(n_threads)))
             return time.perf_counter() - t0
 
         def jvm_once() -> float:
@@ -117,6 +140,7 @@ def main() -> int:
             calibration_probe._warmed = True
         return {
             "numpy_1t_sec": round(min(np_once() for _ in range(3)), 4),
+            "numpy_mt_sec": round(min(np_mt_once() for _ in range(3)), 4),
             "jvm_mt_sec": round(min(jvm_once() for _ in range(3)), 4),
         }
 
@@ -156,10 +180,8 @@ def main() -> int:
 
     def probe_drift(b: dict[str, float], a: dict[str, float]) -> float:
         return max(
-            max(b["jvm_mt_sec"], a["jvm_mt_sec"])
-            / max(1e-9, min(b["jvm_mt_sec"], a["jvm_mt_sec"])),
-            max(b["numpy_1t_sec"], a["numpy_1t_sec"])
-            / max(1e-9, min(b["numpy_1t_sec"], a["numpy_1t_sec"])),
+            max(b[k], a[k]) / max(1e-9, min(b[k], a[k]))
+            for k in ("jvm_mt_sec", "numpy_1t_sec", "numpy_mt_sec")
         )
 
     attempt_drifts: list[float] = []
@@ -331,6 +353,9 @@ def main() -> int:
         "numpy_1t_mean_sec": round(
             (cal_before["numpy_1t_sec"] + cal_after["numpy_1t_sec"]) / 2.0, 4
         ),
+        "numpy_mt_mean_sec": round(
+            (cal_before["numpy_mt_sec"] + cal_after["numpy_mt_sec"]) / 2.0, 4
+        ),
         # headline walls divided by the all-core JVM probe: the unit a
         # round-over-round comparison should be read in (dimensionless;
         # host-noise cancels to first order)
@@ -364,6 +389,108 @@ def main() -> int:
         },
     }
 
+    # Interleaved A/B/A fallback (r13, VERDICT r12 item 3b): when the
+    # stable-window retry budget exhausts, raw walls from THIS capture are
+    # upper bounds, not estimates — and three straight rounds landed
+    # there. The only methodology that survives the measured multicore
+    # host-regime shifts is interleaving the two trees inside the same
+    # host-minutes: alternate single-pass runs of a headline subset
+    # between the working tree (A) and a git worktree of the round-start
+    # commit (B, the previous round's final tree + driver artifacts),
+    # min-of-reps each side, report A/B. A ratio ≤ ~1.05 says HEAD is at
+    # or below the round-start tree regardless of what the host is doing;
+    # this turns the manual SCALE.md ABA procedure into a self-contained
+    # artifact field. Opt-out / forcing via SPARK_GRAFT_ABA=0/1.
+    aba_env = os.environ.get("SPARK_GRAFT_ABA", "auto")
+    want_aba = aba_env == "1" or (
+        aba_env == "auto" and not out["calibration"]["window_stable"]
+    )
+    if want_aba:
+        try:
+            import subprocess
+
+            repo = os.path.dirname(os.path.abspath(__file__))
+            ref = os.environ.get("SPARK_GRAFT_ABA_REF", "").strip()
+            if not ref:
+                # The driver commits VERDICT.md exactly once, at round
+                # start — the commit that last touched it IS the pinned
+                # reference tree the judge compares against.
+                ref = subprocess.run(
+                    ["git", "log", "-1", "--format=%H", "--", "VERDICT.md"],
+                    cwd=repo,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout.strip()
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=repo,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+            wt = os.path.join(repo, ".sfgen", f"aba_{ref[:12]}")
+            if not os.path.isdir(wt):
+                subprocess.run(
+                    ["git", "worktree", "add", "--detach", "--force", wt, ref],
+                    cwd=repo,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+            aba_queries = [
+                "q1_pricing_summary",
+                "q5_local_supplier_volume",
+                "dedup_minhash_lsh",
+                "knn_bruteforce",
+            ]
+            script = os.path.join(repo, "tools", "aba.py")
+            reps = int(os.environ.get("SPARK_GRAFT_ABA_REPS", "2"))
+
+            def aba_pass(root: str) -> dict:
+                p = subprocess.run(
+                    [sys.executable, script, "--root", root, "--sf", sf_dir,
+                     "--cpus", str(cpus), "--timed", "2", *aba_queries],
+                    capture_output=True,
+                    text=True,
+                    timeout=600,
+                    check=True,
+                )
+                return json.loads(p.stdout.strip().splitlines()[-1])
+
+            a_passes: list[dict] = []
+            b_passes: list[dict] = []
+            for _rep in range(max(1, reps)):
+                a_passes.append(aba_pass(repo))
+                b_passes.append(aba_pass(wt))
+            a_min = min(p["total"] for p in a_passes)
+            b_min = min(p["total"] for p in b_passes)
+            out["aba"] = {
+                "ref": ref,
+                "head": head,
+                "queries": aba_queries,
+                "reps": max(1, reps),
+                "a_totals": [p["total"] for p in a_passes],
+                "b_totals": [p["total"] for p in b_passes],
+                "a_queries_min": {
+                    n: min(p["queries"][n] for p in a_passes) for n in aba_queries
+                },
+                "b_queries_min": {
+                    n: min(p["queries"][n] for p in b_passes) for n in aba_queries
+                },
+                # HEAD wall / round-start wall, same host-minutes: the
+                # round-over-round number that IS valid under host drift
+                "ratio": round(a_min / max(1e-9, b_min), 3),
+            }
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo,
+                capture_output=True,
+                text=True,
+            )
+        except Exception as e:  # the ABA must never break the headline bench
+            out["aba"] = {"error": f"{type(e).__name__}: {e}"}
+
     # Two lines (r10 VERDICT item 5): the full-detail artifact first, then
     # a compact summary as the FINAL line. The driver records the tail of
     # stdout and BENCH_r07-r10 all landed "parsed: null" because the
@@ -385,6 +512,7 @@ def main() -> int:
         "window_stable": out["calibration"]["window_stable"],
         "stable_attempts": len(attempt_drifts),
         "gate_failed": gate_failed,
+        "aba_ratio": (out.get("aba") or {}).get("ratio"),
         "tiers": {
             k: out[k].get("value")
             for k in ("sf1", "longdoc", "codec")
