@@ -328,14 +328,18 @@ def auto_lsh_tables_multiprobe(n_corpus: int) -> int:
 
 
 def auto_ivf_nprobe(n_corpus: int) -> int:
-    """6 cells at the anchor, +5 per doubling — recalibrated for the
-    TRAINED bounded-k quantizer (r12): its isqrt cell counts (22 at the
-    500-vector anchor vs the stride quantizer's 10) shrink the per-probe
-    corpus fraction, so the anchor doubled to keep the probed-cell
-    fraction ≈ 27% there. Measured through knn_recall_report: 0.62 at
-    sf0.01 / 0.78 at sf0.1 — at or above the stride-quantizer figures in
-    SCALE.md's round-11 table (0.60 / 0.68)."""
-    return 6 + 5 * budget_doublings(n_corpus)
+    """max(11, 6 + 5 per doubling) — the base dial recalibrated for the
+    TRAINED bounded-k quantizer (r12) plus a small-corpus floor (r13,
+    VERDICT r12 item 7): at the 500-vector anchor the isqrt quantizer
+    makes 22 cells, and the old nprobe=6 probed only ~27% of them —
+    recall 0.62, the family's weakest figure. The floor of 11 probes
+    ~50% of the anchor's cells (trivially cheap at small N, where the
+    whole corpus is a few hundred vectors); the +5/doubling base dial
+    passes the floor by N=2000, so large-corpus behavior is unchanged
+    and the dial stays monotone in N (pinned). Measured through
+    knn_recall_report after the floor: 0.86 at sf0.01 (was 0.62),
+    0.78 at sf0.1, 0.94 at sf1 — ≥ 0.7 at every tier."""
+    return max(11, 6 + 5 * budget_doublings(n_corpus))
 
 
 # Trained-quantizer size bound (r11 VERDICT item 2): the stride quantizer's
@@ -1057,7 +1061,10 @@ def knn_ivf_sql(
     training becomes a driver hash mismatch."""
     if nprobe == "auto":
         d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
-        np_sql = f"(SELECT 6 + 5 * ({d_sql}))"
+        # GREATEST(11, ...) is the small-corpus recall floor — keep in
+        # lockstep with auto_ivf_nprobe (same integer on both engines,
+        # swept by tests/test_llm_ops.py::test_auto_budget_dials_match_sql)
+        np_sql = f"(SELECT GREATEST(11, 6 + 5 * ({d_sql})))"
     else:
         np_sql = str(int(nprobe))
     cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)

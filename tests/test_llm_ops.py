@@ -531,8 +531,9 @@ def test_auto_budget_formulas_match_sql():
     # hand-measured restore points at sf0.1 (2000 vectors = 2 doublings)
     assert (auto_lsh_tables(500), auto_lsh_tables(2000)) == (8, 16)
     # r12: IVF anchor recalibrated 3 -> 6 for the trained bounded-k
-    # quantizer (its isqrt cell counts shrink the per-probe fraction)
-    assert (auto_ivf_nprobe(500), auto_ivf_nprobe(2000)) == (6, 16)
+    # quantizer (its isqrt cell counts shrink the per-probe fraction);
+    # r13: small-corpus floor max(11, .) — ~50% of the anchor's 22 cells
+    assert (auto_ivf_nprobe(500), auto_ivf_nprobe(2000)) == (11, 16)
     assert (auto_pq_rerank(500), auto_pq_rerank(2000)) == (20, 150)
     assert (auto_jl_shortlist(500), auto_jl_shortlist(2000)) == (150, 600)
     # monotone and capped
