@@ -1201,6 +1201,109 @@ def cosine_neardup_sql(threshold: float, bits: int = 8) -> str:
     """
 
 
+def cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 65_536,
+) -> DataFrame:
+    """ALL (id_a < id_b) pairs at cosine >= ``threshold`` — the exact
+    global reference an approximate dedup tier is audited against
+    (semdedup_recall_report). Audit tier: O(N²·d) compute by definition,
+    the same contract as knn_recall_report's brute-force reference.
+
+    Scale shape: the matrix is collected once (bounded by ``max_rows``,
+    reject-don't-truncate — at the cap it is 65,536 × d ≈ 16 MiB at
+    d=32, broadcast-sized) and closed over by one Arrow-batched
+    ``mapInPandas`` pass over the corpus: each batch scores its rows
+    against the strictly-larger-id columns of the full matrix and emits
+    only qualifying pairs, so no N×N row set ever exists in the plan —
+    no cartesian, no shuffle beyond the source scan. The kernel uses the
+    dimension-sequential accumulation and the one-division x/(a·b)
+    cosine shape, bit-identical to the ``aggregate()`` fold and DuckDB's
+    ``list_dot_product`` oracle. Zero-norm / non-finite vectors are
+    excluded from pairing by the family contract (cosine undefined).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.selectExpr(
+        f"{id_col} AS pe_id", f"CAST({vec_col} AS array<double>) AS pe_v"
+    ).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact corpus has >{max_rows} rows; the exact "
+            "all-pairs reference broadcasts the full matrix — this audit "
+            "tier is for bounded corpora (raise max_rows explicitly, or "
+            "audit a sample)"
+        )
+    ids = np.asarray([r.pe_id for r in rows], dtype=np.int64)
+    mat = (
+        np.asarray([r.pe_v for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0))
+    )
+    nrm = np.sqrt(_np_seq_self_dot(mat)) if len(rows) else np.zeros(0)
+    valid = np.isfinite(nrm) & (nrm > 0)
+    safe = np.where(valid, nrm, 1.0)
+
+    def pair_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids) == 0:
+                continue
+            bid = pdf["pe_id"].to_numpy(dtype=np.int64)
+            bmat = np.vstack(pdf["pe_v"].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(bid), len(ids)))
+            # Sequential-in-j accumulation == the aggregate() fold, bitwise.
+            for j in range(bmat.shape[1]):
+                dots += bmat[:, j : j + 1] * mat.T[j : j + 1, :]
+            bnrm = np.sqrt(_np_seq_self_dot(bmat))
+            bvalid = np.isfinite(bnrm) & (bnrm > 0)
+            bsafe = np.where(bvalid, bnrm, 1.0)
+            cos = dots / (bsafe[:, None] * safe[None, :])
+            ia, ib = np.where(
+                (bid[:, None] < ids[None, :])
+                & bvalid[:, None]
+                & valid[None, :]
+                & (cos >= threshold)
+            )
+            if not len(ia):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": bid[ia],
+                    "id_b": ids[ib],
+                    "cos_sim": cos[ia, ib],
+                }
+            )
+
+    return emb.selectExpr(
+        f"{id_col} AS pe_id", f"CAST({vec_col} AS array<double>) AS pe_v"
+    ).mapInPandas(pair_batches, schema="id_a long, id_b long, cos_sim double")
+
+
+def cosine_pairs_exact_sql(threshold: float) -> str:
+    """DuckDB mirror of :func:`cosine_pairs_exact` — all-pairs with the
+    same validity guards the kernel applies (zero-norm / non-finite
+    excluded; NaN-greatest comparison rules never decide membership)."""
+    cos = COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    na = (
+        "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(a.embedding AS DOUBLE[])))"
+    )
+    nb = (
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])))"
+    )
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {na} > 0 AND isfinite({na}) AND {nb} > 0 AND isfinite({nb})
+      AND {cos} >= {threshold}
+    """
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric distance computation (ADC) —
 # the FAISS-PQ shape on DataFrames.

@@ -52,6 +52,26 @@ from slr207_mapreduce_spark.plans.base import register
 from slr207_mapreduce_spark.sources.tables import load_table
 
 
+def crossmodal_edge_sets(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The three modality near-dup edge generators at the registered
+    configs, each (doc_a, doc_b) — shared by the query-from-raw closure
+    below and the write-then-close pipeline variant
+    (plans/analytics_r7.py:pipeline_crossmodal_dedup_materialized)."""
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    return {
+        "text": minhash_lsh_candidates(
+            d, num_hashes=6, band_size=2, shingle_n=3
+        ).select("doc_a", "doc_b"),
+        "image": multimodal_phash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+        "embedding": cosine_neardup_pairs(e, threshold=0.2, bits=8).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+    }
+
+
 @register(
     "pipeline_crossmodal_dedup",
     oracle=f"""
@@ -91,16 +111,8 @@ from slr207_mapreduce_spark.sources.tables import load_table
     tags=("pipeline", "dedup", "multimodal", "graph", "iterative"),
 )
 def pipeline_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    e = load_table(spark, "embeddings", sf_dir)
-    text = minhash_lsh_candidates(
-        d, num_hashes=6, band_size=2, shingle_n=3
-    ).select("doc_a", "doc_b")
-    image = multimodal_phash_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    emb = cosine_neardup_pairs(e, threshold=0.2, bits=8).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    edges = text.unionByName(image).unionByName(emb)
+    sets = crossmodal_edge_sets(spark, sf_dir)
+    edges = sets["text"].unionByName(sets["image"]).unionByName(sets["embedding"])
     return connected_components(edges, src="doc_a", dst="doc_b")
 
 

@@ -95,7 +95,10 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # --- the 45 stalest names: the r07 adjudication block (setop-era
+    # --- new this round (never adjudicated; stalest by definition) ---
+    "pipeline_crossmodal_dedup_materialized",
+    "semdedup_recall_report",
+    # --- the 43 remaining stalest: the r07 adjudication block (setop-era
     # agg_*, asof_*, events_*, pipeline_*, scalar_*, udf/udtf, pivot,
     # scd2, text_bpe) then the r08 head, in (round, name) order ---
     "agg_bitwise_bool",
@@ -141,8 +144,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "unpivot_lineitem_measures",
     "dedup_cdc_chunks",
     "dedup_minhash_estimator_error",
-    "dedup_substring_span_positions",
-    "embedding_outlier_by_label",
 )
 
 
@@ -193,6 +194,7 @@ def all_queries() -> dict[str, QuerySpec]:
         estimator_report,
         analytics_r5,
         analytics_r6,
+        analytics_r7,
     )
 
     ordered: dict[str, QuerySpec] = {}

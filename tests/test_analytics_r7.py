@@ -1,0 +1,119 @@
+"""Round-13 additions: SemDeDup recall audit + materialized crossmodal
+closure (VERDICT r12 items 4 and 8) and the exact all-pairs kernel they
+share."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tests.conftest import SF_SMOKE
+
+
+def _np_exact_pairs(mat, ids, tau):
+    """Naive float64 reference: all (a<b) cosine pairs at >= tau, with the
+    same sequential-fold accumulation the engine kernel uses."""
+    import numpy as np
+
+    n, d = mat.shape
+    dots = np.zeros((n, n))
+    for j in range(d):
+        dots += mat[:, j : j + 1] * mat.T[j : j + 1, :]
+    acc = np.zeros(n)
+    for j in range(d):
+        acc += mat[:, j] * mat[:, j]
+    nrm = np.sqrt(acc)
+    valid = np.isfinite(nrm) & (nrm > 0)
+    safe = np.where(valid, nrm, 1.0)
+    cos = dots / (safe[:, None] * safe[None, :])
+    ia, ib = np.where(
+        (ids[:, None] < ids[None, :])
+        & valid[:, None]
+        & valid[None, :]
+        & (cos >= tau)
+    )
+    return {(int(ids[a]), int(ids[b]), float(cos[a, b])) for a, b in zip(ia, ib)}
+
+
+def test_cosine_pairs_exact_matches_numpy_and_excludes_invalid(spark):
+    """The Arrow-batched all-pairs kernel must (a) agree bit-for-bit with
+    the sequential-fold numpy reference, (b) exclude zero-norm and
+    NaN/Inf-component vectors from pairing by the family contract, and
+    (c) reject corpora beyond max_rows instead of truncating."""
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators.similarity import cosine_pairs_exact
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),          # zero-norm: excluded
+        (4, [float("nan"), 1.0, 0.0]),  # NaN component: excluded
+        (5, [1.0, 0.05, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_pairs_exact(df, threshold=0.5).collect()
+    }
+    finite = [(i, v) for i, v in rows if i not in (3, 4)]
+    mat = np.asarray([v for _, v in finite], dtype=np.float64)
+    ids = np.asarray([i for i, _ in finite], dtype=np.int64)
+    want = _np_exact_pairs(mat, ids, 0.5)
+    assert got == want and len(got) >= 3  # 0-1, 0-5, 1-5 at least
+    assert not any(3 in (a, b) or 4 in (a, b) for a, b, _ in got)
+    with pytest.raises(ValueError, match="max_rows"):
+        cosine_pairs_exact(df, threshold=0.5, max_rows=5).collect()
+
+
+def test_semdedup_recall_report_is_internally_consistent(spark):
+    """within + cross == exact per tau; recall in [0, 1] or NULL exactly
+    when exact == 0; taus cover the shipped operator threshold."""
+    from slr207_mapreduce_spark.plans.analytics_r6 import _SEMDEDUP_TAU
+    from slr207_mapreduce_spark.plans.analytics_r7 import _RECALL_TAUS
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    assert _SEMDEDUP_TAU in _RECALL_TAUS
+    rows = (
+        all_queries()["semdedup_recall_report"].build(spark, SF_SMOKE).collect()
+    )
+    assert {r.tau for r in rows} <= set(float(t) for t in _RECALL_TAUS)
+    for r in rows:
+        assert r.within_cell_pairs + r.cross_cell_pairs == r.exact_pairs
+        if r.exact_pairs == 0:
+            assert r.recall is None
+        else:
+            assert 0.0 <= r.recall <= 1.0
+            assert r.recall == r.within_cell_pairs / r.exact_pairs
+
+
+def test_crossmodal_materialized_matches_from_raw(spark):
+    """The write-then-close variant must produce BIT-IDENTICAL clusters to
+    the query-from-raw closure (they share one oracle — this is the
+    engine-side pin), and its staging write must be laid out partitioned
+    by modality so a single-modality consumer gets partition pruning."""
+    from slr207_mapreduce_spark.plans.analytics_r7 import (
+        _crossmodal_edges_path,
+    )
+    from slr207_mapreduce_spark.plans.base import all_queries
+
+    specs = all_queries()
+    raw = {
+        (r.node, r.cluster_id)
+        for r in specs["pipeline_crossmodal_dedup"].build(spark, SF_SMOKE).collect()
+    }
+    mat = {
+        (r.node, r.cluster_id)
+        for r in specs["pipeline_crossmodal_dedup_materialized"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert mat == raw and len(mat) > 0
+    path = _crossmodal_edges_path(SF_SMOKE)
+    parts = {d for d in os.listdir(path) if d.startswith("modality=")}
+    assert parts == {"modality=text", "modality=image", "modality=embedding"}
