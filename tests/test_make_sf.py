@@ -202,3 +202,41 @@ def test_docs_and_events_sf10_tier_counts():
             FROM '{events}'"""
     ).fetchone()
     assert (ne, ne_ids, ts_diff) == (100 * n_esrc, 100 * n_esrc, 0)
+
+
+def test_emb_clustered_tier_structure():
+    """The clustered embeddings fixture (r13): md5-deterministic mixture
+    with 16 components — schema matches the embeddings table, labels
+    cover all components, within-component cosine is high and
+    cross-component near zero (the separation the trained-quantizer and
+    SemDeDup measurements rely on), and regeneration is byte-stable."""
+    import numpy as np
+
+    from tools.make_sf import ensure_emb_clustered
+
+    out = ensure_emb_clustered(REPO, n=500, k=16)
+    path = os.path.join(out, "embeddings.parquet")
+    con = duckdb.connect()
+    schema = con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()
+    assert [(c[0], c[1]) for c in schema] == [
+        ("vec_id", "BIGINT"), ("embedding", "FLOAT[]"), ("label", "INTEGER"),
+    ]
+    t = con.sql(f"SELECT vec_id, embedding, label FROM '{path}' ORDER BY vec_id").fetchnumpy()
+    ids = t["vec_id"]
+    lab = t["label"]
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
+    assert len(ids) == 500 and mat.shape[1] == 64
+    assert set(lab.tolist()) == set(range(16))
+    nrm = np.linalg.norm(mat, axis=1)
+    assert (nrm > 0).all()
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(ids), 1)
+    same = (lab[:, None] == lab[None, :])[iu]
+    assert cos[iu][same].mean() > 0.7    # components are tight
+    assert abs(cos[iu][~same].mean()) < 0.1  # and mutually near-orthogonal
+    assert cos[iu][same].mean() - np.percentile(cos[iu][~same], 99) > 0.3
+    # determinism: md5-derived, no RNG — a rebuild must be byte-identical
+    before = open(path, "rb").read()
+    os.remove(path)
+    ensure_emb_clustered(REPO, n=500, k=16)
+    assert open(path, "rb").read() == before

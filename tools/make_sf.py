@@ -359,6 +359,83 @@ def ensure_emb_sf10(repo_root: str) -> str:
     return out
 
 
+def ensure_emb_clustered(repo_root: str, n: int = 2000, k: int = 16) -> str:
+    """Clustered embeddings fixture (r13, VERDICT r12 item 5): a
+    deterministic mixture-of-Gaussians, the regime trained quantizers
+    exist for.
+
+    The shipped /root/testdata embeddings are shell-distributed
+    near-noise — the one regime where trained PQ codebooks LOSE to seeded
+    (SCALE.md round-12: k-means on uniform data collapses) and where
+    SemDeDup's k-means cells are arbitrary (semdedup_recall_report
+    measured 0.14-0.37 recall at the shipped tau). Real embedding corpora
+    are clustered; this tier generates one with the same reproducibility
+    discipline as the sf1 jitter: every value is md5-derived on the exact
+    1e-6 integer grid — no RNG, byte-reproducible, engine-exact.
+
+    Construction (all DuckDB SQL, one COPY):
+    - component assignment g = md5('cl:' || vec_id) % k  (seeded md5);
+    - center[g][i] = md5-uniform on [-0.25, 0.25], fixed-point — random
+      64-dim centers are near-orthogonal (E|cos| ~ 1/8), so clusters are
+      well separated;
+    - noise[v][i] = Bates-3 sum of three md5-uniforms on [-0.06, 0.06]
+      (a deterministic bell-shaped approximation of a Gaussian), giving
+      within-cluster cosine ~ |c|^2/(|c|^2+|noise|^2) ~ 0.85 — genuine
+      near-dup structure WITHIN components, none across.
+    - label = g, so cell-purity and recall audits can score against the
+      generating truth.
+
+    Schema matches the embeddings table exactly (vec_id BIGINT,
+    embedding FLOAT[] d=64, label INTEGER), so every embeddings-only
+    registered query (knn_*, semdedup_recall_report,
+    embedding_kmeans_train, dedup_semantic_*) runs on the directory
+    unchanged."""
+    import duckdb
+
+    dim, center_e6, sigma_e6 = 64, 250_000, 60_000
+    out = os.path.join(repo_root, ".sfgen", f"emb_clustered_n{n}_k{k}")
+    path = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def h(tag: str) -> str:
+        """md5-hex head -> BIGINT, the fixture-wide uniform source."""
+        return f"CAST(concat('0x', substring(md5({tag}), 1, 12)) AS BIGINT)"
+
+    g = h("'cl:' || CAST(vec_id AS VARCHAR)") + f" % {k}"
+    ctr = (
+        h(f"'ctr:' || CAST(v.g AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+        + f" % {2 * center_e6 + 1} - {center_e6}"
+    )
+    noise_terms = " + ".join(
+        h(
+            f"'nz{j}:' || CAST(v.vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+        )
+        + f" % {2 * sigma_e6 + 1}"
+        for j in range(3)
+    )
+    noise = f"({noise_terms}) - {3 * sigma_e6}"
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
+    con.execute(
+        f"""
+        COPY (
+          SELECT v.vec_id,
+                 list_transform(range(0, {dim}),
+                   i -> CAST((({ctr}) + ({noise})) * 0.000001 AS FLOAT)
+                 ) AS embedding,
+                 CAST(v.g AS INTEGER) AS label
+          FROM (SELECT vec_id, {g} AS g
+                FROM (SELECT unnest(range({n})) AS vec_id)) v
+          ORDER BY v.vec_id
+        ) TO '{path}' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)
+        """
+    )
+    con.close()
+    return out
+
+
 def ensure_tpch_sf10(repo_root: str) -> str:
     """TPC-H-family 100x tier (60M lineitem / 15M orders rows, ~1.2 GB)
     giving the join-heavy query family (q3/q5/q9/q18 shapes) its decade
