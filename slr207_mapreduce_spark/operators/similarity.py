@@ -1249,38 +1249,63 @@ def cosine_pairs_exact(
     safe = np.where(valid, nrm, 1.0)
 
     def pair_batches(batches):
+        # Corpus-side column tiling bounds the per-pass temporaries to
+        # |batch| x TILE doubles (a 2-row-group sf1 parquet otherwise
+        # hands one task a 10k-row batch whose 10k x N j-pass temporaries
+        # are GiB-scale). Per-pair accumulation stays j-sequential within
+        # each (row, col) cell, so tiling changes nothing bitwise.
+        TILE = 4096
         for pdf in batches:
             if len(pdf) == 0 or len(ids) == 0:
                 continue
             bid = pdf["pe_id"].to_numpy(dtype=np.int64)
             bmat = np.vstack(pdf["pe_v"].to_numpy()).astype(np.float64)
-            dots = np.zeros((len(bid), len(ids)))
-            # Sequential-in-j accumulation == the aggregate() fold, bitwise.
-            for j in range(bmat.shape[1]):
-                dots += bmat[:, j : j + 1] * mat.T[j : j + 1, :]
             bnrm = np.sqrt(_np_seq_self_dot(bmat))
             bvalid = np.isfinite(bnrm) & (bnrm > 0)
             bsafe = np.where(bvalid, bnrm, 1.0)
-            cos = dots / (bsafe[:, None] * safe[None, :])
-            ia, ib = np.where(
-                (bid[:, None] < ids[None, :])
-                & bvalid[:, None]
-                & valid[None, :]
-                & (cos >= threshold)
-            )
-            if not len(ia):
+            out_a, out_b, out_c = [], [], []
+            for lo in range(0, len(ids), TILE):
+                hi = min(lo + TILE, len(ids))
+                dots = np.zeros((len(bid), hi - lo))
+                # Sequential-in-j accumulation == the aggregate() fold.
+                for j in range(bmat.shape[1]):
+                    dots += bmat[:, j : j + 1] * mat.T[j : j + 1, lo:hi]
+                cos = dots / (bsafe[:, None] * safe[None, lo:hi])
+                ia, ib = np.where(
+                    (bid[:, None] < ids[None, lo:hi])
+                    & bvalid[:, None]
+                    & valid[None, lo:hi]
+                    & (cos >= threshold)
+                )
+                if len(ia):
+                    out_a.append(bid[ia])
+                    out_b.append(ids[lo:hi][ib])
+                    out_c.append(cos[ia, ib])
+            if not out_a:
                 continue
             yield pd.DataFrame(
                 {
-                    "id_a": bid[ia],
-                    "id_b": ids[ib],
-                    "cos_sim": cos[ia, ib],
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cos_sim": np.concatenate(out_c),
                 }
             )
 
-    return emb.selectExpr(
-        f"{id_col} AS pe_id", f"CAST({vec_col} AS array<double>) AS pe_v"
-    ).mapInPandas(pair_batches, schema="id_a long, id_b long, cos_sim double")
+    # Repartition the streamed side before the kernel: the shuffle moves
+    # only N x d floats (megabytes) while the kernel does O(N^2 d) work —
+    # without it a low-row-group-count parquet caps parallelism at its
+    # row-group count (sf1 = 2) regardless of available cores.
+    n_parts = max(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        (len(rows) + 4096 - 1) // 4096,
+    )
+    return (
+        emb.selectExpr(
+            f"{id_col} AS pe_id", f"CAST({vec_col} AS array<double>) AS pe_v"
+        )
+        .repartition(n_parts)
+        .mapInPandas(pair_batches, schema="id_a long, id_b long, cos_sim double")
+    )
 
 
 def cosine_pairs_exact_sql(threshold: float) -> str:

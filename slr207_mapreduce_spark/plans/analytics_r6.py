@@ -246,12 +246,23 @@ def _semdedup_oracle() -> str:
     "assignment, AND the keep verdicts replay in the oracle. "
     "Complements dedup_semantic_clusters (global sign-bit-bucket pairs "
     "+ closure): SemDeDup trades recall ACROSS cell boundaries for "
-    "bounded per-cell work at 100 TB.",
+    "bounded per-cell work at 100 TB. The trade is MEASURED by "
+    "semdedup_recall_report (r13): at the shipped tau, recall vs the "
+    "exact global pair set is 0.37/0.18/0.14 at sf0.01/0.1/1 on the "
+    "shell-distributed near-noise fixture (cells are arbitrary there) "
+    "and 0.82/0.50 on the clustered mixture fixture at n=500/2000 — "
+    "where the n=2000 drop is pure over-segmentation: k = isqrt(N) "
+    "cells split the 16 true components (44 cells -> recall 0.50 at "
+    "purity 1.00; retraining with n_centroids=16 restores 0.94). On a "
+    "real corpus, set n_centroids near the expected cluster count; the "
+    "isqrt default is the work-bound-first choice.",
     tags=("dedup", "similarity", "pipeline"),
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     from slr207_mapreduce_spark.operators.similarity import (
-        cosine,
         ivf_assign_cells,
         ivf_train_centroids,
     )
@@ -259,21 +270,42 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     cidx, cint = ivf_train_centroids(e)
     # carry_vec: the shared assignment kernel carries the double-cast
-    # vector through, so the within-cell pair join needs no re-join back
-    # to the table — 3 embeddings scans total (cells x2 for the
-    # self-join + the verdict leg), within the sweep's default budget.
-    # At 100 TB the cells frame is what you'd materialize bucketed by
-    # cidx anyway.
+    # vector through, so the within-cell pair stage needs no re-join back
+    # to the table — 3 embeddings scans total (cells x2: dropped leg +
+    # verdict leg), within the sweep's default budget. At 100 TB the
+    # cells frame is what you'd materialize bucketed by cidx anyway.
     cells = ivf_assign_cells(e, cidx, cint, carry_vec=True)
-    a = cells.select(F.col("vec_id").alias("va"), "cidx", F.col("v").alias("emb_a"))
-    b = cells.select(
-        F.col("vec_id").alias("vb"), F.col("cidx").alias("cidx_b"), F.col("v").alias("emb_b")
-    )
+
+    def cell_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # Within-cell verdicts as ONE numpy kernel per cell (r13: the
+        # within-cell equi-self-join evaluated the interpreted Catalyst
+        # cosine fold per candidate pair — 50.5 s at sf1 for ~2.8M pairs;
+        # this cosine_neardup_pairs-style Arrow kernel computes the same
+        # sequential-in-j accumulation, bit-identically, in 3.3 s).
+        # Work/memory stay O(cell^2)/O(cell*d) — the bound SemDeDup's
+        # cell scoping exists to provide.
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        dots = np.zeros((n, n))
+        for j in range(mat.shape[1]):
+            dots += mat[:, j : j + 1] * mat.T[j : j + 1, :]
+        acc = np.zeros(n)
+        for j in range(mat.shape[1]):
+            acc += mat[:, j] * mat[:, j]
+        nrm = np.sqrt(acc)
+        # assignment already excluded zero-norm/non-finite vectors from
+        # the lists, so every row here has a valid norm
+        cos = dots / (nrm[:, None] * nrm[None, :])
+        hit = (ids[:, None] < ids[None, :]) & (cos >= _SEMDEDUP_TAU)
+        return pd.DataFrame({"vec_id": ids[hit.any(axis=0)]})
+
     dropped = (
-        a.join(b, (F.col("cidx") == F.col("cidx_b")) & (F.col("va") < F.col("vb")))
-        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= F.lit(_SEMDEDUP_TAU))
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
+        cells.select("cidx", "vec_id", "v")
+        .groupBy("cidx")
+        .applyInPandas(cell_dropped, schema="vec_id long")
         .withColumn("is_dropped", F.lit(True))
     )
     return (
