@@ -807,6 +807,66 @@ def ivf_assign_cells(
     )
 
 
+def _ivf_query_probes(
+    queries: DataFrame,
+    cidx,
+    cmat,
+    cnorm,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    max_queries: int,
+    op_name: str,
+):
+    """Collect + validate the query side and rank its ``nprobe`` nearest
+    cells — the shared routing stage of knn_ivf and knn_ivf_pq. Returns
+    (qids int64[nq], qmat f64[nq,d], probed: list of int64 cell-id arrays,
+    one per query, lexsorted exactly like the oracle's ROW_NUMBER ORDER BY
+    ccos DESC, cidx ASC)."""
+    import numpy as np
+
+    qrows = queries.selectExpr(
+        f"{id_col} AS query_id", f"CAST({vec_col} AS array<double>) AS qvec"
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{op_name} query side has >{max_queries} rows; the probe stage "
+            "collects the query set — raise max_queries explicitly or batch "
+            "the queries"
+        )
+    qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
+    qmat = (
+        np.asarray([r.qvec for r in qrows], dtype=np.float64)
+        if qrows
+        else np.zeros((0, 0))
+    )
+    qnorm = np.sqrt(_np_seq_self_dot(qmat)) if len(qrows) else np.zeros(0)
+    qvalid = np.isfinite(qnorm) & (qnorm > 0)
+    if len(qrows) and not np.all(qvalid):
+        # isfinite catches ±Inf components (Inf norm passes > 0); the > 0
+        # test catches zero-norm and NaN (r09 ADVICE)
+        badq = qids[~qvalid].tolist()
+        raise ValueError(
+            f"{op_name}: zero-norm or non-finite query vector(s) {badq[:5]} — "
+            "their nprobe cell ranking and top-k are undefined; drop or "
+            "re-embed these rows"
+        )
+    qdots = np.zeros((len(qids), len(cidx)))
+    for j in range(qmat.shape[1] if len(qrows) else 0):
+        qdots += qmat[:, j : j + 1] * cmat.T[j : j + 1, :]
+    probed = []
+    if len(qids) and len(cidx):
+        qccos = qdots / (qnorm[:, None] * cnorm[None, :])
+        for i in range(len(qids)):
+            # lexsort (cidx asc within -ccos desc) == ROW_NUMBER ORDER BY
+            # ccos DESC, cidx ASC — total order, no NaN by the guards above.
+            top = np.lexsort((cidx, -qccos[i]))[:nprobe]
+            probed.append(cidx[top])
+    else:
+        probed = [np.zeros(0, dtype=np.int64) for _ in range(len(qids))]
+    return qids, qmat, probed
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -883,43 +943,14 @@ def knn_ivf(
         corpus, cidx, cint, id_col=id_col, vec_col=vec_col, out_id="neighbor_id"
     )
 
-    qrows = queries.selectExpr(
-        f"{id_col} AS query_id", f"CAST({vec_col} AS array<double>) AS qvec"
-    ).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"knn_ivf query side has >{max_queries} rows; the probe stage "
-            "collects the query set — raise max_queries explicitly or batch "
-            "the queries"
-        )
-    qids = np.asarray([r.query_id for r in qrows], dtype=np.int64)
-    qmat = (
-        np.asarray([r.qvec for r in qrows], dtype=np.float64)
-        if qrows
-        else np.zeros((0, 0))
+    qids, qmat, probed = _ivf_query_probes(
+        queries, cidx, cmat, cnorm, nprobe,
+        id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries, op_name="knn_ivf",
     )
-    qnorm = np.sqrt(_np_seq_self_dot(qmat)) if len(qrows) else np.zeros(0)
-    qvalid = np.isfinite(qnorm) & (qnorm > 0)
-    if len(qrows) and not np.all(qvalid):
-        # isfinite catches ±Inf components (Inf norm passes > 0); the > 0
-        # test catches zero-norm and NaN (r09 ADVICE)
-        badq = qids[~qvalid].tolist()
-        raise ValueError(
-            f"knn_ivf: zero-norm or non-finite query vector(s) {badq[:5]} — "
-            "their nprobe cell ranking and top-k are undefined; drop or "
-            "re-embed these rows"
-        )
-    qdots = np.zeros((len(qids), len(cidx)))
-    for j in range(qmat.shape[1] if len(qrows) else 0):
-        qdots += qmat[:, j : j + 1] * cmat.T[j : j + 1, :]
-    probe_rows = []
-    if len(qids) and len(cidx):
-        qccos = qdots / (qnorm[:, None] * cnorm[None, :])
-        for i in range(len(qids)):
-            # lexsort (cidx asc within -ccos desc) == ROW_NUMBER ORDER BY
-            # ccos DESC, cidx ASC — total order, no NaN by the guards above.
-            top = np.lexsort((cidx, -qccos[i]))[:nprobe]
-            probe_rows.extend((int(qids[i]), int(c)) for c in cidx[top])
+    probe_rows = [
+        (int(qids[i]), int(c)) for i in range(len(qids)) for c in probed[i]
+    ]
     probes = queries.sparkSession.createDataFrame(
         probe_rows, "query_id long, cidx long"
     )
@@ -1817,3 +1848,307 @@ def knn_pq_adc_sql(
       JOIN embeddings cv ON cv.vec_id = ca.doc_id
     ) WHERE rank <= {k}
     """.replace("{col} REPLACED", query_pred.format(col="vec_id"))
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int | str = "auto",
+    n_centroids: int | str = "auto",
+    m: int = 8,
+    sub_dim: int = 8,
+    ksub: int = 16,
+    rerank: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVF-PQ composed ANN top-k — the standard billion-scale index shape
+    (FAISS IndexIVFPQ): the trained coarse quantizer ROUTES each query to
+    its ``nprobe`` nearest cells, PQ-ADC scores ONLY the routed lists'
+    vectors with integer LUT sums, and an exact cosine re-rank of the
+    ``rerank`` shortlist produces the final top-k.
+
+    Why the composition matters at 100 TB (neither piece alone has both
+    properties): knn_ivf bounds the CANDIDATE SET (nprobe/k of the corpus)
+    but scores candidates with full-width vectors; knn_pq_adc bounds the
+    BYTES PER SCORE (m 8-bit codes vs 64 f32 dims) but scans the whole
+    corpus. Composed, ADC work per query is (nprobe/k)·N LUT sums and the
+    full-width vectors are touched only for the shortlist — the index a
+    real embedding-corpus deployment runs.
+
+    Execution shape: one corpus pass builds cells + codes in a single
+    Arrow-batched kernel (the routing mask is applied inside the batch, so
+    no N×Q row set exists); the shortlist window sees batches·|Q|·rerank
+    rows; the exact re-rank joins |Q|·rerank candidates. Centroid and
+    codebook state is ≤ 256·d + m·ksub·sub_dim doubles — broadcast-sized
+    at any corpus size. Candidates inherit the IVF lists' zero-norm /
+    non-finite exclusion (the ``valid`` contract); invalid QUERY vectors
+    raise, as in knn_ivf.
+
+    Bit-exactness: cell assignment, probe ranking, PQ codes, LUT sums
+    (int64 nano-units), shortlist tie-breaks, and the exact re-rank all
+    reuse the knn_ivf / knn_pq_adc fixed-point formulations, so
+    :func:`knn_ivf_pq_sql` replays the ENTIRE index — training included —
+    and the driver hash-checks it. With ``nprobe >= n_centroids`` the
+    result is IDENTICAL to knn_pq_adc at the same codebook/rerank config
+    (pinned by test — the routing stage only ever PRUNES)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    n_corpus = corpus.count()
+    if nprobe == "auto":
+        nprobe = auto_ivf_nprobe(n_corpus)
+    if rerank == "auto":
+        rerank = auto_pq_rerank(n_corpus)
+
+    # --- routing state: trained coarse quantizer (shared with knn_ivf) ---
+    cidx, cint = ivf_train_centroids(
+        corpus, n_centroids=n_centroids, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, n_corpus=n_corpus,
+    )
+    cmat = cint.astype(np.float64) * 1e-6
+    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
+    qids, qmat, probed = _ivf_query_probes(
+        queries, cidx, cmat, cnorm, nprobe,
+        id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries, op_name="knn_ivf_pq",
+    )
+    nq = len(qids)
+
+    # --- PQ state: the registered seeded codebook + per-query LUTs ---
+    crows = (
+        corpus.where(F.col(id_col) < ksub)
+        .selectExpr(f"{id_col} AS id", f"CAST({vec_col} AS array<double>) AS v")
+        .collect()
+    )
+    crows.sort(key=lambda r: r.id)
+    cent_mat = (
+        np.asarray([r.v for r in crows], dtype=np.float64)
+        if crows
+        else np.zeros((0, m * sub_dim))
+    )
+
+    def _sub(mat_, s):
+        return mat_[:, s * sub_dim : (s + 1) * sub_dim]
+
+    def _d2_int(a, b):
+        ab = np.zeros((a.shape[0], b.shape[0]))
+        for j in range(a.shape[1]):
+            ab += a[:, j : j + 1] * b.T[j : j + 1, :]
+        aa = _np_seq_self_dot(a)
+        bb = _np_seq_self_dot(b)
+        return np.floor(((aa[:, None] - 2.0 * ab) + bb[None, :]) * 1e9).astype(
+            np.int64
+        )
+
+    lut = (
+        np.stack([_d2_int(_sub(qmat, s), _sub(cent_mat, s)) for s in range(m)], axis=1)
+        if nq
+        else np.zeros((0, m, len(crows)), dtype=np.int64)
+    )
+
+    # --- one corpus pass: assign cells (shared kernel), then ADC on the
+    # routed rows only ---
+    cells = ivf_assign_cells(
+        corpus, cidx, cint, id_col=id_col, vec_col=vec_col, carry_vec=True
+    )
+    all_probed = (
+        np.unique(np.concatenate(probed)) if nq else np.zeros(0, dtype=np.int64)
+    )
+
+    def adc_batches(batches):
+        for pdf in batches:
+            if nq == 0 or len(pdf) == 0:
+                continue
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bcell = pdf["cidx"].to_numpy(dtype=np.int64)
+            routed = np.isin(bcell, all_probed)
+            if not routed.any():
+                continue
+            nid, bcell = nid[routed], bcell[routed]
+            vmat = np.vstack(pdf["v"].to_numpy()[routed]).astype(np.float64)
+            approx = np.zeros((len(nid), nq), dtype=np.int64)
+            for s in range(m):
+                d2 = _d2_int(_sub(vmat, s), _sub(cent_mat, s))
+                code = np.argmin(d2, axis=1)  # cid-ascending == tie-break
+                approx += lut[:, s, code].T
+            out_q, out_n, out_d = [], [], []
+            for i in range(nq):
+                mask = np.isin(bcell, probed[i]) & (nid != qids[i])
+                cn, cd = nid[mask], approx[mask, i]
+                top = np.lexsort((cn, cd))[:rerank]
+                out_q.extend([qids[i]] * len(top))
+                out_n.extend(cn[top])
+                out_d.extend(cd[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "doc_id": np.asarray(out_n, dtype=np.int64),
+                    "approx_d2": np.asarray(out_d, dtype=np.int64),
+                }
+            )
+
+    adc = cells.select("vec_id", "cidx", "v").mapInPandas(
+        adc_batches, schema="query_id long, doc_id long, approx_d2 long"
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("doc_id"))
+    cand = (
+        adc.withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= rerank)
+        .select("query_id", "doc_id")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cvec"))
+    scored = c.join(
+        F.broadcast(cand.join(F.broadcast(q), "query_id")), "doc_id"
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def knn_ivf_pq_sql(
+    k: int,
+    nprobe: int | str,
+    m: int,
+    sub_dim: int,
+    ksub: int,
+    rerank: int | str,
+    query_pred: str,
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of :func:`knn_ivf_pq` — the IVF training CTEs
+    (knn_ivf_sql's head), the seeded PQ codebook, codes, LUTs, and an ADC
+    restricted to the routed (query, doc) candidate pairs, ending in the
+    same exact re-rank. Drift anywhere — quantizer training, probe
+    ranking, code assignment, LUT sums — becomes a driver hash
+    mismatch."""
+    if nprobe == "auto":
+        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+        np_sql = f"(SELECT GREATEST(11, 6 + 5 * ({d_sql})))"
+    else:
+        np_sql = str(int(nprobe))
+    if rerank == "auto":
+        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+        rr_sql = f"(SELECT 20 + 65 * ({d_sql}))"
+    else:
+        rr_sql = str(int(rerank))
+    slice_expr = (
+        "list_slice(CAST(embedding AS DOUBLE[]), s * {sd} + 1, s * {sd} + {sd})"
+    ).format(sd=sub_dim)
+    cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
+    d2 = _L2SQ_FP_SQL.format(a="d.dvec", b="c.cvec")
+    qd2 = _L2SQ_FP_SQL.format(a="q.qvec", b="c.cvec")
+    cos = COSINE_SQL.format(a="qv.embedding", b="cv.embedding")
+    ctes = ivf_train_sql_ctes(n_centroids=n_centroids, iters=iters, seed=seed)
+    ctes.append(
+        f"cells AS (SELECT vec_id AS doc_id, cidx FROM assign{iters} WHERE rn = 1)"
+    )
+    ctes.append(
+        f"""probe_rank AS (
+      SELECT v.vec_id AS query_id, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_v} DESC, c.cidx ASC) AS rn
+      FROM valid v CROSS JOIN cent{iters} c
+      WHERE ({query_pred.format(col='v.vec_id')})
+    )"""
+    )
+    ctes.append(
+        f"probes AS (SELECT query_id, cidx FROM probe_rank WHERE rn <= ({np_sql}))"
+    )
+    ctes.append(
+        """routed AS (
+      SELECT p.query_id, cells.doc_id
+      FROM probes p JOIN cells ON p.cidx = cells.cidx
+      WHERE p.query_id <> cells.doc_id
+    )"""
+    )
+    ctes.append(f"subspaces AS (SELECT unnest(range(0, {m})) AS s)")
+    ctes.append(
+        f"""cents AS (
+      SELECT vec_id AS cid, s, {slice_expr} AS cvec
+      FROM embeddings CROSS JOIN subspaces WHERE vec_id < {ksub}
+    )"""
+    )
+    ctes.append(
+        f"""docsub AS (
+      SELECT vec_id AS doc_id, s, {slice_expr} AS dvec
+      FROM embeddings CROSS JOIN subspaces
+      WHERE vec_id IN (SELECT DISTINCT doc_id FROM routed)
+    )"""
+    )
+    ctes.append(
+        f"""codes AS (
+      SELECT doc_id, s, cid AS code FROM (
+        SELECT d.doc_id, d.s, c.cid,
+               row_number() OVER (PARTITION BY d.doc_id, d.s
+                                  ORDER BY {d2} ASC, c.cid ASC) AS rn
+        FROM docsub d JOIN cents c ON d.s = c.s
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""qsub AS (
+      SELECT vec_id AS query_id, s, {slice_expr} AS qvec
+      FROM embeddings CROSS JOIN subspaces
+      WHERE ({query_pred.format(col='vec_id')})
+    )"""
+    )
+    ctes.append(
+        f"""lut AS (
+      SELECT q.query_id, q.s, c.cid, {qd2} AS qd2
+      FROM qsub q JOIN cents c ON q.s = c.s
+    )"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT r.query_id, r.doc_id, SUM(l.qd2) AS approx_d2
+      FROM routed r
+      JOIN codes cd ON cd.doc_id = r.doc_id
+      JOIN lut l ON l.query_id = r.query_id AND l.s = cd.s AND l.cid = cd.code
+      GROUP BY r.query_id, r.doc_id
+    )"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d2 ASC, doc_id ASC) AS crn
+        FROM adc
+      ) WHERE crn <= ({rr_sql})
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT ca.query_id,
+             ca.doc_id AS neighbor_id,
+             {cos} AS cos_sim,
+             row_number() OVER (PARTITION BY ca.query_id
+                                ORDER BY {cos} DESC, ca.doc_id ASC) AS rank
+      FROM cand ca
+      JOIN embeddings qv ON qv.vec_id = ca.query_id
+      JOIN embeddings cv ON cv.vec_id = ca.doc_id
+    ) WHERE rank <= {k}
+    """

@@ -60,6 +60,7 @@ _BF_TIERS: tuple[tuple[str, int, int], ...] = (
     ("knn_lsh_bucketed", _KNN_NQ, _KNN_K),
     ("knn_ivf", _KNN_NQ, _KNN_K),
     ("knn_pq_adc", _KNN_NQ, _KNN_K),
+    ("knn_ivf_pq", _KNN_NQ, _KNN_K),
     ("knn_jl_rerank", analytics_r4d._JL_Q, analytics_r4d._JL_K),
 )
 _INT8_NQ = similarity_queries.INT8_NQ

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from slr207_mapreduce_spark.operators.similarity import (
     knn_pq_adc,
     knn_pq_adc_sql,
+    knn_ivf_pq,
+    knn_ivf_pq_sql,
     cosine_neardup_pairs,
     cosine_neardup_sql,
     knn_bruteforce,
@@ -325,4 +327,34 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq_adc(
         e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, m=8, sub_dim=8,
         ksub=16, rerank="auto",
+    )
+
+
+@register(
+    "knn_ivf_pq",
+    oracle=knn_ivf_pq_sql(
+        k=KNN_K, nprobe="auto", m=8, sub_dim=8, ksub=16, rerank="auto",
+        query_pred=f"{{col}} < {_N_QUERIES}",
+    ),
+    doc="IVF-PQ composed ANN top-5 — the standard billion-scale index "
+    "shape (FAISS IndexIVFPQ), new in r13: the trained fixed-point coarse "
+    "quantizer ROUTES each query to its auto-dialed nprobe cells, PQ-ADC "
+    "integer LUT sums score ONLY the routed lists, and an exact cosine "
+    "re-rank of the auto-scaled shortlist yields the top-k. The "
+    "composition is what neither parent has alone: knn_ivf bounds the "
+    "candidate set (nprobe/k of the corpus) but scores full-width "
+    "vectors; knn_pq_adc bounds bytes-per-score (64 f32 dims -> 8 codes) "
+    "but scans everything. One Arrow-batched corpus pass builds cells + "
+    "codes with the routing mask applied in-batch; the oracle replays "
+    "the ENTIRE index — quantizer training, probe ranking, codes, LUTs, "
+    "routed ADC, re-rank. With nprobe >= n_centroids the output is "
+    "bit-identical to knn_pq_adc (routing only prunes; pinned by test). "
+    "Recall audited by knn_recall_report.",
+    tags=("similarity",),
+)
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return knn_ivf_pq(
+        e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, nprobe="auto",
+        m=8, sub_dim=8, ksub=16, rerank="auto",
     )

@@ -678,3 +678,39 @@ def test_ngram_jaccard_prefix_filter_parity_and_skew_rationale(spark):
         .where(F.col("rn") <= F.col("sz") - F.floor(0.5 * F.col("sz")) + 1)
     )
     assert prefix.where(F.col("df") == 400).count() == 0
+
+
+def test_ivf_pq_all_cells_probed_equals_pq_adc(spark):
+    """knn_ivf_pq's routing stage only ever PRUNES: with nprobe >= the
+    cell count every list is probed, the candidate set equals knn_pq_adc's
+    (all valid corpus rows), and the output must be BIT-IDENTICAL at the
+    same codebook/rerank config. Also: the auto-config result's candidates
+    must honor the routing (a smoke recall floor via the probed fraction)."""
+    from slr207_mapreduce_spark.operators.similarity import (
+        auto_ivf_centroids,
+        knn_ivf_pq,
+        knn_pq_adc,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    e = load_table(spark, "embeddings", SF_CORRECT)
+    q = e.where(F.col("vec_id") < 10)
+    n_cells = auto_ivf_centroids(e.count())
+    full = {
+        tuple(r)
+        for r in knn_ivf_pq(
+            e, q, k=5, nprobe=n_cells, m=8, sub_dim=8, ksub=16, rerank=40
+        ).collect()
+    }
+    pq = {
+        tuple(r)
+        for r in knn_pq_adc(
+            e, q, k=5, m=8, sub_dim=8, ksub=16, rerank=40
+        ).collect()
+    }
+    assert full == pq and len(full) == 50
+    # pruned config still returns a full top-k per query
+    pruned = knn_ivf_pq(e, q, k=5, nprobe=3, m=8, sub_dim=8, ksub=16, rerank=40)
+    counts = {r.query_id: r.rank for r in pruned.collect() if r.rank == 5}
+    assert len(counts) == 10
