@@ -62,6 +62,10 @@ CHAOS_QUERIES = (
     # collect) + the within-cell pair kernel — the training collect's
     # tasks are themselves killed once
     "dedup_semantic_semdedup",
+    # r13: the composed IVF-PQ index — driver-side training collect,
+    # probe ranking, and the fused cells+codes ADC kernel all retried;
+    # retries must not desync the routing mask from the LUTs
+    "knn_ivf_pq",
 )
 
 
