@@ -460,9 +460,19 @@ def main() -> int:
 
             a_passes: list[dict] = []
             b_passes: list[dict] = []
-            for _rep in range(max(1, reps)):
-                a_passes.append(aba_pass(repo))
-                b_passes.append(aba_pass(wt))
+            try:
+                for _rep in range(max(1, reps)):
+                    a_passes.append(aba_pass(repo))
+                    b_passes.append(aba_pass(wt))
+            finally:
+                # a timed-out/failed pass must not leave a full detached
+                # checkout registered in `git worktree list` (r13 review)
+                subprocess.run(
+                    ["git", "worktree", "remove", "--force", wt],
+                    cwd=repo,
+                    capture_output=True,
+                    text=True,
+                )
             a_min = min(p["total"] for p in a_passes)
             b_min = min(p["total"] for p in b_passes)
             out["aba"] = {
@@ -482,12 +492,6 @@ def main() -> int:
                 # round-over-round number that IS valid under host drift
                 "ratio": round(a_min / max(1e-9, b_min), 3),
             }
-            subprocess.run(
-                ["git", "worktree", "remove", "--force", wt],
-                cwd=repo,
-                capture_output=True,
-                text=True,
-            )
         except Exception as e:  # the ABA must never break the headline bench
             out["aba"] = {"error": f"{type(e).__name__}: {e}"}
 

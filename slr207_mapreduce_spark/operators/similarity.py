@@ -327,6 +327,22 @@ def auto_lsh_tables_multiprobe(n_corpus: int) -> int:
     return min(MAX_AUTO_LSH_TABLES_MP, 6 + 2 * budget_doublings(n_corpus))
 
 
+def auto_ivf_nprobe_sql() -> str:
+    """DuckDB mirror of :func:`auto_ivf_nprobe` over the embeddings view —
+    ONE definition shared by every SQL builder that probes IVF cells
+    (knn_ivf_sql, knn_ivf_pq_sql), so a dial recalibration cannot drift
+    between oracles (r13 review)."""
+    d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+    return f"(SELECT GREATEST(11, 6 + 5 * ({d_sql})))"
+
+
+def auto_pq_rerank_sql() -> str:
+    """DuckDB mirror of :func:`auto_pq_rerank` over the embeddings view —
+    shared by knn_pq_adc_sql and knn_ivf_pq_sql (r13 review)."""
+    d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+    return f"(SELECT 20 + 65 * ({d_sql}))"
+
+
 def auto_ivf_nprobe(n_corpus: int) -> int:
     """max(11, 6 + 5 per doubling) — the base dial recalibrated for the
     TRAINED bounded-k quantizer (r12) plus a small-corpus floor (r13,
@@ -1090,14 +1106,7 @@ def knn_ivf_sql(
     empty/all-zero keep rule), the inverted lists, probes, and the exact
     re-rank — all replayed as plain SQL, so centroid drift anywhere in
     training becomes a driver hash mismatch."""
-    if nprobe == "auto":
-        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
-        # GREATEST(11, ...) is the small-corpus recall floor — keep in
-        # lockstep with auto_ivf_nprobe (same integer on both engines,
-        # swept by tests/test_llm_ops.py::test_auto_budget_dials_match_sql)
-        np_sql = f"(SELECT GREATEST(11, 6 + 5 * ({d_sql})))"
-    else:
-        np_sql = str(int(nprobe))
+    np_sql = auto_ivf_nprobe_sql() if nprobe == "auto" else str(int(nprobe))
     cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
     ctes = ivf_train_sql_ctes(n_centroids=n_centroids, iters=iters, seed=seed)
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
@@ -1672,31 +1681,12 @@ def knn_pq_adc(
         _cent_ids, cent_mat = _collect_mat(corpus.where(F.col(id_col) < ksub))
         cent_subs = None  # sliced lazily below (keeps the seeded path intact)
 
-    def _seq_dots(a, b):
-        """Pairwise dots with dimension-sequential accumulation (== the
-        aggregate() fold, bitwise). a: (n, d), b: (k, d) -> (n, k)."""
-        acc = np.zeros((a.shape[0], b.shape[0]))
-        for j in range(a.shape[1]):
-            acc += a[:, j : j + 1] * b.T[j : j + 1, :]
-        return acc
-
     def _sub(mat, s):
         return mat[:, s * sub_dim : (s + 1) * sub_dim]
 
-    def _self_dot(mat):
-        acc = np.zeros(mat.shape[0])
-        for j in range(mat.shape[1]):
-            acc += mat[:, j] * mat[:, j]
-        return acc
-
-    def _d2_int(a, b):
-        """floor(((aa - 2ab) + bb) * 1e9) as int64, IEEE order preserved."""
-        ab = _seq_dots(a, b)
-        aa = _self_dot(a)
-        bb = _self_dot(b)
-        return np.floor(((aa[:, None] - 2.0 * ab) + bb[None, :]) * 1e9).astype(
-            np.int64
-        )
+    # nano-int PQ distance: the ONE module-level kernel (_np_d2_int),
+    # shared with knn_ivf_pq and the _L2SQ_FP_SQL oracle twin (r13 review)
+    _d2_int = _np_d2_int
 
     def _csub(s):
         return cent_subs[s] if cent_subs is not None else _sub(cent_mat, s)
@@ -1780,8 +1770,7 @@ def knn_pq_adc_sql(
     replay from :func:`pq_train_sql_ctes` — codebook drift anywhere in
     training becomes a driver hash mismatch."""
     if rerank == "auto":
-        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
-        rerank = f"(SELECT 20 + 65 * ({d_sql}))"
+        rerank = auto_pq_rerank_sql()
     slice_expr = (
         "list_slice(CAST(embedding AS DOUBLE[]), s * {sd} + 1, s * {sd} + {sd})"
     ).format(sd=sub_dim)
@@ -1893,9 +1882,16 @@ def knn_ivf_pq(
     (int64 nano-units), shortlist tie-breaks, and the exact re-rank all
     reuse the knn_ivf / knn_pq_adc fixed-point formulations, so
     :func:`knn_ivf_pq_sql` replays the ENTIRE index — training included —
-    and the driver hash-checks it. With ``nprobe >= n_centroids`` the
-    result is IDENTICAL to knn_pq_adc at the same codebook/rerank config
-    (pinned by test — the routing stage only ever PRUNES)."""
+    and the driver hash-checks it. On a corpus with no zero-norm /
+    non-finite vectors, ``nprobe >= n_centroids`` makes the result
+    IDENTICAL to knn_pq_adc at the same codebook/rerank config (pinned by
+    test — the routing stage only ever PRUNES). On a DIRTY corpus the two
+    intentionally diverge: knn_pq_adc ADC-scans every row, so a zero-norm
+    row reaching its exact re-rank divides by zero (RAISES under ANSI,
+    Spark 4's default; rides NaN-greatest ordering with ANSI off), while
+    this operator's candidates come from the IVF lists, which exclude
+    invalid rows by the family contract — the composed index returns a
+    correct top-k on data that breaks the flat scan (pinned)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -1936,18 +1932,12 @@ def knn_ivf_pq(
     def _sub(mat_, s):
         return mat_[:, s * sub_dim : (s + 1) * sub_dim]
 
-    def _d2_int(a, b):
-        ab = np.zeros((a.shape[0], b.shape[0]))
-        for j in range(a.shape[1]):
-            ab += a[:, j : j + 1] * b.T[j : j + 1, :]
-        aa = _np_seq_self_dot(a)
-        bb = _np_seq_self_dot(b)
-        return np.floor(((aa[:, None] - 2.0 * ab) + bb[None, :]) * 1e9).astype(
-            np.int64
-        )
-
+    # _np_d2_int: the ONE module-level nano-int PQ distance kernel (shared
+    # with knn_pq_adc's SQL twin _L2SQ_FP_SQL — r13 review: no local copies)
     lut = (
-        np.stack([_d2_int(_sub(qmat, s), _sub(cent_mat, s)) for s in range(m)], axis=1)
+        np.stack(
+            [_np_d2_int(_sub(qmat, s), _sub(cent_mat, s)) for s in range(m)], axis=1
+        )
         if nq
         else np.zeros((0, m, len(crows)), dtype=np.int64)
     )
@@ -1974,7 +1964,7 @@ def knn_ivf_pq(
             vmat = np.vstack(pdf["v"].to_numpy()[routed]).astype(np.float64)
             approx = np.zeros((len(nid), nq), dtype=np.int64)
             for s in range(m):
-                d2 = _d2_int(_sub(vmat, s), _sub(cent_mat, s))
+                d2 = _np_d2_int(_sub(vmat, s), _sub(cent_mat, s))
                 code = np.argmin(d2, axis=1)  # cid-ascending == tie-break
                 approx += lut[:, s, code].T
             out_q, out_n, out_d = [], [], []
@@ -2042,16 +2032,8 @@ def knn_ivf_pq_sql(
     same exact re-rank. Drift anywhere — quantizer training, probe
     ranking, code assignment, LUT sums — becomes a driver hash
     mismatch."""
-    if nprobe == "auto":
-        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
-        np_sql = f"(SELECT GREATEST(11, 6 + 5 * ({d_sql})))"
-    else:
-        np_sql = str(int(nprobe))
-    if rerank == "auto":
-        d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
-        rr_sql = f"(SELECT 20 + 65 * ({d_sql}))"
-    else:
-        rr_sql = str(int(rerank))
+    np_sql = auto_ivf_nprobe_sql() if nprobe == "auto" else str(int(nprobe))
+    rr_sql = auto_pq_rerank_sql() if rerank == "auto" else str(int(rerank))
     slice_expr = (
         "list_slice(CAST(embedding AS DOUBLE[]), s * {sd} + 1, s * {sd} + {sd})"
     ).format(sd=sub_dim)

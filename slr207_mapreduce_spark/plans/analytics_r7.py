@@ -150,11 +150,18 @@ def semdedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _crossmodal_edges_path(sf_dir: str) -> str:
-    """Deterministic per-SF staging location for the materialized edge
-    sets — overwritten on each invocation (idempotent, bounded disk)."""
+    """Staging location for the materialized edge sets — deterministic
+    per (SF, user, process) and overwritten on each invocation
+    (idempotent, bounded disk). The uid+pid key keeps concurrent sessions
+    from clobbering each other's store mid-read (r13 review): two
+    processes building this query for the same sf_dir get disjoint
+    stores, while within one process (build -> collect -> the layout
+    test) the path is stable."""
     import hashlib
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.getuid()}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
     return os.path.join(
         tempfile.gettempdir(), f"slr207_crossmodal_edges_{key}"
     )
@@ -186,6 +193,11 @@ def pipeline_crossmodal_dedup_materialized(
     from slr207_mapreduce_spark.operators.graph import connected_components
     from slr207_mapreduce_spark.plans.analytics_r6 import crossmodal_edge_sets
 
+    # NOTE: building this query RUNS the staging write (the operator's
+    # whole point is write-once semantics) — the returned plan is the
+    # closure over the stored union, so plan-only consumers see the
+    # staged-parquet scan; the three modality generators' plans are
+    # audited under their own registered queries.
     sets = crossmodal_edge_sets(spark, sf_dir)
     staged = None
     for modality, df in sets.items():

@@ -714,3 +714,29 @@ def test_ivf_pq_all_cells_probed_equals_pq_adc(spark):
     pruned = knn_ivf_pq(e, q, k=5, nprobe=3, m=8, sub_dim=8, ksub=16, rerank=40)
     counts = {r.query_id: r.rank for r in pruned.collect() if r.rank == 5}
     assert len(counts) == 10
+
+
+def test_ivf_pq_excludes_invalid_corpus_rows_where_pq_adc_chokes(spark):
+    """The equality invariant above is scoped to CLEAN corpora by design:
+    knn_ivf_pq's candidates come from the IVF lists (zero-norm/non-finite
+    excluded by the family contract), while knn_pq_adc ADC-scans every
+    row — and a zero-norm row reaching its exact re-rank divides by zero,
+    which under ANSI mode (Spark 4 default) RAISES. Pin the intended
+    divergence: the composed index quietly returns a correct top-k with
+    the invalid row excluded; the flat PQ scan fails on the same data."""
+    import pytest as _pytest
+
+    from slr207_mapreduce_spark.operators.similarity import knn_ivf_pq, knn_pq_adc
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(16)]) for i in range(30)]
+    rows.append((99, [0.0] * 16))  # zero-norm corpus row
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.where(F.col("vec_id") == 0)
+    kw = dict(k=3, m=4, sub_dim=4, ksub=8, rerank=31)
+    composed = {r.neighbor_id for r in knn_ivf_pq(e, q, nprobe=64, **kw).collect()}
+    assert 99 not in composed
+    assert len(composed) == 3
+    # rerank=31 guarantees the zero-norm row reaches knn_pq_adc's exact
+    # cosine stage: DIVIDE_BY_ZERO under ANSI
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
+        knn_pq_adc(e, q, **kw).collect()

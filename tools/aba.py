@@ -35,7 +35,16 @@ def main() -> int:
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
-    sys.path.insert(0, os.path.abspath(args.root))
+    root = os.path.abspath(args.root)
+    args.sf = os.path.abspath(args.sf)  # resolve BEFORE the chdir below
+    sys.path.insert(0, root)
+    # Workers must resolve the package from --root too: PySpark's local
+    # daemon inherits cwd + PYTHONPATH from the driver process, and a
+    # kernel that references a module-level helper would otherwise import
+    # the WORKING tree's code inside the reference-tree pass, biasing the
+    # A/B ratio toward 1.0 (r13 review).
+    os.chdir(root)
+    os.environ["PYTHONPATH"] = root + os.pathsep + os.environ.get("PYTHONPATH", "")
     from slr207_mapreduce_spark.plans.base import all_queries
     from slr207_mapreduce_spark.session import get_session
 
