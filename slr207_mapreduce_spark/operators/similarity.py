@@ -2134,3 +2134,213 @@ def knn_ivf_pq_sql(
       JOIN embeddings cv ON cv.vec_id = ca.doc_id
     ) WHERE rank <= {k}
     """
+
+
+def knn_graph_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    nprobe: int | str = "auto",
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide kNN GRAPH: the IVF-routed top-k neighbors of EVERY
+    vector — no driver-side query collect anywhere, both sides of the
+    search fully distributed.
+
+    Every other knn tier in this engine takes a bounded query set (the
+    probe stage collects it); the operator a 100 TB curation run actually
+    needs for kNN-graph dedup, clustering, and connectivity analysis is
+    all-rows-as-queries. Here the routing stage is itself an Arrow-batched
+    corpus pass: each row ranks the broadcast centroids (<= 256 vectors,
+    ~128 KiB) with the same lexsort tie-break as the oracle's ROW_NUMBER
+    and emits its nprobe (cell, row) probe pairs. Probes and inverted
+    lists then meet in ONE per-cell ``applyInPandas`` kernel (members vs
+    probing queries, sequential-in-j cosine, local top-k), and a global
+    window reduces the per-cell winners — each neighbor lives in exactly
+    one cell, so per-cell top-k followed by global top-k is EXACT over
+    the routed candidate set.
+
+    Scale shape: the probe shuffle moves nprobe copies of the corpus
+    vectors — the IVF-graph's inherent cost (at 100 TB you materialize
+    the lists partitioned by cell once and stream query batches per
+    cell; the sink path for that layout is pinned in
+    tests/test_layout_runtime.py). Per-cell work is
+    O(|cell| · |probes into cell| · d) and total graph compute is
+    ~nprobe · N · (N / n_cells) · d, so — unlike the bounded-|Q| search
+    tiers, where the 256-centroid cap exists to bound the BROADCAST —
+    the GRAPH needs n_centroids to keep scaling with N: once cells cap,
+    per-cell membership grows linearly and the graph goes quadratic.
+    Measured at emb_sf10 (200k vectors): the capped auto default (256
+    cells, nprobe 46) exceeds 10 minutes, while n_centroids=1024 /
+    nprobe=16 builds the full graph in 115 s (SCALE.md round-13) —
+    n_centroids is the first knob a graph run at scale must set. The
+    rank exchange sees N·nprobe·k rows, never N².
+
+    Zero-norm / non-finite vectors appear on NEITHER side (the family's
+    exclusion contract: they are not in the lists, and a graph node with
+    an undefined ranking has no row here — unlike the bounded-|Q| tiers,
+    which raise, a corpus-wide graph must tolerate dirty rows).
+
+    Fully oracle-replayed by :func:`knn_graph_ivf_sql` — training, every
+    row's probe ranking, candidates, exact cosines, top-k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    n_corpus = emb.count()
+    if nprobe == "auto":
+        nprobe = auto_ivf_nprobe(n_corpus)
+    cidx, cint = ivf_train_centroids(
+        emb, n_centroids=n_centroids, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, n_corpus=n_corpus,
+    )
+    cmat = cint.astype(np.float64) * 1e-6
+    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
+    cells = ivf_assign_cells(
+        emb, cidx, cint, id_col=id_col, vec_col=vec_col, carry_vec=True
+    )
+
+    np_probe = int(nprobe)
+
+    def probe_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(cidx) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(ids), len(cidx)))
+            for j in range(vmat.shape[1]):
+                dots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
+            nrm = np.sqrt(_np_seq_self_dot(vmat))
+            # rows here come from the lists — valid by construction
+            ccos = dots / (nrm[:, None] * cnorm[None, :])
+            out_c, out_i, out_v = [], [], []
+            for i in range(len(ids)):
+                top = np.lexsort((cidx, -ccos[i]))[:np_probe]
+                for c in cidx[top]:
+                    out_c.append(int(c))
+                    out_i.append(ids[i])
+                    out_v.append(pdf["v"].iloc[i])
+            yield pd.DataFrame(
+                {"cidx": out_c, "vec_id": out_i, "v": out_v}
+            )
+
+    probes = cells.select("vec_id", "v").mapInPandas(
+        probe_batches, schema="cidx long, vec_id long, v array<double>"
+    )
+    tagged = cells.select(
+        "cidx", "vec_id", "v", F.lit(False).alias("is_query")
+    ).unionByName(
+        probes.select("cidx", "vec_id", "v", F.lit(True).alias("is_query"))
+    )
+
+    def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        qm = pdf[pdf["is_query"]]
+        mm = pdf[~pdf["is_query"]]
+        if len(qm) == 0 or len(mm) == 0:
+            return empty
+        qid = qm["vec_id"].to_numpy(dtype=np.int64)
+        mid = mm["vec_id"].to_numpy(dtype=np.int64)
+        qmat = np.vstack(qm["v"].to_numpy()).astype(np.float64)
+        mmat = np.vstack(mm["v"].to_numpy()).astype(np.float64)
+        dots = np.zeros((len(qid), len(mid)))
+        for j in range(qmat.shape[1]):
+            dots += qmat[:, j : j + 1] * mmat.T[j : j + 1, :]
+        qn = np.sqrt(_np_seq_self_dot(qmat))
+        mn = np.sqrt(_np_seq_self_dot(mmat))
+        cos = dots / (qn[:, None] * mn[None, :])
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(qid)):
+            mask = mid != qid[i]
+            cn, cc = mid[mask], cos[i, mask]
+            top = np.lexsort((cn, -cc))[:k]
+            out_q.extend([qid[i]] * len(top))
+            out_n.extend(cn[top])
+            out_c.extend(cc[top])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "cos_sim": np.asarray(out_c, dtype=np.float64),
+            }
+        )
+
+    local = tagged.groupBy("cidx").applyInPandas(
+        cell_topk, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def knn_graph_ivf_sql(
+    k: int,
+    nprobe: int | str,
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of :func:`knn_graph_ivf` — knn_ivf_sql with the
+    query side widened to the whole valid corpus."""
+    np_sql = auto_ivf_nprobe_sql() if nprobe == "auto" else str(int(nprobe))
+    cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
+    cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    ctes = ivf_train_sql_ctes(n_centroids=n_centroids, iters=iters, seed=seed)
+    ctes.append(
+        f"cells AS (SELECT vec_id, cidx FROM assign{iters} WHERE rn = 1)"
+    )
+    ctes.append(
+        f"""gprobe_rank AS (
+      SELECT v.vec_id AS query_id, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_v} DESC, c.cidx ASC) AS rn
+      FROM valid v CROSS JOIN cent{iters} c
+    )"""
+    )
+    ctes.append(
+        f"gprobes AS (SELECT query_id, cidx FROM gprobe_rank WHERE rn <= ({np_sql}))"
+    )
+    ctes.append(
+        """gcand AS (
+      SELECT p.query_id, cells.vec_id AS neighbor_id
+      FROM gprobes p JOIN cells ON p.cidx = cells.cidx
+      WHERE p.query_id <> cells.vec_id
+    )"""
+    )
+    ctes.append(
+        f"""gscored AS (
+      SELECT gcand.query_id, gcand.neighbor_id, {cos} AS cos_sim
+      FROM gcand
+      JOIN embeddings q ON q.vec_id = gcand.query_id
+      JOIN embeddings c ON c.vec_id = gcand.neighbor_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM gscored
+    ) WHERE rank <= {k}
+    """

@@ -96,10 +96,11 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "join_salted",
     "events_sessionization",
     # --- new this round (never adjudicated; stalest by definition) ---
+    "knn_graph_ivf",
     "knn_ivf_pq",
     "pipeline_crossmodal_dedup_materialized",
     "semdedup_recall_report",
-    # --- the 42 remaining stalest: the r07 adjudication block (setop-era
+    # --- the 41 remaining stalest: the r07 adjudication block (setop-era
     # agg_*, asof_*, events_*, pipeline_*, scalar_*, udf/udtf, pivot,
     # scd2, text_bpe) then the r08 head, in (round, name) order ---
     "agg_bitwise_bool",
@@ -143,7 +144,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "udtf_inline_structs",
     "udtf_stack_measures",
     "unpivot_lineitem_measures",
-    "dedup_cdc_chunks",
 )
 
 

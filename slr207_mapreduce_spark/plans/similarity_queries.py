@@ -11,6 +11,8 @@ from slr207_mapreduce_spark.operators.similarity import (
     knn_pq_adc_sql,
     knn_ivf_pq,
     knn_ivf_pq_sql,
+    knn_graph_ivf,
+    knn_graph_ivf_sql,
     cosine_neardup_pairs,
     cosine_neardup_sql,
     knn_bruteforce,
@@ -358,3 +360,28 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.where(F.col("vec_id") < _N_QUERIES), k=KNN_K, nprobe="auto",
         m=8, sub_dim=8, ksub=16, rerank="auto",
     )
+
+
+@register(
+    "knn_graph_ivf",
+    oracle=knn_graph_ivf_sql(k=KNN_K, nprobe="auto"),
+    doc="Corpus-wide kNN GRAPH (new, r13): the IVF-routed top-5 neighbors "
+    "of EVERY vector, with no driver-side query collect — the operator a "
+    "100 TB curation run needs for kNN-graph dedup, clustering, and "
+    "connectivity, where all rows are queries. Routing is itself an "
+    "Arrow-batched corpus pass (each row ranks the broadcast <= 256 "
+    "trained centroids with the oracle's exact tie-break and emits its "
+    "nprobe probe pairs); probes meet the inverted lists in ONE per-cell "
+    "applyInPandas kernel (members x probing queries, sequential-in-j "
+    "cosine, local top-k — exact over the routed candidates because "
+    "every neighbor lives in exactly one cell); a global window reduces "
+    "per-cell winners. The probe shuffle moves nprobe corpus copies — "
+    "the IVF-graph's inherent cost, paid instead of the N^2 a "
+    "bruteforce graph would need. Invalid vectors appear on neither "
+    "side (exclusion contract). The oracle replays training, every "
+    "row's probe ranking, candidates, and the exact re-rank.",
+    tags=("similarity", "graph", "pipeline"),
+)
+def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return knn_graph_ivf(e, k=KNN_K, nprobe="auto")

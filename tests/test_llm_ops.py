@@ -740,3 +740,41 @@ def test_ivf_pq_excludes_invalid_corpus_rows_where_pq_adc_chokes(spark):
     # cosine stage: DIVIDE_BY_ZERO under ANSI
     with _pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
         knn_pq_adc(e, q, **kw).collect()
+
+
+def test_knn_graph_ivf_invariants_and_recall(spark):
+    """Corpus-wide kNN graph: no self-edges, contiguous ranks, <= k rows
+    per node, EVERY valid vector present as a query (the all-rows-as-
+    queries property that distinguishes it from the bounded-|Q| tiers),
+    and recall vs the exact numpy graph at or above the per-query IVF
+    figure's neighborhood."""
+    import numpy as np
+
+    from slr207_mapreduce_spark.operators.similarity import knn_graph_ivf
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    e = load_table(spark, "embeddings", SF_CORRECT)
+    rows = knn_graph_ivf(e, k=5).collect()
+    byq = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        byq.setdefault(r.query_id, []).append(r.rank)
+    assert len(byq) == e.count()  # every vector is a query
+    for q, ranks in byq.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    # exact graph (numpy, sequential-fold not required for set recall)
+    t = e.selectExpr("vec_id", "CAST(embedding AS array<double>) AS v").collect()
+    ids = np.array([r.vec_id for r in t])
+    mat = np.array([r.v for r in t])
+    nrm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(cos, -np.inf)
+    exact = set()
+    for i in range(len(ids)):
+        top = np.lexsort((ids, -cos[i]))[:5]
+        exact.update((int(ids[i]), int(ids[j])) for j in top)
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"graph recall {recall:.2%} below floor"
