@@ -96,11 +96,12 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "join_salted",
     "events_sessionization",
     # --- new this round (never adjudicated; stalest by definition) ---
+    "dedup_semantic_knn_graph",
     "knn_graph_ivf",
     "knn_ivf_pq",
     "pipeline_crossmodal_dedup_materialized",
     "semdedup_recall_report",
-    # --- the 41 remaining stalest: the r07 adjudication block (setop-era
+    # --- the 40 remaining stalest: the r07 adjudication block (setop-era
     # agg_*, asof_*, events_*, pipeline_*, scalar_*, udf/udtf, pivot,
     # scd2, text_bpe) then the r08 head, in (round, name) order ---
     "agg_bitwise_bool",
@@ -143,7 +144,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "udf_map_in_arrow",
     "udtf_inline_structs",
     "udtf_stack_measures",
-    "unpivot_lineitem_measures",
 )
 
 

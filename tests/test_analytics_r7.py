@@ -117,3 +117,31 @@ def test_crossmodal_materialized_matches_from_raw(spark):
     path = _crossmodal_edges_path(SF_SMOKE)
     parts = {d for d in os.listdir(path) if d.startswith("modality=")}
     assert parts == {"modality=text", "modality=image", "modality=embedding"}
+
+
+def test_knn_graph_dedup_consistency_and_semdedup_complement(spark):
+    """Graph-based semantic dedup: the output is a valid dedup verdict
+    (kept iff the node is its cluster's min id; every vector present
+    exactly once; cluster ids are reachable min labels), and at the same
+    tau it recovers at least as many duplicate drops as SemDeDup on the
+    clustered fixture — the cross-cell pairs semdedup_recall_report
+    showed SemDeDup structurally misses are exactly what the routed
+    graph adds."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from tools.make_sf import ensure_emb_clustered
+
+    specs = all_queries()
+    d = ensure_emb_clustered(os.path.join(os.path.dirname(__file__), ".."), n=500, k=16)
+    rows = specs["dedup_semantic_knn_graph"].build(spark, d).collect()
+    assert len(rows) == 500 and len({r.vec_id for r in rows}) == 500
+    clusters = {}
+    for r in rows:
+        assert r.cluster_id <= r.vec_id  # min-label: root never exceeds member
+        assert r.kept == (r.vec_id == r.cluster_id)
+        clusters.setdefault(r.cluster_id, []).append(r.vec_id)
+    for root, members in clusters.items():
+        assert min(members) == root
+    graph_dropped = sum(1 for r in rows if not r.kept)
+    sd = specs["dedup_semantic_semdedup"].build(spark, d).collect()
+    sd_dropped = sum(1 for r in sd if not r.kept)
+    assert graph_dropped >= sd_dropped > 0, (graph_dropped, sd_dropped)
