@@ -57,24 +57,23 @@ def register(
 # agg/events/udf/warehouse rotation, r08 the adjudication endgame (each
 # 50/50 green; cumulative 230/251 after r08 per VERDICT r08).
 #
-# Round 13 (this list): the fourth FRESHNESS rotation. Policy, pinned by
+# Round 14 (this list): the fifth FRESHNESS rotation. Policy, pinned by
 # tests/test_oracle.py::test_driver_sample_rotation: the 45 non-sentinel
 # slots are EXACTLY the 45 stalest registry names under the deterministic
 # order (last-adjudicated round, name) with never-adjudicated names
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
-# For r13 (computed by tools/rotation.py over CORRECTNESS_r01..r12) that
-# is any never-adjudicated r13 additions first (stalest by definition),
-# then the r07 adjudication block — the setop-era agg_* names, asof_*,
-# the events batch analogues, pipeline curation names, scalar/math
-# variants, pivot/scd2/unpivot, udf_map_in_arrow and the udtf pair —
-# with the head of the r08 block filling the remaining slots.
+# For r14 (computed by tools/rotation.py over CORRECTNESS_r01..r13) that
+# is any never-adjudicated r14 additions first (stalest by definition),
+# then the r07/r08 remainder — the events batch analogues, pipeline
+# quarantine/curation names, scalar variants, text analysis block,
+# subquery CTEs — with the head of the r09 block filling the last slots.
 #
 # WINDOW_ROUND declares which round this window serves; the rotation test
 # computes the expected window from artifacts of rounds < WINDOW_ROUND, so
 # the driver landing CORRECTNESS_r{WINDOW_ROUND}.json after the final
 # commit does not redden a finished tree (r10 VERDICT item 1).
-WINDOW_ROUND: int = 13
+WINDOW_ROUND: int = 14
 #
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
@@ -84,66 +83,66 @@ WINDOW_ROUND: int = 13
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = ()
 
-# Every name in the r13 window carries a DuckDB oracle — the rotation
-# test pins this empty.
-ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = ()
+# dedup_minhash_ml (Spark MinHashLSH — implementation-defined hash
+# family, no SQL replay) enters the r14 window from the r09 block; it is
+# the window's single rows-only entry, pinned here by the rotation test.
+ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = ("dedup_minhash_ml",)
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (driver-green in r01-r12)
+    # sentinels (driver-green in r01-r13)
     "wordcount_topk",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # --- new this round (never adjudicated; stalest by definition) ---
-    "dedup_semantic_knn_graph",
-    "knn_graph_ivf",
-    "knn_ivf_pq",
-    "pipeline_crossmodal_dedup_materialized",
-    "semdedup_recall_report",
-    # --- the 40 remaining stalest: the r07 adjudication block (setop-era
-    # agg_*, asof_*, events_*, pipeline_*, scalar_*, udf/udtf, pivot,
-    # scd2, text_bpe) then the r08 head, in (round, name) order ---
-    "agg_bitwise_bool",
-    "agg_count_min_frequency",
-    "agg_exact_percentiles",
-    "agg_filter_clause",
-    "agg_grouping_flags",
-    "agg_histogram_equiwidth",
-    "agg_hll_portable",
-    "agg_min_by_max_by",
-    "agg_mode_deterministic",
-    "agg_mode_exact",
-    "agg_multi_distinct",
-    "agg_percentile_disc",
-    "agg_regression_exact",
-    "agg_salted_skewed_groups",
-    "agg_skew_kurt_exact",
-    "agg_string_agg_ordered",
-    "agg_width_bucket_histogram",
-    "asof_next_purchase_after_view",
-    "asof_tolerance_30m",
-    "dedup_simhash_pairs",
-    "dedup_streaming_gate_batch",
-    "dedup_substring_spans",
-    "events_dedup_latest",
-    "events_funnel",
-    "events_retention_cohort",
-    "events_session_window_batch",
-    "events_sessionization_capped_segmented",
-    "events_tumbling_window",
-    "pipeline_curation_end_to_end",
-    "pipeline_incremental_dedup",
-    "pipeline_json_ingest_quarantine",
-    "pivot_status_by_priority",
-    "scalar_array_map_funcs",
-    "scalar_conditional_null",
-    "scalar_math_funcs",
-    "scd2_user_status_history",
-    "text_bpe_apply",
-    "udf_map_in_arrow",
-    "udtf_inline_structs",
-    "udtf_stack_measures",
+    # --- the 45 stalest: the r07/r08 adjudication remainder (events_*,
+    # pipeline quarantine, scalar_*, text_* block, subq CTEs, udf grouped
+    # agg) then the r09 head, in (round, name) order ---
+    "unpivot_lineitem_measures",
+    "dedup_cdc_chunks",
+    "dedup_minhash_estimator_error",
+    "dedup_substring_span_positions",
+    "embedding_outlier_by_label",
+    "embedding_random_projection",
+    "events_funnel_stages",
+    "events_gap_filled_hours",
+    "events_linear_interpolate",
+    "events_promo_overlap_join",
+    "events_range_frame_1h",
+    "events_sliding_window",
+    "events_time_rollup",
+    "events_transition_bigrams",
+    "events_zscore_outliers",
+    "join_existence_flag",
+    "join_not_in_null_aware",
+    "pipeline_assign_ids",
+    "pipeline_bloom_membership",
+    "pipeline_csv_ingest_quarantine",
+    "pipeline_global_shuffle",
+    "scalar_array_set_ops",
+    "scalar_format_printf",
+    "scalar_geo_haversine",
+    "scalar_hash_funcs",
+    "scalar_map_higher_order",
+    "scalar_sequence_arrays",
+    "scalar_str_to_map",
+    "subq_cte_top_customers",
+    "subq_in_uncorrelated",
+    "subq_recursive_cte_day_spine",
+    "text_bigram_counts",
+    "text_bpe_pair_counts",
+    "text_fingerprint",
+    "text_keyword_tfidf_topk",
+    "text_lm_score",
+    "text_oov_rate",
+    "text_profile_by_source",
+    "text_token_count",
+    "text_unicode_nfc",
+    "udf_pandas_grouped_agg_range",
+    "cdc_latest_state",
+    "dedup_clusters",
+    "dedup_minhash_ml",
+    "dedup_semantic_clusters",
 )
 
 
