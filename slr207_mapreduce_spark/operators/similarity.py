@@ -391,6 +391,60 @@ def auto_ivf_centroids_sql(count_expr: str) -> str:
     )
 
 
+# Graph-tier cell dial (r13 VERDICT item 1): the corpus-wide kNN graph's
+# total compute is ~nprobe · N · (N / n_cells) · d, so — unlike the
+# bounded-|Q| search tiers, where the 256-cell cap exists only to bound
+# the centroid BROADCAST — the graph needs n_cells to scale LINEARLY with
+# N to keep per-cell membership (and hence total compute) bounded. Once
+# a fixed cap binds, the graph goes quadratic: measured at emb_sf10
+# (200k vectors), the 256-cell auto default exceeded 10 minutes while
+# 1024 cells built the full graph in 115 s (SCALE.md round-13). The
+# graph dial therefore targets ~GRAPH_TARGET_CELL_ROWS members per cell
+# and is capped by BYTES, not by 256: 4096 cells × 64 dims × 8 B = 2 MiB
+# of centroid state — nowhere near a broadcast problem.
+GRAPH_TARGET_CELL_ROWS = 192
+GRAPH_MAX_CENTROIDS = 4096
+
+# Training-sample ceiling (r14): with the graph dial the old "≤ 16,384
+# vectors because k ≤ 256" bound no longer holds, so the seeded-rank
+# training sample is capped explicitly — the bounded-collect contract
+# becomes min(64·k, 65,536) rows (≤ 32 MiB at d=64) at ANY cell count.
+# For k ≤ 256 consumers LEAST never binds and training is bit-identical
+# to every previous round.
+IVF_TRAIN_SAMPLE_CAP = 65_536
+
+
+def auto_graph_centroids(n_corpus: int) -> int:
+    """min(4096, max(4, isqrt(N), N // 192)) — the kNN-GRAPH tier's cell
+    count. Equals :func:`auto_ivf_centroids` for N ≤ 36,864 (every sf
+    fixture tier through sf1, so all measured small-corpus recalls are
+    unchanged), then grows linearly with N to hold per-cell membership at
+    ~GRAPH_TARGET_CELL_ROWS rows — the dial that keeps graph construction
+    O(N · nprobe · target_cell · d) instead of quadratic. Monotone in N
+    (pinned by test)."""
+    import math
+
+    return min(
+        GRAPH_MAX_CENTROIDS,
+        max(4, math.isqrt(n_corpus), n_corpus // GRAPH_TARGET_CELL_ROWS),
+    )
+
+
+def auto_graph_centroids_sql(count_expr: str) -> str:
+    """DuckDB mirror of :func:`auto_graph_centroids` (same integer) —
+    the corrected-isqrt machinery of :func:`auto_ivf_centroids_sql` with
+    the linear N // 192 term joined into the GREATEST and the bytes cap
+    in place of the 256 cap."""
+    return (
+        f"(SELECT LEAST({GRAPH_MAX_CENTROIDS}, GREATEST(4, "
+        "s2 + (CASE WHEN (s2+1)*(s2+1) <= n THEN 1 ELSE 0 END), "
+        f"n // {GRAPH_TARGET_CELL_ROWS})) FROM ("
+        "SELECT s1 - (CASE WHEN s1*s1 > n THEN 1 ELSE 0 END) AS s2, n FROM ("
+        "SELECT CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s1, n "
+        f"FROM (SELECT ({count_expr}) AS n))))"
+    )
+
+
 def auto_pq_rerank(n_corpus: int) -> int:
     """20 candidates at the anchor, +65 per doubling (150 at sf0.1 — the
     measured restore point)."""
@@ -688,11 +742,12 @@ def ivf_train_centroids(
 
     if n_corpus is None:
         n_corpus = corpus.count()
-    kc = (
-        auto_ivf_centroids(n_corpus)
-        if n_centroids == "auto"
-        else int(n_centroids)
-    )
+    if n_centroids == "auto":
+        kc = auto_ivf_centroids(n_corpus)
+    elif n_centroids == "auto_graph":
+        kc = auto_graph_centroids(n_corpus)
+    else:
+        kc = int(n_centroids)
 
     nrm = norm_f64(F.col("v"))
     valid = (
@@ -708,7 +763,7 @@ def ivf_train_centroids(
             "vid", "v", portable_hash64(F.col("vid").cast("string"), seed).alias("h")
         )
         .orderBy("h", "vid")
-        .limit(IVF_TRAIN_SAMPLE_MULT * kc)
+        .limit(min(IVF_TRAIN_SAMPLE_MULT * kc, IVF_TRAIN_SAMPLE_CAP))
         .collect()
     )
     if not sample_rows:
@@ -760,15 +815,24 @@ def _np_assign_cells(vmat, cmat, cnorm):
 
     Sequential-in-j accumulation == the aggregate() fold / DuckDB
     list_dot_product, bitwise; cells are cidx-ascending so argmax's
-    first-max rule IS the (cos DESC, cidx ASC) ROW_NUMBER order."""
+    first-max rule IS the (cos DESC, cidx ASC) ROW_NUMBER order.
+
+    Row-chunked (r14): with the graph dial the cell count can reach
+    4096, so the (rows × cells) dots matrix is built in ≤ 8192-row
+    blocks (≤ 8192 · 4096 · 8 B = 256 MiB) instead of all at once.
+    Per-row arithmetic is unchanged, so chunking is bit-identical."""
     import numpy as np
 
-    dots = np.zeros((vmat.shape[0], cmat.shape[0]))
-    for j in range(vmat.shape[1]):
-        dots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
-    vnorm = np.sqrt(_np_seq_self_dot(vmat))
-    ccos = dots / (vnorm[:, None] * cnorm[None, :])
-    return np.argmax(ccos, axis=1)
+    out = np.empty(vmat.shape[0], dtype=np.int64)
+    for lo in range(0, vmat.shape[0], 8192):
+        block = vmat[lo : lo + 8192]
+        dots = np.zeros((block.shape[0], cmat.shape[0]))
+        for j in range(block.shape[1]):
+            dots += block[:, j : j + 1] * cmat.T[j : j + 1, :]
+        vnorm = np.sqrt(_np_seq_self_dot(block))
+        ccos = dots / (vnorm[:, None] * cnorm[None, :])
+        out[lo : lo + 8192] = np.argmax(ccos, axis=1)
+    return out
 
 
 def ivf_assign_cells(
@@ -1008,11 +1072,12 @@ def ivf_train_sql_ctes(
     cells)."""
     from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
 
-    kc_sql = (
-        auto_ivf_centroids_sql("SELECT COUNT(*) FROM embeddings")
-        if n_centroids == "auto"
-        else str(int(n_centroids))
-    )
+    if n_centroids == "auto":
+        kc_sql = auto_ivf_centroids_sql("SELECT COUNT(*) FROM embeddings")
+    elif n_centroids == "auto_graph":
+        kc_sql = auto_graph_centroids_sql("SELECT COUNT(*) FROM embeddings")
+    else:
+        kc_sql = str(int(n_centroids))
     h_sql = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed)
     nrm = "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
     cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
@@ -1032,7 +1097,8 @@ def ivf_train_sql_ctes(
       FROM seeded WHERE cidx <= ({kc_sql})
     )""",
         f"""train AS (
-      SELECT vec_id, e FROM seeded WHERE cidx <= {IVF_TRAIN_SAMPLE_MULT} * ({kc_sql})
+      SELECT vec_id, e FROM seeded
+      WHERE cidx <= LEAST({IVF_TRAIN_SAMPLE_MULT} * ({kc_sql}), {IVF_TRAIN_SAMPLE_CAP})
     )""",
         """tcomps AS (
       SELECT vec_id, unnest(range(1, len(e) + 1)) AS dim,
@@ -2140,7 +2206,7 @@ def knn_graph_ivf(
     emb: DataFrame,
     k: int = 5,
     nprobe: int | str = "auto",
-    n_centroids: int | str = "auto",
+    n_centroids: int | str = "auto_graph",
     iters: int = 2,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -2171,13 +2237,16 @@ def knn_graph_ivf(
     O(|cell| · |probes into cell| · d) and total graph compute is
     ~nprobe · N · (N / n_cells) · d, so — unlike the bounded-|Q| search
     tiers, where the 256-centroid cap exists to bound the BROADCAST —
-    the GRAPH needs n_centroids to keep scaling with N: once cells cap,
-    per-cell membership grows linearly and the graph goes quadratic.
-    Measured at emb_sf10 (200k vectors): the capped auto default (256
-    cells, nprobe 46) exceeds 10 minutes, while n_centroids=1024 /
-    nprobe=16 builds the full graph in 115 s (SCALE.md round-13) —
-    n_centroids is the first knob a graph run at scale must set. The
-    rank exchange sees N·nprobe·k rows, never N².
+    the GRAPH needs n_centroids to keep scaling with N. The default is
+    therefore the graph-specific dial :func:`auto_graph_centroids`
+    (min(4096, max(4, isqrt(N), N // 192)) — r13 VERDICT item 1): cells
+    grow LINEARLY with N above ~37k rows, holding per-cell membership
+    at ~192 and total compute at O(N · nprobe · 192 · d) instead of the
+    quadratic cliff the old 256-cell search cap produced (measured at
+    emb_sf10, 200k vectors: >10 min capped vs ~2 min at the scaled
+    dial — SCALE.md round-13/14). Identical to the search dial at every
+    sf fixture tier through sf1, so small-corpus recall is unchanged.
+    The rank exchange sees N·nprobe·k rows, never N².
 
     Zero-norm / non-finite vectors appear on NEITHER side (the family's
     exclusion contract: they are not in the lists, and a graph node with
@@ -2294,7 +2363,7 @@ def knn_graph_ivf(
 def knn_graph_ivf_sql(
     k: int,
     nprobe: int | str,
-    n_centroids: int | str = "auto",
+    n_centroids: int | str = "auto_graph",
     iters: int = 2,
     seed: int = 7,
 ) -> str:

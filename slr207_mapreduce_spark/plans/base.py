@@ -95,9 +95,11 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # --- the 45 stalest: the r07/r08 adjudication remainder (events_*,
-    # pipeline quarantine, scalar_*, text_* block, subq CTEs, udf grouped
-    # agg) then the r09 head, in (round, name) order ---
+    # --- new this round (never adjudicated; stalest by definition),
+    # then the 44 stalest: the r07/r08 adjudication remainder (events_*,
+    # pipeline quarantine, scalar_*, text_* block, subq CTEs) and the
+    # head of the r09 block, in (round, name) order ---
+    "dedup_semantic_knn_graph_mutual",
     "unpivot_lineitem_measures",
     "dedup_cdc_chunks",
     "dedup_minhash_estimator_error",
@@ -142,7 +144,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "cdc_latest_state",
     "dedup_clusters",
     "dedup_minhash_ml",
-    "dedup_semantic_clusters",
 )
 
 
@@ -194,6 +195,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics_r5,
         analytics_r6,
         analytics_r7,
+        analytics_r8,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -145,3 +145,35 @@ def test_knn_graph_dedup_consistency_and_semdedup_complement(spark):
     sd = specs["dedup_semantic_semdedup"].build(spark, d).collect()
     sd_dropped = sum(1 for r in sd if not r.kept)
     assert graph_dropped >= sd_dropped > 0, (graph_dropped, sd_dropped)
+
+
+def test_knn_graph_dedup_mutual_preserves_clustered_exactness(spark):
+    """The over-merge control (r13 VERDICT item 2) must not cost
+    anything where the plain closure is already right: on the clustered
+    fixture within-component similarity (~0.85) clears the unambiguous
+    tier (cos >= 0.6), so the controlled variant recovers EXACTLY the
+    true mixture components (drops = n - k_true, the same figure as the
+    plain closure), while by construction its edge set — hence its drop
+    set — is a subset of the plain one (the property that stops
+    near-noise over-merge; measured at sf1 in SCALE.md round-14:
+    borderline edges survive only as reciprocal-best PAIRS, a matching
+    that cannot chain)."""
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from tools.make_sf import ensure_emb_clustered
+
+    specs = all_queries()
+    d = ensure_emb_clustered(
+        os.path.join(os.path.dirname(__file__), ".."), n=500, k=16
+    )
+    plain = specs["dedup_semantic_knn_graph"].build(spark, d).collect()
+    mutual = specs["dedup_semantic_knn_graph_mutual"].build(spark, d).collect()
+    assert len(mutual) == 500 and len({r.vec_id for r in mutual}) == 500
+    plain_drops = {r.vec_id for r in plain if not r.kept}
+    mutual_drops = {r.vec_id for r in mutual if not r.kept}
+    # exact recovery: 16 true components -> 500 - 16 drops, both variants
+    assert len(plain_drops) == 500 - 16
+    assert mutual_drops == plain_drops
+    # structural verdict validity for the mutual variant
+    for r in mutual:
+        assert r.cluster_id <= r.vec_id
+        assert r.kept == (r.vec_id == r.cluster_id)

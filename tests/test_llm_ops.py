@@ -573,6 +573,52 @@ def test_auto_ivf_centroids_matches_sql_isqrt():
     assert auto_ivf_centroids(10**12) == IVF_MAX_CENTROIDS
 
 
+def test_auto_graph_centroids_scales_and_matches_sql():
+    """The GRAPH tier's cell dial (r13 VERDICT item 1): equal to the
+    search dial at every fixture tier (so every measured small-corpus
+    recall is unchanged), linear in N above ~37k rows (so per-cell
+    membership — and hence total graph compute per row — stays bounded
+    instead of going quadratic at the old 256-cell cap), bytes-capped at
+    4096 cells, monotone, and the same integer in both engines."""
+    import duckdb
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        GRAPH_MAX_CENTROIDS,
+        GRAPH_TARGET_CELL_ROWS,
+        auto_graph_centroids,
+        auto_graph_centroids_sql,
+        auto_ivf_centroids,
+    )
+
+    # fixture tiers: sf0.001/sf0.01 (500), sf0.1 (2000), sf1 (20k) — the
+    # graph dial must equal the search dial so cells (and hashes) match
+    # every prior round's measurements at these corpora.
+    for n in (500, 2000, 20_000, 36_864):
+        assert auto_graph_centroids(n) == auto_ivf_centroids(n), n
+    # linear regime: the decade tier (200k) gets N // 192 cells — the
+    # measured ~115 s configuration's cell size, not the quadratic cap
+    assert auto_graph_centroids(200_000) == 200_000 // GRAPH_TARGET_CELL_ROWS
+    assert auto_graph_centroids(200_000) > 1000
+    # bytes cap: 4096 cells x 64 dims x 8 B = 2 MiB of centroid state
+    assert auto_graph_centroids(10**9) == GRAPH_MAX_CENTROIDS
+    # monotone + SQL lockstep (sweep the isqrt-correction hot spots, the
+    # isqrt/linear crossover at 192^2, and both clamp boundaries)
+    ns = [1, 4, 16, 499, 500, 2000, 20_000, 36_863, 36_864, 36_865,
+          65_536, 100_000, 200_000, 786_431, 786_432, 10**7]
+    ns += [s * s + d for s in (22, 141, 192, 447) for d in (-1, 0, 1)]
+    con = duckdb.connect()
+    prev = 0
+    for n in sorted(ns):
+        k_py = auto_graph_centroids(n)
+        k_sql = con.execute(
+            "SELECT " + auto_graph_centroids_sql(str(n))
+        ).fetchone()[0]
+        assert k_py == k_sql, f"n={n}: python {k_py} != sql {k_sql}"
+        assert 4 <= k_py <= GRAPH_MAX_CENTROIDS
+        assert k_py >= prev, f"dial not monotone at n={n}"
+        prev = k_py
+
+
 def test_ngram_jaccard_auto_plan_choice(spark):
     """ngram_jaccard_pairs_auto picks the plan per run from the shingle-df
     probe (r11 VERDICT item 5): plain inverted-index join on the bounded
