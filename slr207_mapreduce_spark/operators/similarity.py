@@ -2202,6 +2202,215 @@ def knn_ivf_pq_sql(
     """
 
 
+def knn_ivf_pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int | str = "auto",
+    m: int = 8,
+    sub_dim: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """BUILD stage of the build-once/query-many IVF-PQ index (r13 VERDICT
+    item 5): one Arrow-batched corpus pass assigns every valid vector to
+    its trained cell AND PQ-encodes it, then the (vec_id, codes) rows are
+    written partitionBy(cidx) through the sink surface — the layout
+    tests/test_layout_runtime.py pins for probe-side pruning. Returns the
+    broadcast-sized state a deployment caches next to the store:
+    ``(cidx, cint, cent_mat)`` — ≤ 256·d + ksub·(m·sub_dim) doubles.
+
+    The r13 decade row showed the composed index's wall is BUILD-dominated
+    (query side is milliseconds); this operator makes that split a
+    first-class surface: build pays training + the encode pass + one
+    write, and every subsequent :func:`knn_ivf_pq_query_index` run reads
+    only its routed cells (PartitionFilters) and never re-encodes."""
+    import numpy as np
+    import pandas as pd
+
+    from slr207_mapreduce_spark.sources.sinks import write_table
+    from slr207_mapreduce_spark.sources.staging import staged_write
+
+    n_corpus = corpus.count()
+    cidx, cint = ivf_train_centroids(
+        corpus, n_centroids=n_centroids, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, n_corpus=n_corpus,
+    )
+    crows = (
+        corpus.where(F.col(id_col) < ksub)
+        .selectExpr(f"{id_col} AS id", f"CAST({vec_col} AS array<double>) AS v")
+        .collect()
+    )
+    crows.sort(key=lambda r: r.id)
+    cent_mat = (
+        np.asarray([r.v for r in crows], dtype=np.float64)
+        if crows
+        else np.zeros((0, m * sub_dim))
+    )
+
+    cells = ivf_assign_cells(
+        corpus, cidx, cint, id_col=id_col, vec_col=vec_col, carry_vec=True
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(cent_mat) == 0:
+                continue
+            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(vmat), m), dtype=np.int64)
+            for s in range(m):
+                d2 = _np_d2_int(
+                    vmat[:, s * sub_dim : (s + 1) * sub_dim],
+                    cent_mat[:, s * sub_dim : (s + 1) * sub_dim],
+                )
+                codes[:, s] = np.argmin(d2, axis=1)  # cid-asc tie-break
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cidx": pdf["cidx"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = cells.select("vec_id", "cidx", "v").mapInPandas(
+        encode_batches, schema="vec_id long, cidx long, codes array<long>"
+    )
+    with staged_write(path) as stage:
+        write_table(encoded, stage, partition_by=["cidx"])
+    return cidx, cint, cent_mat
+
+
+def knn_ivf_pq_query_index(
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    state,
+    k: int = 5,
+    nprobe: int | str = "auto",
+    m: int = 8,
+    sub_dim: int = 8,
+    rerank: int | str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """QUERY stage over a :func:`knn_ivf_pq_build_index` store: probes
+    rank the CACHED centroid state (no retraining, no corpus pass), the
+    store scan keeps only routed cells — ``cidx`` is the partition
+    column, so this is PartitionFilters pruning reading ≤ nprobe·|Q|
+    cells of codes, m bytes-per-score worth of data, never the
+    full-width corpus — ADC sums the STORED codes against the per-query
+    LUTs, and the exact re-rank touches full vectors only for the
+    ≤ |Q|·rerank shortlist.
+
+    Bit-identical to :func:`knn_ivf_pq` from raw at the same
+    configuration (pinned by test, and the registered query shares
+    knn_ivf_pq's oracle so the driver hash-checks the equality): codes
+    are the same argmin over the same doubles, the per-batch local
+    top-``rerank`` is a monotone prune under the global
+    (approx_d2, doc_id) window, and the re-rank reuses the exact cosine
+    formulation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    cidx, cint, cent_mat = state
+    n_corpus = corpus.count()
+    if nprobe == "auto":
+        nprobe = auto_ivf_nprobe(n_corpus)
+    if rerank == "auto":
+        rerank = auto_pq_rerank(n_corpus)
+    cmat = cint.astype(np.float64) * 1e-6
+    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
+    qids, qmat, probed = _ivf_query_probes(
+        queries, cidx, cmat, cnorm, int(nprobe),
+        id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries, op_name="knn_ivf_pq_query_index",
+    )
+    nq = len(qids)
+    lut = (
+        np.stack(
+            [
+                _np_d2_int(
+                    qmat[:, s * sub_dim : (s + 1) * sub_dim],
+                    cent_mat[:, s * sub_dim : (s + 1) * sub_dim],
+                )
+                for s in range(m)
+            ],
+            axis=1,
+        )
+        if nq and len(cent_mat)
+        else np.zeros((0, m, len(cent_mat)), dtype=np.int64)
+    )
+    all_probed = (
+        np.unique(np.concatenate(probed)) if nq else np.zeros(0, dtype=np.int64)
+    )
+
+    spark = corpus.sparkSession
+    store = spark.read.parquet(path)
+    # partition-column pruning: only the routed cells' files are read
+    routed = store.where(
+        F.col("cidx").cast("long").isin([int(c) for c in all_probed])
+    )
+
+    def adc_batches(batches):
+        for pdf in batches:
+            if nq == 0 or len(pdf) == 0:
+                continue
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bcell = pdf["cidx"].to_numpy(dtype=np.int64)
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            approx = np.zeros((len(nid), nq), dtype=np.int64)
+            for s in range(m):
+                approx += lut[:, s, codes[:, s]].T
+            out_q, out_n, out_d = [], [], []
+            for i in range(nq):
+                mask = np.isin(bcell, probed[i]) & (nid != qids[i])
+                cn, cd = nid[mask], approx[mask, i]
+                top = np.lexsort((cn, cd))[:rerank]
+                out_q.extend([qids[i]] * len(top))
+                out_n.extend(cn[top])
+                out_d.extend(cd[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "doc_id": np.asarray(out_n, dtype=np.int64),
+                    "approx_d2": np.asarray(out_d, dtype=np.int64),
+                }
+            )
+
+    adc = routed.select(
+        "vec_id", F.col("cidx").cast("long").alias("cidx"), "codes"
+    ).mapInPandas(adc_batches, schema="query_id long, doc_id long, approx_d2 long")
+    wc = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("doc_id"))
+    cand = (
+        adc.withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= rerank)
+        .select("query_id", "doc_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cvec"))
+    scored = c.join(
+        F.broadcast(cand.join(F.broadcast(q), "query_id")), "doc_id"
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def knn_graph_ivf(
     emb: DataFrame,
     k: int = 5,

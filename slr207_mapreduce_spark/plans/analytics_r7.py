@@ -24,11 +24,12 @@ mandates.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from slr207_mapreduce_spark.sources.staging import (
+    staged_write as staged_write_ctx,
+)
 
 # Importing analytics_r6 executes its registrations, so this module can
 # compose the crossmodal closure's oracle SQL verbatim from the registry.
@@ -151,20 +152,13 @@ def semdedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _crossmodal_edges_path(sf_dir: str) -> str:
     """Staging location for the materialized edge sets — deterministic
-    per (SF, user, process) and overwritten on each invocation
-    (idempotent, bounded disk). The uid+pid key keeps concurrent sessions
-    from clobbering each other's store mid-read (r13 review): two
-    processes building this query for the same sf_dir get disjoint
-    stores, while within one process (build -> collect -> the layout
-    test) the path is stable."""
-    import hashlib
+    per (checkout, SF), NOT per process (r13 ADVICE item 1: the old
+    pid-keyed /tmp path leaked one abandoned store per run). Concurrent
+    builders serialize through the staging module's locked atomic swap;
+    see slr207_mapreduce_spark/sources/staging.py."""
+    from slr207_mapreduce_spark.sources.staging import staging_path
 
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{os.getuid()}:{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), f"slr207_crossmodal_edges_{key}"
-    )
+    return staging_path("crossmodal_edges", sf_dir)
 
 
 @register(
@@ -210,7 +204,10 @@ def pipeline_crossmodal_dedup_materialized(
     # consumer that wants only text edges gets PartitionFilters pruning
     # for free, and the closure (or any re-run) reads the stored union
     # instead of re-running MinHash + image decode + cosine bucketing.
-    staged.write.mode("overwrite").partitionBy("modality").parquet(path)
+    # The write lands via the staging module's locked atomic swap, so
+    # concurrent builders for the same sf_dir serialize (r13 ADVICE).
+    with staged_write_ctx(path) as stage:
+        staged.write.mode("overwrite").partitionBy("modality").parquet(stage)
     edges = spark.read.parquet(path).select("doc_a", "doc_b")
     return connected_components(edges, src="doc_a", dst="doc_b")
 

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from slr207_mapreduce_spark.plans.analytics_r6 import _SEMDEDUP_TAU
-from slr207_mapreduce_spark.plans.base import register
+from slr207_mapreduce_spark.plans.base import REGISTRY, register
+
+# Importing similarity_queries executes its registrations, so this module
+# can share knn_ivf_pq's oracle and query-set constants verbatim.
+from slr207_mapreduce_spark.plans.similarity_queries import _N_QUERIES, KNN_K
 from slr207_mapreduce_spark.sources.tables import load_table
 
 
@@ -145,4 +149,55 @@ def dedup_semantic_knn_graph_mutual(
                 | (F.col("cluster_id") == F.col("vec_id"))
             ).alias("kept"),
         )
+    )
+
+
+@register(
+    "knn_ivf_pq_materialized",
+    # The materialization is semantically the identity — the oracle IS
+    # knn_ivf_pq's oracle, so "build-the-store-then-query equals
+    # query-from-raw" is a driver-checked hash equality (the
+    # crossmodal_materialized pattern, analytics_r7).
+    oracle=REGISTRY["knn_ivf_pq"].oracle,
+    doc="The build-once/query-many form of the composed IVF-PQ index "
+    "(r13 VERDICT item 5 — the r13 decade row showed the index wall is "
+    "BUILD-dominated, so the split is now a first-class surface): ONE "
+    "corpus pass trains the coarse quantizer, assigns cells, PQ-encodes "
+    "every valid vector, and writes (vec_id, codes) partitionBy(cidx) "
+    "through the sink surface; the query stage reads ONLY its routed "
+    "cells back (PartitionFilters on the partition column — pinned by "
+    "test), ADC-scores the STORED codes against per-query LUTs, and "
+    "exact-re-ranks the shortlist. Output bit-identical to knn_ivf_pq "
+    "from raw (same oracle SQL — the driver hash-checks the equality; "
+    "a test pins it directly too). At 100 TB the build runs once and "
+    "every query batch pays nprobe/k of the CODES (m bytes per vector), "
+    "never the full-width corpus.",
+    tags=("similarity", "pipeline", "sink"),
+)
+def q_knn_ivf_pq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slr207_mapreduce_spark.operators.similarity import (
+        knn_ivf_pq_build_index,
+        knn_ivf_pq_query_index,
+    )
+    from slr207_mapreduce_spark.sources.staging import staging_path
+
+    e = load_table(spark, "embeddings", sf_dir)
+    path = staging_path("ivfpq_index", sf_dir)
+    # NOTE: building this query RUNS the index build + staging write (the
+    # operator's point is write-once semantics) — the returned plan is
+    # the query stage over the stored cells+codes; see the staging module
+    # for the swap/lock discipline (r13 ADVICE item 1).
+    state = knn_ivf_pq_build_index(
+        e, path, n_centroids="auto", m=8, sub_dim=8, ksub=16
+    )
+    return knn_ivf_pq_query_index(
+        e,
+        e.where(F.col("vec_id") < _N_QUERIES),
+        path,
+        state,
+        k=KNN_K,
+        nprobe="auto",
+        m=8,
+        sub_dim=8,
+        rerank="auto",
     )

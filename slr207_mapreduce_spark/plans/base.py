@@ -83,10 +83,11 @@ WINDOW_ROUND: int = 14
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = ()
 
-# dedup_minhash_ml (Spark MinHashLSH — implementation-defined hash
-# family, no SQL replay) enters the r14 window from the r09 block; it is
-# the window's single rows-only entry, pinned here by the rotation test.
-ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = ("dedup_minhash_ml",)
+# Every name in the r14 window carries a DuckDB oracle — the rotation
+# test pins this empty (dedup_minhash_ml, the registry's rows-only
+# MinHashLSH entry, was pushed past the window tail by this round's new
+# fully-oracled names).
+ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = ()
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     # sentinels (driver-green in r01-r13)
@@ -96,10 +97,11 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "join_salted",
     "events_sessionization",
     # --- new this round (never adjudicated; stalest by definition),
-    # then the 44 stalest: the r07/r08 adjudication remainder (events_*,
-    # pipeline quarantine, scalar_*, text_* block, subq CTEs) and the
-    # head of the r09 block, in (round, name) order ---
+    # then the stalest remainder: the r07/r08 adjudication block
+    # (events_*, pipeline quarantine, scalar_*, text_* block, subq CTEs)
+    # and the head of the r09 block, in (round, name) order ---
     "dedup_semantic_knn_graph_mutual",
+    "knn_ivf_pq_materialized",
     "unpivot_lineitem_measures",
     "dedup_cdc_chunks",
     "dedup_minhash_estimator_error",
@@ -143,7 +145,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "udf_pandas_grouped_agg_range",
     "cdc_latest_state",
     "dedup_clusters",
-    "dedup_minhash_ml",
 )
 
 

@@ -442,3 +442,26 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_pq_materialized_prunes_and_matches_from_raw(spark):
+    """The build-once/query-many IVF-PQ index (r13 VERDICT item 5): the
+    registered query's plan reads the STORED codes with PartitionFilters
+    on the cell id (the probe touches nprobe cells of codes, never the
+    corpus), and its output is bit-identical to knn_ivf_pq from raw at
+    the same configuration — the equality the shared oracle makes the
+    driver hash-check every round."""
+    import re
+
+    from slr207_mapreduce_spark.plans.base import all_queries
+    from tests.conftest import SF_SMOKE
+
+    specs = all_queries()
+    mat = specs["knn_ivf_pq_materialized"].build(spark, SF_SMOKE)
+    plan = _formatted_plan(mat)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cidx" in pf.group(1), plan
+    raw = specs["knn_ivf_pq"].build(spark, SF_SMOKE)
+    assert sorted(map(tuple, mat.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, raw.collect()), key=lambda t: (t[0], t[3])
+    )
