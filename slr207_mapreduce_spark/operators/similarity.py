@@ -327,12 +327,17 @@ def auto_lsh_tables_multiprobe(n_corpus: int) -> int:
     return min(MAX_AUTO_LSH_TABLES_MP, 6 + 2 * budget_doublings(n_corpus))
 
 
-def auto_ivf_nprobe_sql() -> str:
+def auto_ivf_nprobe_sql(corpus_pred: str = "TRUE") -> str:
     """DuckDB mirror of :func:`auto_ivf_nprobe` over the embeddings view —
     ONE definition shared by every SQL builder that probes IVF cells
     (knn_ivf_sql, knn_ivf_pq_sql), so a dial recalibration cannot drift
-    between oracles (r13 review)."""
-    d_sql = budget_doublings_sql("SELECT COUNT(*) FROM embeddings")
+    between oracles (r13 review). ``corpus_pred`` scopes the dial's
+    COUNT(*) to a corpus subset (the incremental-dedup store, r14) —
+    mirroring the Python side's ``corpus.count()`` over the passed
+    DataFrame."""
+    d_sql = budget_doublings_sql(
+        f"SELECT COUNT(*) FROM embeddings WHERE ({corpus_pred})"
+    )
     return f"(SELECT GREATEST(11, 6 + 5 * ({d_sql})))"
 
 
@@ -1058,7 +1063,10 @@ def knn_ivf(
 
 
 def ivf_train_sql_ctes(
-    n_centroids: int | str = "auto", iters: int = 2, seed: int = 7
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
+    corpus_pred: str = "TRUE",
 ) -> list[str]:
     """The trained quantizer's DuckDB CTE chain, shared by every query
     that reuses the fixed-point Lloyd's (knn_ivf, embedding_kmeans_train,
@@ -1069,13 +1077,22 @@ def ivf_train_sql_ctes(
     ``assign{t}``/``sums{t}``/``upd{t}``/``cent{t+1}`` per training
     iteration — ending with the final centroids ``cent{iters}`` and the
     FULL-corpus assignment ranking ``assign{iters}`` (rn = 1 rows are the
-    cells)."""
+    cells).
+
+    ``corpus_pred`` (r14, the incremental-dedup store) scopes training
+    and the inverted lists to a subset of the embeddings view, mirroring
+    a Python-side subset DataFrame: ``vall`` is the FULL table's
+    zero-norm/non-finite exclusion (query sides rank against it),
+    ``valid`` additionally applies the predicate (everything the
+    quantizer touches). The default TRUE keeps every pre-r14 oracle's
+    results byte-identical."""
     from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
 
+    count_expr = f"SELECT COUNT(*) FROM embeddings WHERE ({corpus_pred})"
     if n_centroids == "auto":
-        kc_sql = auto_ivf_centroids_sql("SELECT COUNT(*) FROM embeddings")
+        kc_sql = auto_ivf_centroids_sql(count_expr)
     elif n_centroids == "auto_graph":
-        kc_sql = auto_graph_centroids_sql("SELECT COUNT(*) FROM embeddings")
+        kc_sql = auto_graph_centroids_sql(count_expr)
     else:
         kc_sql = str(int(n_centroids))
     h_sql = portable_hash64_sql("CAST(vec_id AS VARCHAR)", seed)
@@ -1083,10 +1100,13 @@ def ivf_train_sql_ctes(
     cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
     cos_t = COSINE_SQL.format(a="t.e", b=IVF_CENT_DBL_SQL)
     ctes = [
-        f"""valid AS (
+        f"""vall AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings
       WHERE {nrm} > 0 AND isfinite({nrm})
+    )""",
+        f"""valid AS (
+      SELECT vec_id, e FROM vall WHERE ({corpus_pred})
     )""",
         f"""seeded AS (
       SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY {h_sql}, vec_id) AS cidx
@@ -1165,6 +1185,7 @@ def knn_ivf_sql(
     n_centroids: int | str = "auto",
     iters: int = 2,
     seed: int = 7,
+    corpus_pred: str = "TRUE",
 ) -> str:
     """DuckDB mirror of :func:`knn_ivf` INCLUDING the trained quantizer:
     the seeded md5 init, every Lloyd iteration (argmin cross join +
@@ -1172,19 +1193,27 @@ def knn_ivf_sql(
     empty/all-zero keep rule), the inverted lists, probes, and the exact
     re-rank — all replayed as plain SQL, so centroid drift anywhere in
     training becomes a driver hash mismatch."""
-    np_sql = auto_ivf_nprobe_sql() if nprobe == "auto" else str(int(nprobe))
+    np_sql = (
+        auto_ivf_nprobe_sql(corpus_pred)
+        if nprobe == "auto"
+        else str(int(nprobe))
+    )
     cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
-    ctes = ivf_train_sql_ctes(n_centroids=n_centroids, iters=iters, seed=seed)
+    ctes = ivf_train_sql_ctes(
+        n_centroids=n_centroids, iters=iters, seed=seed, corpus_pred=corpus_pred
+    )
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
     ctes.append(
         f"""cells AS (SELECT vec_id AS neighbor_id, cidx FROM assign{iters} WHERE rn = 1)"""
     )
+    # query side ranks from the FULL table's valid rows (vall): with a
+    # corpus_pred the queries are typically OUTSIDE the store subset
     ctes.append(
         f"""probe_rank AS (
       SELECT v.vec_id AS query_id, c.cidx,
              ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                 ORDER BY {cos_v} DESC, c.cidx ASC) AS rn
-      FROM valid v CROSS JOIN cent{iters} c
+      FROM vall v CROSS JOIN cent{iters} c
       WHERE ({query_pred.format(col='v.vec_id')})
     )"""
     )

@@ -201,3 +201,124 @@ def q_knn_ivf_pq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_dim=8,
         rerank="auto",
     )
+
+
+# Incremental semantic dedup split: vec_id % 10 == 7 plays the arriving
+# batch (~10% of the corpus), the rest the accumulated store. The store
+# predicate scopes quantizer training and the inverted lists; the batch
+# routes against the TRAINED cells without retraining.
+_SEM_NEW_PRED = "({col} % 10) = 7"
+_SEM_STORE_PRED = "(vec_id % 10) <> 7"
+
+
+def _incremental_semantic_oracle() -> str:
+    from slr207_mapreduce_spark.operators.similarity import (
+        COSINE_SQL,
+        IVF_CENT_DBL_SQL,
+        auto_ivf_nprobe_sql,
+        ivf_train_sql_ctes,
+    )
+
+    iters = 2
+    np_sql = auto_ivf_nprobe_sql(_SEM_STORE_PRED)
+    cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
+    cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    ctes = ivf_train_sql_ctes(corpus_pred=_SEM_STORE_PRED, iters=iters)
+    ctes.append(
+        f"cells AS (SELECT vec_id AS store_id, cidx FROM assign{iters} WHERE rn = 1)"
+    )
+    ctes.append(
+        f"""probe_rank AS (
+      SELECT v.vec_id AS query_id, c.cidx,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_v} DESC, c.cidx ASC) AS rn
+      FROM vall v CROSS JOIN cent{iters} c
+      WHERE ({_SEM_NEW_PRED.format(col='v.vec_id')})
+    )"""
+    )
+    ctes.append(
+        f"probes AS (SELECT query_id, cidx FROM probe_rank WHERE rn <= ({np_sql}))"
+    )
+    ctes.append(
+        f"""pairs AS (
+      SELECT p.query_id AS vec_id, cells.store_id, {cos} AS cos_sim
+      FROM probes p
+      JOIN cells ON p.cidx = cells.cidx
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = cells.store_id
+    )"""
+    )
+    ctes.append(
+        f"""best AS (
+      SELECT vec_id, store_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, store_id ASC) AS rn
+      FROM pairs WHERE cos_sim >= {_SEMDEDUP_TAU}
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT v.vec_id,
+           (b.store_id IS NULL) AS kept,
+           CAST(b.store_id AS BIGINT) AS best_match,
+           b.cos_sim AS best_cos
+    FROM (SELECT vec_id FROM vall
+          WHERE ({_SEM_NEW_PRED.format(col='vec_id')})) v
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.vec_id = v.vec_id
+    """
+
+
+@register(
+    "pipeline_incremental_semantic_dedup",
+    oracle=_incremental_semantic_oracle(),
+    doc="Incremental SEMANTIC dedup (r13 VERDICT item 6 — the embedding "
+    "analogue of pipeline_incremental_dedup): the vec_id%10==7 batch "
+    "plays a day's arriving embeddings, the rest the accumulated store. "
+    "The coarse quantizer is trained on the STORE ONLY (no retraining "
+    "at ingest — the auto cell/nprobe dials count the store, and the "
+    "oracle's training CTEs are store-scoped via corpus_pred); arriving "
+    "rows route to their nprobe trained cells in a stateless "
+    "Arrow-batched pass and compare ONLY against the routed inverted "
+    f"lists; a row with any routed cosine >= {_SEMDEDUP_TAU} is dropped "
+    "(kept=false) with its best match and similarity reported. The "
+    "routing/compare operator is streaming_semantic_gate_candidates — "
+    "the SAME plan runs unchanged on a readStream (stateless "
+    "projection + broadcast equi-join, append-legal; stream==batch "
+    "parity pinned in tests/test_streaming.py). At 100 TB the store's "
+    "lists are partitionBy(cell) parquet and a day's batch touches "
+    "only its routed cells.",
+    tags=("pipeline", "dedup", "similarity", "incremental", "streaming"),
+)
+def pipeline_incremental_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from slr207_mapreduce_spark.operators.similarity import norm_f64
+    from slr207_mapreduce_spark.streaming.ops import (
+        streaming_semantic_gate_candidates,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    new = e.where(F.expr(_SEM_NEW_PRED.format(col="vec_id")))
+    store = e.where(F.expr(_SEM_STORE_PRED))
+    pairs = streaming_semantic_gate_candidates(
+        new, store, tau=_SEMDEDUP_TAU, nprobe="auto"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("store_id")
+    )
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "store_id", "cos_sim")
+    )
+    nrm = norm_f64(F.col("embedding").cast("array<double>"))
+    newv = new.where((nrm > 0) & (nrm < F.lit(float("inf")))).select("vec_id")
+    return newv.join(best, "vec_id", "left").select(
+        "vec_id",
+        F.col("store_id").isNull().alias("kept"),
+        F.col("store_id").cast("long").alias("best_match"),
+        F.col("cos_sim").alias("best_cos"),
+    )

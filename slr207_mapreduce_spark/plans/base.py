@@ -102,6 +102,7 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     # and the head of the r09 block, in (round, name) order ---
     "dedup_semantic_knn_graph_mutual",
     "knn_ivf_pq_materialized",
+    "pipeline_incremental_semantic_dedup",
     "unpivot_lineitem_measures",
     "dedup_cdc_chunks",
     "dedup_minhash_estimator_error",
@@ -144,7 +145,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "text_unicode_nfc",
     "udf_pandas_grouped_agg_range",
     "cdc_latest_state",
-    "dedup_clusters",
 )
 
 

@@ -901,3 +901,60 @@ def test_streaming_countmin_counters_match_batch_sketch(spark, batch_dir):
     assert len(days_got) >= len(days_all) - 1  # final open window may be held back
     for k, v in got.items():
         assert want[k] == v, f"counter {k}: stream={v} batch={want[k]}"
+
+
+def test_streaming_semantic_gate_matches_batch_join(spark, tmp_path):
+    """E2E semantic ingestion gate (r13 VERDICT item 6): embeddings
+    replayed as a 2-file stream must flag exactly the (arriving vec,
+    stored vec, cos) rows the batch run of the SAME operator finds —
+    stateless routing + broadcast list join, so stream == batch
+    bit-identically — including a planted copy of a stored vector."""
+    import os as o
+    import shutil as sh
+
+    from pyspark.sql import functions as F2
+
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import (
+        run_to_memory,
+        streaming_semantic_gate_candidates,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    store = emb.where("vec_id % 10 <> 7").cache()
+    # arriving side: the %10==7 slice + one PLANTED copy of stored vec 0
+    planted = store.where("vec_id = 0").select(
+        F2.lit(999_997).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    arriving = emb.where("vec_id % 10 = 7").unionByName(planted).cache()
+
+    d = str(tmp_path / "emb_stream")
+    o.makedirs(d)
+    arriving.where("vec_id < 250").coalesce(1).write.parquet(d + "/b1")
+    arriving.where("vec_id >= 250").coalesce(1).write.parquet(d + "/b2")
+    flat = str(tmp_path / "flat")
+    o.makedirs(flat)
+    i = 0
+    for sub in ("b1", "b2"):
+        for f in sorted(o.listdir(d + "/" + sub)):
+            if f.endswith(".parquet"):
+                sh.copy(f"{d}/{sub}/{f}", f"{flat}/{i:02d}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(emb.schema)
+        .parquet(flat)
+    )
+    got = {
+        (r["vec_id"], r["store_id"], r["cos_sim"])
+        for r in run_to_memory(
+            streaming_semantic_gate_candidates(stream, store), "t_semgate"
+        ).collect()
+    }
+    want = {
+        (r["vec_id"], r["store_id"], r["cos_sim"])
+        for r in streaming_semantic_gate_candidates(arriving, store).collect()
+    }
+    assert got == want and len(want) > 0
+    planted_hits = {(a, b) for a, b, _ in got if a == 999_997}
+    assert (999_997, 0) in planted_hits, "planted copy not flagged"
