@@ -101,6 +101,7 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     # (events_*, pipeline quarantine, scalar_*, text_* block, subq CTEs)
     # and the head of the r09 block, in (round, name) order ---
     "dedup_semantic_knn_graph_mutual",
+    "dedup_semantic_semdedup_merged",
     "knn_ivf_pq_materialized",
     "pipeline_incremental_semantic_dedup",
     "unpivot_lineitem_measures",
@@ -144,7 +145,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "text_token_count",
     "text_unicode_nfc",
     "udf_pandas_grouped_agg_range",
-    "cdc_latest_state",
 )
 
 
