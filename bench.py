@@ -430,14 +430,32 @@ def main() -> int:
                 check=True,
             ).stdout.strip()
             wt = os.path.join(repo, ".sfgen", f"aba_{ref[:12]}")
-            if not os.path.isdir(wt):
+            # Always add fresh (r13 ADVICE item 3): the finally block
+            # removes the worktree unconditionally, so an isdir reuse
+            # guard was dead in a normal run — and worse, a directory
+            # left behind by a FAILED remove would be reused without
+            # being registered in `git worktree list`. Clear any such
+            # remnant first, then register a fresh checkout.
+            if os.path.isdir(wt):
                 subprocess.run(
-                    ["git", "worktree", "add", "--detach", "--force", wt, ref],
-                    cwd=repo,
-                    capture_output=True,
-                    text=True,
-                    check=True,
+                    ["git", "worktree", "remove", "--force", wt],
+                    cwd=repo, capture_output=True, text=True,
                 )
+                if os.path.isdir(wt):
+                    import shutil
+
+                    shutil.rmtree(wt, ignore_errors=True)
+                subprocess.run(
+                    ["git", "worktree", "prune"],
+                    cwd=repo, capture_output=True, text=True,
+                )
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", "--force", wt, ref],
+                cwd=repo,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
             aba_queries = [
                 "q1_pricing_summary",
                 "q5_local_supplier_volume",
@@ -466,13 +484,24 @@ def main() -> int:
                     b_passes.append(aba_pass(wt))
             finally:
                 # a timed-out/failed pass must not leave a full detached
-                # checkout registered in `git worktree list` (r13 review)
-                subprocess.run(
+                # checkout registered in `git worktree list` (r13 review);
+                # if the remove itself fails, fall back to prune + rmtree
+                # so a later run never reuses an UNREGISTERED directory
+                # (r13 ADVICE item 3)
+                rm = subprocess.run(
                     ["git", "worktree", "remove", "--force", wt],
                     cwd=repo,
                     capture_output=True,
                     text=True,
                 )
+                if rm.returncode != 0 or os.path.isdir(wt):
+                    import shutil
+
+                    shutil.rmtree(wt, ignore_errors=True)
+                    subprocess.run(
+                        ["git", "worktree", "prune"],
+                        cwd=repo, capture_output=True, text=True,
+                    )
             a_min = min(p["total"] for p in a_passes)
             b_min = min(p["total"] for p in b_passes)
             out["aba"] = {

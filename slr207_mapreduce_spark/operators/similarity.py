@@ -419,6 +419,35 @@ GRAPH_MAX_CENTROIDS = 4096
 IVF_TRAIN_SAMPLE_CAP = 65_536
 
 
+# Graph-tier probe budget: with cells growing linearly (N / 192), a
+# FIXED probe count is what keeps per-row candidate work constant —
+# nprobe · 192 ≈ 3,072 candidates per row at the cap — and hence total
+# graph compute O(N · d). An nprobe that kept growing with N (the search
+# tiers' dial) would reintroduce super-linear per-row work for nothing:
+# measured at emb_sf10 (200k, duplicate-structured like a real curation
+# corpus), nprobe 46 vs 16 is 294 s vs 126 s at IDENTICAL 1.0 sampled
+# recall. The trade surfaces only on shell/near-noise geometry (sf1:
+# sampled recall 0.891 at 31 probes -> 0.748 at 16, SCALE.md round-14);
+# corpora needing near-noise-exhaustive graphs dial nprobe up explicitly.
+GRAPH_NPROBE_CAP = 16
+
+
+def auto_graph_nprobe(n_corpus: int) -> int:
+    """min(search dial, 16) — the kNN-GRAPH tier's probe count. Equal to
+    :func:`auto_ivf_nprobe` at every oracle fixture tier (11 at 500 rows,
+    16 at 2,000), then pinned at the fixed per-row budget the linear cell
+    dial exists to provide. Monotone in N (pinned by test)."""
+    return min(GRAPH_NPROBE_CAP, auto_ivf_nprobe(n_corpus))
+
+
+def auto_graph_nprobe_sql(corpus_pred: str = "TRUE") -> str:
+    """DuckDB mirror of :func:`auto_graph_nprobe` (same integer)."""
+    return (
+        f"(SELECT LEAST({GRAPH_NPROBE_CAP}, "
+        f"{auto_ivf_nprobe_sql(corpus_pred)}))"
+    )
+
+
 def auto_graph_centroids(n_corpus: int) -> int:
     """min(4096, max(4, isqrt(N), N // 192)) — the kNN-GRAPH tier's cell
     count. Equals :func:`auto_ivf_centroids` for N ≤ 36,864 (every sf
@@ -1425,9 +1454,13 @@ def cosine_pairs_exact(
     the same contract as knn_recall_report's brute-force reference.
 
     Scale shape: the matrix is collected once (bounded by ``max_rows``,
-    reject-don't-truncate — at the cap it is 65,536 × d ≈ 16 MiB at
-    d=32, broadcast-sized) and closed over by one Arrow-batched
-    ``mapInPandas`` pass over the corpus: each batch scores its rows
+    reject-don't-truncate — at the cap it is 65,536 × d ≈ 34 MiB at the
+    shipped d=64) and shipped to executors as an EXPLICIT
+    ``SparkContext.broadcast`` (r13 ADVICE item 4: closure capture
+    re-serialized the ~34 MiB matrix into every task's pickled closure;
+    the broadcast moves it once per executor), referenced inside one
+    Arrow-batched ``mapInPandas`` pass over the corpus: each batch
+    scores its rows
     against the strictly-larger-id columns of the full matrix and emits
     only qualifying pairs, so no N×N row set ever exists in the plan —
     no cartesian, no shuffle beyond the source scan. The kernel uses the
@@ -1458,6 +1491,7 @@ def cosine_pairs_exact(
     nrm = np.sqrt(_np_seq_self_dot(mat)) if len(rows) else np.zeros(0)
     valid = np.isfinite(nrm) & (nrm > 0)
     safe = np.where(valid, nrm, 1.0)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, valid, safe))
 
     def pair_batches(batches):
         # Corpus-side column tiling bounds the per-pass temporaries to
@@ -1466,6 +1500,7 @@ def cosine_pairs_exact(
         # are GiB-scale). Per-pair accumulation stays j-sequential within
         # each (row, col) cell, so tiling changes nothing bitwise.
         TILE = 4096
+        ids, mat, valid, safe = bc.value
         for pdf in batches:
             if len(pdf) == 0 or len(ids) == 0:
                 continue
@@ -2202,7 +2237,17 @@ def knn_ivf_pq_sql(
     restricted to the routed (query, doc) candidate pairs, ending in the
     same exact re-rank. Drift anywhere — quantizer training, probe
     ranking, code assignment, LUT sums — becomes a driver hash
-    mismatch."""
+    mismatch.
+
+    Dirty-QUERY divergence (r13 ADVICE item 2, same shape as
+    knn_ivf_sql): the qsub/lut CTEs select query vectors straight from
+    ``embeddings`` under ``query_pred`` while probe ranking runs over
+    the validity-filtered rows, so a zero-norm / non-finite QUERY vector
+    is silently DROPPED here (no probes, hence no output rows) whereas
+    the Python operator raises ValueError naming it. The engine/oracle
+    comparison contract is therefore valid-query inputs only — which the
+    registered query sets satisfy and tests/test_llm_ops.py pins (the
+    operator's raise is the product behavior; the oracle cannot raise)."""
     np_sql = auto_ivf_nprobe_sql() if nprobe == "auto" else str(int(nprobe))
     rr_sql = auto_pq_rerank_sql() if rerank == "auto" else str(int(rerank))
     slice_expr = (
@@ -2575,7 +2620,7 @@ def knn_graph_ivf(
 
     n_corpus = emb.count()
     if nprobe == "auto":
-        nprobe = auto_ivf_nprobe(n_corpus)
+        nprobe = auto_graph_nprobe(n_corpus)
     cidx, cint = ivf_train_centroids(
         emb, n_centroids=n_centroids, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col, n_corpus=n_corpus,
@@ -2682,8 +2727,9 @@ def knn_graph_ivf_sql(
     seed: int = 7,
 ) -> str:
     """DuckDB mirror of :func:`knn_graph_ivf` — knn_ivf_sql with the
-    query side widened to the whole valid corpus."""
-    np_sql = auto_ivf_nprobe_sql() if nprobe == "auto" else str(int(nprobe))
+    query side widened to the whole valid corpus and the graph tier's
+    dials (auto_graph_centroids / auto_graph_nprobe)."""
+    np_sql = auto_graph_nprobe_sql() if nprobe == "auto" else str(int(nprobe))
     cos_v = COSINE_SQL.format(a="v.e", b=IVF_CENT_DBL_SQL)
     cos = COSINE_SQL.format(a="q.embedding", b="c.embedding")
     ctes = ivf_train_sql_ctes(n_centroids=n_centroids, iters=iters, seed=seed)

@@ -101,8 +101,8 @@ def _knn_graph_dedup_mutual_oracle() -> str:
     "rank-1 out-edge), so over-merge structurally cannot percolate "
     "through borderline similarity — the guarantee plain closures lack. "
     "Measured on sf1 (20k vectors, known 10-replica families at "
-    "cos~0.6): the plain closure collapses to ONE 20,000-member "
-    "component; this rule yields ~2,009 components, largest 18, ~99% "
+    "cos~0.6): the plain closure collapses to ONE ~20,000-member "
+    "component; this rule yields ~2,026 components, largest 18, ~98% "
     "of them family-pure — while the clustered fixture's exact "
     "component recovery is preserved (pinned by test; within-cluster "
     "similarity clears the unambiguous tier). Pure mutual-kNN fails "

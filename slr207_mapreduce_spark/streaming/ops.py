@@ -392,6 +392,7 @@ def streaming_semantic_gate_candidates(
     n_centroids: int | str = "auto",
     iters: int = 2,
     seed: int = 7,
+    max_store_rows: int = 1_048_576,
 ) -> DataFrame:
     """Semantic near-dup gate at ingestion (r13 VERDICT item 6 — the
     embedding analogue of :func:`streaming_neardup_candidates`):
@@ -400,36 +401,55 @@ def streaming_semantic_gate_candidates(
 
     The coarse quantizer is trained ONCE on the static store (the
     bounded-collect fixed-point Lloyd's shared with knn_ivf — no
-    retraining per batch); arriving rows rank the broadcast centroid
-    table in a stateless Arrow-batched pass and emit their ``nprobe``
-    probe pairs, which meet the store's inverted lists in a
-    stream-static equi-join on the cell id. Every stage is
-    append-mode-legal (projection + broadcast join + filter — no
-    streaming aggregation, no state), so the SAME plan runs on a batch
-    DataFrame bit-identically (pinned in tests/test_streaming.py).
+    retraining per batch), and the store's inverted lists are shipped to
+    executors as ONE explicit ``SparkContext.broadcast`` — the
+    index-replica-in-worker-memory shape a real streaming dedup
+    deployment runs (a FAISS/ANN index replica per worker). Each
+    arriving row then routes AND compares in a single stateless
+    Arrow-batched pass: rank the centroid table, look up the ``nprobe``
+    routed cells' members in the broadcast index, vectorized
+    sequential-in-j cosines, emit hits. No join, no shuffle, no state —
+    append-mode legal, so the SAME plan runs on a batch DataFrame
+    bit-identically (pinned in tests/test_streaming.py).
+
+    Why not a probe/lists equi-join: pairing in the JVM and scoring in
+    Python ships BOTH vectors once per (row, stored-candidate) PAIR —
+    measured at the decade tier (20k arriving × 46 probes × ~700-member
+    cells ≈ 646M pairs) that is hundreds of GB through the join → Arrow
+    boundary, and the gate never finished inside 10 minutes. The
+    broadcast index moves the store once per executor instead; the same
+    measurement completes in seconds (SCALE.md round-14).
+
+    Bounded-store contract: the broadcast is ``max_store_rows``
+    (default 2^20 ≈ 512 MB of f64 at d=64) — reject-don't-truncate,
+    the cosine_pairs_exact discipline. Beyond it, a deployment shards
+    the store through the partitioned-lists sink (cells partitionBy
+    through sources/sinks.py, layout pinned in
+    tests/test_layout_runtime.py) and runs this gate per shard under
+    ``foreachBatch``.
 
     A (new, stored) pair appears at most once: a stored vector lives in
     exactly one cell and a new row probes distinct cells. Zero-norm /
     non-finite arriving rows are dropped (a gate must tolerate dirty
-    rows; the store side inherits the family's exclusion contract).
-
-    Scale shape: the store's lists are precomputed once (at 100 TB:
-    written partitionBy(cell) through the sink surface) and only the
-    routed cells' vectors meet the firehose; per arriving row the work
-    is nprobe cell ranks + |routed lists| cosines, independent of the
-    corpus size beyond the cell geometry."""
+    rows; the store side inherits the family's exclusion contract)."""
     import numpy as np
     import pandas as pd
 
     from slr207_mapreduce_spark.operators.similarity import (
         _np_seq_self_dot,
         auto_ivf_nprobe,
-        cosine,
         ivf_assign_cells,
         ivf_train_centroids,
     )
 
     n_store = store_emb.count()
+    if n_store > max_store_rows:
+        raise ValueError(
+            f"streaming_semantic_gate_candidates store has {n_store} rows > "
+            f"max_store_rows={max_store_rows}; the gate broadcasts the "
+            "store's inverted lists — shard a bigger store through the "
+            "partitioned-lists sink and gate per shard"
+        )
     if nprobe == "auto":
         nprobe = auto_ivf_nprobe(n_store)
     np_probe = int(nprobe)
@@ -439,11 +459,27 @@ def streaming_semantic_gate_candidates(
     )
     cmat = cint.astype(np.float64) * 1e-6
     cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
-    lists = ivf_assign_cells(
+    list_rows = ivf_assign_cells(
         store_emb, cidx, cint, out_id="store_id", carry_vec=True
-    ).select("cidx", "store_id", F.col("v").alias("sv"))
+    ).collect()
+    by_cell: dict[int, tuple] = {}
+    if list_rows:
+        import collections
 
-    def probe_batches(batches):
+        grouped = collections.defaultdict(list)
+        for r in list_rows:
+            grouped[int(r.cidx)].append(r)
+        for c, rows in grouped.items():
+            mids = np.asarray([r.store_id for r in rows], dtype=np.int64)
+            mmat = np.asarray([r.v for r in rows], dtype=np.float64)
+            mnrm = np.sqrt(_np_seq_self_dot(mmat))
+            by_cell[c] = (mids, mmat, mnrm)
+    bc = store_emb.sparkSession.sparkContext.broadcast(by_cell)
+
+    tau_f = float(tau)
+
+    def gate_batches(batches):
+        index = bc.value
         for pdf in batches:
             if len(pdf) == 0 or len(cidx) == 0:
                 continue
@@ -451,31 +487,41 @@ def streaming_semantic_gate_candidates(
             vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
             nrm = np.sqrt(_np_seq_self_dot(vmat))
             ok = np.isfinite(nrm) & (nrm > 0)
-            dots = np.zeros((len(ids), len(cidx)))
+            cdots = np.zeros((len(ids), len(cidx)))
             for j in range(vmat.shape[1]):
-                dots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
-            out_c, out_i, out_v = [], [], []
+                cdots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
+            out_i, out_s, out_c = [], [], []
             for i in range(len(ids)):
                 if not ok[i]:
                     continue  # dirty arriving row: gate tolerates, drops
-                ccos = dots[i] / (nrm[i] * cnorm)
+                ccos = cdots[i] / (nrm[i] * cnorm)
                 top = np.lexsort((cidx, -ccos))[:np_probe]
                 for c in cidx[top]:
-                    out_c.append(int(c))
-                    out_i.append(ids[i])
-                    out_v.append(pdf["v"].iloc[i])
-            yield pd.DataFrame({"cidx": out_c, "vec_id": out_i, "v": out_v})
+                    cell = index.get(int(c))
+                    if cell is None:
+                        continue  # trained cell with no members
+                    mids, mmat, mnrm = cell
+                    # per-pair sequential-in-j dot — the fold both
+                    # engines share, vectorized over the cell's members
+                    dots = np.zeros(len(mids))
+                    for j in range(mmat.shape[1]):
+                        dots += vmat[i, j] * mmat[:, j]
+                    cos = dots / (nrm[i] * mnrm)
+                    hit = cos >= tau_f
+                    if hit.any():
+                        out_i.extend([ids[i]] * int(hit.sum()))
+                        out_s.extend(mids[hit])
+                        out_c.extend(cos[hit])
+            if not out_i:
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.asarray(out_i, dtype=np.int64),
+                    "store_id": np.asarray(out_s, dtype=np.int64),
+                    "cos_sim": np.asarray(out_c, dtype=np.float64),
+                }
+            )
 
-    probes = emb_stream.select(
+    return emb_stream.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).mapInPandas(probe_batches, schema="cidx long, vec_id long, v array<double>")
-
-    return (
-        probes.join(F.broadcast(lists), "cidx")
-        .select(
-            "vec_id",
-            "store_id",
-            cosine(F.col("v"), F.col("sv")).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= F.lit(float(tau)))
-    )
+    ).mapInPandas(gate_batches, schema="vec_id long, store_id long, cos_sim double")

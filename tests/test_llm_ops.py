@@ -619,6 +619,46 @@ def test_auto_graph_centroids_scales_and_matches_sql():
         prev = k_py
 
 
+def test_auto_graph_nprobe_budget_and_sql():
+    """The graph tier's probe dial: equal to the search dial at every
+    ORACLE fixture tier (11 at 500 rows, 16 at 2,000 — so driver-window
+    hashes are untouched), then pinned at the fixed per-row candidate
+    budget (16 cells x ~192 rows) that makes total graph compute
+    O(N*d) in the linear-cell regime. Monotone; SQL mirror in lockstep.
+    The recall/wall trade of the cap is measured in SCALE.md round-14
+    (decade tier: 294 s -> 126 s at identical 1.0 sampled recall;
+    shell-adversarial sf1: 0.891 -> 0.748)."""
+    import duckdb
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        GRAPH_NPROBE_CAP,
+        auto_graph_nprobe,
+        auto_graph_nprobe_sql,
+        auto_ivf_nprobe,
+    )
+
+    assert (auto_graph_nprobe(500), auto_graph_nprobe(2000)) == (
+        auto_ivf_nprobe(500),
+        auto_ivf_nprobe(2000),
+    ) == (11, 16)
+    assert auto_graph_nprobe(200_000) == GRAPH_NPROBE_CAP
+    con = duckdb.connect()
+    prev = 0
+    for n in (1, 4, 499, 500, 1999, 2000, 20_000, 200_000, 10**7):
+        p_py = auto_graph_nprobe(n)
+        # the SQL mirror counts the embeddings view; evaluate the law
+        # itself with an inline count expression instead
+        p_sql = con.execute(
+            "SELECT "
+            + auto_graph_nprobe_sql().replace(
+                "SELECT COUNT(*) FROM embeddings WHERE (TRUE)", str(n)
+            )
+        ).fetchone()[0]
+        assert p_py == p_sql, f"n={n}: python {p_py} != sql {p_sql}"
+        assert p_py >= prev
+        prev = p_py
+
+
 def test_ngram_jaccard_auto_plan_choice(spark):
     """ngram_jaccard_pairs_auto picks the plan per run from the shingle-df
     probe (r11 VERDICT item 5): plain inverted-index join on the bounded
