@@ -709,11 +709,13 @@ def knn_lsh_bucketed_sql(
 # Training-sample multiplier: Lloyd's iterates over the first
 # IVF_TRAIN_SAMPLE_MULT * k corpus vectors under the seeded md5 ranking
 # (a uniform deterministic sample), NOT the whole corpus — the FAISS
-# train-on-a-sample discipline. With k <= 256 the sample is <= 16,384
-# vectors (~8 MiB at d=64), so training cost is INDEPENDENT of corpus
-# size by construction: one bounded top-k collect + driver-side numpy.
-# Corpora at or below the sample size train on everything (sf0.01 and
-# sf0.1 are bit-identical to full-corpus training).
+# train-on-a-sample discipline. The sample is min(64·k, 65,536) rows
+# (IVF_TRAIN_SAMPLE_CAP, r14 — the graph dial lifts k past 256, so the
+# bound is explicit instead of implied by the search tiers' cell cap;
+# ≤ 32 MiB at d=64 either way), so training cost is INDEPENDENT of
+# corpus size by construction: one bounded top-k collect + driver-side
+# numpy. Corpora at or below the sample size train on everything
+# (sf0.01 and sf0.1 are bit-identical to full-corpus training).
 IVF_TRAIN_SAMPLE_MULT = 64
 
 
@@ -2579,8 +2581,9 @@ def knn_graph_ivf(
     probe stage collects it); the operator a 100 TB curation run actually
     needs for kNN-graph dedup, clustering, and connectivity analysis is
     all-rows-as-queries. Here the routing stage is itself an Arrow-batched
-    corpus pass: each row ranks the broadcast centroids (<= 256 vectors,
-    ~128 KiB) with the same lexsort tie-break as the oracle's ROW_NUMBER
+    corpus pass: each row ranks the broadcast centroids (<= 4096 vectors
+    at the graph dial's bytes cap, <= 2 MiB of state) with the same
+    lexsort tie-break as the oracle's ROW_NUMBER
     and emits its nprobe (cell, row) probe pairs. Probes and inverted
     lists then meet in ONE per-cell ``applyInPandas`` kernel (members vs
     probing queries, sequential-in-j cosine, local top-k), and a global

@@ -209,6 +209,10 @@ def test_full_registry_plan_sweep(spark):
 
     specs = all_queries()
     violations: dict[str, list[str]] = {}
+    # NOTE (r13 ADVICE): building the *_materialized queries RUNS their
+    # bounded staging write under .sfgen/stage (write-once semantics IS
+    # those operators) — enumerating the registry here, like any
+    # plan-only consumer, performs those writes.
     for name, spec in specs.items():
         df = spec.build(spark, SF_SMOKE)
         jvm = df._sc._jvm
