@@ -2379,6 +2379,8 @@ def knn_ivf_pq_build_index(
     first-class surface: build pays training + the encode pass + one
     write, and every subsequent :func:`knn_ivf_pq_query_index` run reads
     only its routed cells (PartitionFilters) and never re-encodes."""
+    import os
+
     import numpy as np
     import pandas as pd
 
@@ -2431,7 +2433,32 @@ def knn_ivf_pq_build_index(
     )
     with staged_write(path) as stage:
         write_table(encoded, stage, partition_by=["cidx"])
+        # Persist the routing/codebook state INSIDE the store (an
+        # underscore-prefixed sidecar — Spark's parquet reader ignores
+        # it), so the store is self-contained: a FRESH process queries it
+        # via knn_ivf_pq_load_state without retraining or re-encoding —
+        # the actual query-many contract. npz round-trips the exact f64
+        # bits. Written into the staging dir, so the atomic swap
+        # publishes data + state together.
+        np.savez(
+            os.path.join(stage, "_ivfpq_state.npz"),
+            cidx=cidx, cint=cint, cent_mat=cent_mat,
+        )
     return cidx, cint, cent_mat
+
+
+def knn_ivf_pq_load_state(path: str):
+    """Load the broadcast-sized routing/codebook state a
+    :func:`knn_ivf_pq_build_index` run persisted inside its store —
+    ``(cidx, cint, cent_mat)``, bit-identical to what the build
+    returned, so a fresh session can run :func:`knn_ivf_pq_query_index`
+    against an existing store with no retraining (pinned by test)."""
+    import os
+
+    import numpy as np
+
+    with np.load(os.path.join(path, "_ivfpq_state.npz")) as z:
+        return z["cidx"], z["cint"], z["cent_mat"]
 
 
 def knn_ivf_pq_query_index(
@@ -2641,22 +2668,28 @@ def knn_graph_ivf(
             if len(pdf) == 0 or len(cidx) == 0:
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            varr = pdf["v"].to_numpy()
+            vmat = np.vstack(varr).astype(np.float64)
             dots = np.zeros((len(ids), len(cidx)))
             for j in range(vmat.shape[1]):
                 dots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
             nrm = np.sqrt(_np_seq_self_dot(vmat))
             # rows here come from the lists — valid by construction
             ccos = dots / (nrm[:, None] * cnorm[None, :])
-            out_c, out_i, out_v = [], [], []
+            # per-row lexsort keeps the oracle's exact (cos DESC, cidx
+            # ASC) tie-break; emission is vectorized (r14 — the per-probe
+            # .iloc append was per-row Python on an N·nprobe loop)
+            kp = min(np_probe, len(cidx))
+            top = np.empty((len(ids), kp), dtype=np.int64)
             for i in range(len(ids)):
-                top = np.lexsort((cidx, -ccos[i]))[:np_probe]
-                for c in cidx[top]:
-                    out_c.append(int(c))
-                    out_i.append(ids[i])
-                    out_v.append(pdf["v"].iloc[i])
+                top[i] = np.lexsort((cidx, -ccos[i]))[:kp]
+            rep = np.repeat(np.arange(len(ids)), kp)
             yield pd.DataFrame(
-                {"cidx": out_c, "vec_id": out_i, "v": out_v}
+                {
+                    "cidx": cidx[top.ravel()],
+                    "vec_id": ids[rep],
+                    "v": varr[rep],
+                }
             )
 
     probes = cells.select("vec_id", "v").mapInPandas(

@@ -465,3 +465,37 @@ def test_ivf_pq_materialized_prunes_and_matches_from_raw(spark):
     assert sorted(map(tuple, mat.collect()), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, raw.collect()), key=lambda t: (t[0], t[3])
     )
+
+
+def test_ivf_pq_store_is_self_contained(spark):
+    """The IVF-PQ store carries its routing/codebook state as an
+    underscore sidecar (ignored by Spark's parquet reader), so a FRESH
+    process can query an existing store with NO retraining — the
+    query-many contract. knn_ivf_pq_load_state must return bit-identical
+    arrays to what the build returned, and querying with the loaded
+    state must reproduce the from-raw top-k exactly."""
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        knn_ivf_pq,
+        knn_ivf_pq_build_index,
+        knn_ivf_pq_load_state,
+        knn_ivf_pq_query_index,
+    )
+    from slr207_mapreduce_spark.sources.staging import staging_path
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    path = staging_path("ivfpq_index_selfcontained_test", SF_SMOKE)
+    built = knn_ivf_pq_build_index(e, path)
+    loaded = knn_ivf_pq_load_state(path)
+    for a, b in zip(built, loaded):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    q = e.where(F2.col("vec_id") < 10)
+    got = knn_ivf_pq_query_index(e, q, path, loaded, k=5).collect()
+    want = knn_ivf_pq(e, q, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) > 0

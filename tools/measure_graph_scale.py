@@ -43,7 +43,7 @@ def main() -> int:
     from slr207_mapreduce_spark.functions.portable import portable_hash64
     from slr207_mapreduce_spark.operators.similarity import (
         auto_graph_centroids,
-        auto_ivf_nprobe,
+        auto_graph_nprobe,
         knn_bruteforce,
         knn_graph_ivf,
         norm_f64,
@@ -103,7 +103,7 @@ def main() -> int:
     print(json.dumps({
         "tier": args.tier, "n": n,
         "n_centroids": cells,
-        "nprobe": auto_ivf_nprobe(n) if npr == "auto" else npr,
+        "nprobe": auto_graph_nprobe(n) if npr == "auto" else npr,
         "k": args.k, "edges": n_edges,
         "graph_wall_sec": round(wall, 1),
         "sampled_recall": round(hits / denom, 3) if denom else None,
