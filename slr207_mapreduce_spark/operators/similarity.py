@@ -2676,13 +2676,14 @@ def knn_graph_ivf(
             nrm = np.sqrt(_np_seq_self_dot(vmat))
             # rows here come from the lists — valid by construction
             ccos = dots / (nrm[:, None] * cnorm[None, :])
-            # per-row lexsort keeps the oracle's exact (cos DESC, cidx
-            # ASC) tie-break; emission is vectorized (r14 — the per-probe
-            # .iloc append was per-row Python on an N·nprobe loop)
+            # ONE stable argsort == the oracle's (cos DESC, cidx ASC)
+            # tie-break: the centroid columns are cidx-ascending by
+            # construction, and a stable sort on -cos preserves that
+            # order among ties — bit-identical to the per-row
+            # np.lexsort((cidx, -ccos[i])) it replaces (r14: that loop
+            # was N per-row Python lexsorts)
             kp = min(np_probe, len(cidx))
-            top = np.empty((len(ids), kp), dtype=np.int64)
-            for i in range(len(ids)):
-                top[i] = np.lexsort((cidx, -ccos[i]))[:kp]
+            top = np.argsort(-ccos, axis=1, kind="stable")[:, :kp]
             rep = np.repeat(np.arange(len(ids)), kp)
             yield pd.DataFrame(
                 {
@@ -2717,20 +2718,27 @@ def knn_graph_ivf(
         mid = mm["vec_id"].to_numpy(dtype=np.int64)
         qmat = np.vstack(qm["v"].to_numpy()).astype(np.float64)
         mmat = np.vstack(mm["v"].to_numpy()).astype(np.float64)
+        # pre-sort members by id so ONE stable argsort on -cos gives the
+        # oracle's exact (cos DESC, neighbor_id ASC) tie-break — replaces
+        # a per-query-row Python lexsort over the full member set (r14)
+        mo = np.argsort(mid, kind="stable")
+        mid, mmat = mid[mo], mmat[mo]
         dots = np.zeros((len(qid), len(mid)))
         for j in range(qmat.shape[1]):
             dots += qmat[:, j : j + 1] * mmat.T[j : j + 1, :]
         qn = np.sqrt(_np_seq_self_dot(qmat))
         mn = np.sqrt(_np_seq_self_dot(mmat))
         cos = dots / (qn[:, None] * mn[None, :])
+        # take k+1 then drop the self row (a query is also a member of
+        # its own home cell) — identical to masking self before ranking
+        kk = min(k + 1, len(mid))
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
         out_q, out_n, out_c = [], [], []
         for i in range(len(qid)):
-            mask = mid != qid[i]
-            cn, cc = mid[mask], cos[i, mask]
-            top = np.lexsort((cn, -cc))[:k]
-            out_q.extend([qid[i]] * len(top))
-            out_n.extend(cn[top])
-            out_c.extend(cc[top])
+            sel = order[i][mid[order[i]] != qid[i]][:k]
+            out_q.extend([qid[i]] * len(sel))
+            out_n.extend(mid[sel])
+            out_c.extend(cos[i, sel])
         if not out_q:
             return empty
         return pd.DataFrame(
