@@ -259,12 +259,10 @@ def _semdedup_oracle() -> str:
     tags=("dedup", "similarity", "pipeline"),
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     from slr207_mapreduce_spark.operators.similarity import (
         ivf_assign_cells,
         ivf_train_centroids,
+        semdedup_cell_dropped_kernel,
     )
 
     e = load_table(spark, "embeddings", sf_dir)
@@ -275,37 +273,17 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verdict leg), within the sweep's default budget. At 100 TB the
     # cells frame is what you'd materialize bucketed by cidx anyway.
     cells = ivf_assign_cells(e, cidx, cint, carry_vec=True)
-
-    def cell_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # Within-cell verdicts as ONE numpy kernel per cell (r13: the
-        # within-cell equi-self-join evaluated the interpreted Catalyst
-        # cosine fold per candidate pair — 50.5 s at sf1 for ~2.8M pairs;
-        # this cosine_neardup_pairs-style Arrow kernel computes the same
-        # sequential-in-j accumulation, bit-identically, in 3.3 s).
-        # Work/memory stay O(cell^2)/O(cell*d) — the bound SemDeDup's
-        # cell scoping exists to provide.
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        dots = np.zeros((n, n))
-        for j in range(mat.shape[1]):
-            dots += mat[:, j : j + 1] * mat.T[j : j + 1, :]
-        acc = np.zeros(n)
-        for j in range(mat.shape[1]):
-            acc += mat[:, j] * mat[:, j]
-        nrm = np.sqrt(acc)
-        # assignment already excluded zero-norm/non-finite vectors from
-        # the lists, so every row here has a valid norm
-        cos = dots / (nrm[:, None] * nrm[None, :])
-        hit = (ids[:, None] < ids[None, :]) & (cos >= _SEMDEDUP_TAU)
-        return pd.DataFrame({"vec_id": ids[hit.any(axis=0)]})
-
+    # Within-cell verdicts as ONE numpy kernel per cell — the shared
+    # semdedup_cell_dropped_kernel (r13: the interpreted per-pair fold
+    # was 50.5 s at sf1; the Arrow kernel 3.3 s; r14 review: one
+    # definition shared with the merged variant so the bit-exactness-
+    # critical kernel cannot drift between copies).
     dropped = (
         cells.select("cidx", "vec_id", "v")
         .groupBy("cidx")
-        .applyInPandas(cell_dropped, schema="vec_id long")
+        .applyInPandas(
+            semdedup_cell_dropped_kernel(_SEMDEDUP_TAU), schema="vec_id long"
+        )
         .withColumn("is_dropped", F.lit(True))
     )
     return (

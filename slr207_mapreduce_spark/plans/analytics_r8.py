@@ -376,13 +376,11 @@ def _semdedup_merged_oracle() -> str:
 def dedup_semantic_semdedup_merged(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     from slr207_mapreduce_spark.operators.similarity import (
         ivf_assign_cells,
         ivf_train_centroids,
         merge_trained_cells,
+        semdedup_cell_dropped_kernel,
     )
 
     e = load_table(spark, "embeddings", sf_dir)
@@ -394,28 +392,12 @@ def dedup_semantic_semdedup_merged(
     # passing the merged labels as the kernel's output ids applies the
     # cidx -> mcidx map in the same pass
     cells = ivf_assign_cells(e, mcidx, cint, carry_vec=True)
-
-    def cell_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        dots = np.zeros((n, n))
-        for j in range(mat.shape[1]):
-            dots += mat[:, j : j + 1] * mat.T[j : j + 1, :]
-        acc = np.zeros(n)
-        for j in range(mat.shape[1]):
-            acc += mat[:, j] * mat[:, j]
-        nrm = np.sqrt(acc)
-        cos = dots / (nrm[:, None] * nrm[None, :])
-        hit = (ids[:, None] < ids[None, :]) & (cos >= _SEMDEDUP_TAU)
-        return pd.DataFrame({"vec_id": ids[hit.any(axis=0)]})
-
     dropped = (
         cells.select("cidx", "vec_id", "v")
         .groupBy("cidx")
-        .applyInPandas(cell_dropped, schema="vec_id long")
+        .applyInPandas(
+            semdedup_cell_dropped_kernel(_SEMDEDUP_TAU), schema="vec_id long"
+        )
         .withColumn("is_dropped", F.lit(True))
     )
     return cells.join(dropped, "vec_id", "left").select(

@@ -9,14 +9,16 @@ This module owns WHERE those stores live and HOW a build replaces one:
   checkout) instead of a fresh ``/tmp`` directory per PROCESS, which
   leaked one abandoned store per run (r13 ADVICE item 1: the pid key
   made 'bounded disk' hold only per-process).
-- **Atomic swap under a lock**: the build writes to a pid-unique
-  ``.stage-*`` sibling, then swaps it into place (remove old + rename)
-  while holding an fcntl lock on ``<final>.lock``, so two processes
-  building the same store serialize instead of interleaving files under
-  one path. Rename is atomic on one filesystem; the reader is the
-  process that just built (the registered queries read their own swap).
-- **Stale-build sweep**: any ``.stage-*`` sibling older than a day (an
-  interrupted build) is removed before writing a new one.
+- **Versioned publish under a lock** (r14 review): each build writes a
+  fresh ``<final>.v<nonce>`` directory and atomically repoints the
+  ``<final>`` symlink at it (symlink-replace is atomic on POSIX), so a
+  reader that captured the OLD version's file listing keeps reading
+  intact files while a concurrent builder publishes — the mid-read
+  safety the old pid-keyed paths provided, without their leak. The
+  fcntl lock serializes publishers; readers never need it.
+- **Bounded disk**: after publishing, all version directories except
+  the two newest are removed, as is any ``.stage-*`` remnant of an
+  interrupted build older than a day.
 """
 
 from __future__ import annotations
@@ -35,25 +37,29 @@ def _repo_root() -> str:
 
 
 def staging_path(kind: str, sf_dir: str) -> str:
-    """The final store path for (kind, sf_dir) — deterministic per
-    checkout + scale factor, NOT per process, so re-runs overwrite one
-    bounded location."""
+    """The published store path for (kind, sf_dir) — a symlink to the
+    current version directory, deterministic per checkout + scale
+    factor, NOT per process, so re-runs publish into one bounded
+    location."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(_repo_root(), ".sfgen", "stage", f"{kind}_{key}")
 
 
 @contextlib.contextmanager
 def staged_write(final_path: str):
-    """Yield a pid-unique staging path to write a parquet store into;
-    on exit, atomically swap it into ``final_path`` under an fcntl lock
-    (concurrent builders serialize; a crashed builder leaves only a
-    ``.stage-*`` sibling that the next build sweeps)."""
+    """Yield a unique staging path to write a parquet store into; on
+    exit, publish it as a new VERSION of ``final_path`` (rename the
+    staging dir to ``<final>.v<nonce>``, then atomically replace the
+    ``<final>`` symlink) under an fcntl lock. Concurrent builders
+    serialize; concurrent readers of the previous version keep their
+    intact files until the version ages out (all but the two newest
+    versions are swept after each publish, plus day-old ``.stage-*``
+    remnants of interrupted builds)."""
     import fcntl
 
     parent = os.path.dirname(final_path)
     os.makedirs(parent, exist_ok=True)
     base = os.path.basename(final_path)
-    # sweep stale interrupted builds (> 1 day old)
     now = time.time()
     for entry in os.listdir(parent):
         if entry.startswith(f"{base}.stage-"):
@@ -63,16 +69,35 @@ def staged_write(final_path: str):
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
-    stage = f"{final_path}.stage-{os.getpid()}"
+    stage = f"{final_path}.stage-{os.getpid()}-{time.time_ns()}"
     shutil.rmtree(stage, ignore_errors=True)
     try:
         yield stage
+        version = f"{final_path}.v{time.time_ns()}-{os.getpid()}"
         lock_path = f"{final_path}.lock"
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             try:
-                shutil.rmtree(final_path, ignore_errors=True)
-                os.rename(stage, final_path)
+                os.rename(stage, version)
+                # atomic pointer swap: symlink to a temp name, then
+                # replace — readers see either the old or the new
+                # version, never a missing/partial store
+                tmp_link = f"{final_path}.lnk-{os.getpid()}"
+                if os.path.exists(tmp_link) or os.path.islink(tmp_link):
+                    os.unlink(tmp_link)
+                os.symlink(os.path.basename(version), tmp_link)
+                if os.path.isdir(final_path) and not os.path.islink(final_path):
+                    # pre-r14 layout: the store was a plain directory —
+                    # clear it once so the symlink can take its place
+                    shutil.rmtree(final_path, ignore_errors=True)
+                os.replace(tmp_link, final_path)
+                # bounded disk: keep the two newest versions, sweep the rest
+                versions = sorted(
+                    e for e in os.listdir(parent)
+                    if e.startswith(f"{base}.v")
+                )
+                for old in versions[:-2]:
+                    shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
     finally:

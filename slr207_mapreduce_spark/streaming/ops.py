@@ -459,21 +459,19 @@ def streaming_semantic_gate_candidates(
     )
     cmat = cint.astype(np.float64) * 1e-6
     cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
-    list_rows = ivf_assign_cells(
+    # Arrow collect (r14 review: row-object collect at the 2^20 cap cost
+    # several GB of transient driver heap vs the ~512 MB the payload
+    # actually is), grouped per cell with one vstack each.
+    list_pdf = ivf_assign_cells(
         store_emb, cidx, cint, out_id="store_id", carry_vec=True
-    ).collect()
+    ).toPandas()
     by_cell: dict[int, tuple] = {}
-    if list_rows:
-        import collections
-
-        grouped = collections.defaultdict(list)
-        for r in list_rows:
-            grouped[int(r.cidx)].append(r)
-        for c, rows in grouped.items():
-            mids = np.asarray([r.store_id for r in rows], dtype=np.int64)
-            mmat = np.asarray([r.v for r in rows], dtype=np.float64)
+    if len(list_pdf):
+        for c, grp in list_pdf.groupby("cidx", sort=False):
+            mids = grp["store_id"].to_numpy(dtype=np.int64)
+            mmat = np.vstack(grp["v"].to_numpy()).astype(np.float64)
             mnrm = np.sqrt(_np_seq_self_dot(mmat))
-            by_cell[c] = (mids, mmat, mnrm)
+            by_cell[int(c)] = (mids, mmat, mnrm)
     bc = store_emb.sparkSession.sparkContext.broadcast(by_cell)
 
     tau_f = float(tau)
@@ -490,13 +488,20 @@ def streaming_semantic_gate_candidates(
             cdots = np.zeros((len(ids), len(cidx)))
             for j in range(vmat.shape[1]):
                 cdots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
+            # one stable argsort for the whole batch == per-row
+            # lexsort((cidx, -ccos)): centroid columns are cidx-ascending
+            # (the knn_graph_ivf probe-stage equivalence, r14 review).
+            # Invalid rows rank against a safe norm (their probes are
+            # skipped below), keeping NaN out of the sort keys.
+            nrm_safe = np.where(ok, nrm, 1.0)
+            ccos_all = cdots / (nrm_safe[:, None] * cnorm[None, :])
+            kp = min(np_probe, len(cidx))
+            top_all = np.argsort(-ccos_all, axis=1, kind="stable")[:, :kp]
             out_i, out_s, out_c = [], [], []
             for i in range(len(ids)):
                 if not ok[i]:
                     continue  # dirty arriving row: gate tolerates, drops
-                ccos = cdots[i] / (nrm[i] * cnorm)
-                top = np.lexsort((cidx, -ccos))[:np_probe]
-                for c in cidx[top]:
+                for c in cidx[top_all[i]]:
                     cell = index.get(int(c))
                     if cell is None:
                         continue  # trained cell with no members

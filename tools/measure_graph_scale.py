@@ -44,6 +44,7 @@ def main() -> int:
     from slr207_mapreduce_spark.operators.similarity import (
         auto_graph_centroids,
         auto_graph_nprobe,
+        auto_ivf_centroids,
         knn_bruteforce,
         knn_graph_ivf,
         norm_f64,
@@ -94,12 +95,12 @@ def main() -> int:
     denom = exact.count()
     g_cached.unpersist()
 
-    cells = auto_graph_centroids(n) if nc == "auto_graph" else (
-        # "auto" = the bounded-|Q| search dial (the pre-r14 behavior)
-        __import__("slr207_mapreduce_spark.operators.similarity",
-                   fromlist=["auto_ivf_centroids"]).auto_ivf_centroids(n)
-        if nc == "auto" else nc
-    )
+    if nc == "auto_graph":
+        cells = auto_graph_centroids(n)
+    elif nc == "auto":  # the bounded-|Q| search dial (pre-r14 behavior)
+        cells = auto_ivf_centroids(n)
+    else:
+        cells = nc
     print(json.dumps({
         "tier": args.tier, "n": n,
         "n_centroids": cells,
