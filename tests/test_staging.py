@@ -1,0 +1,50 @@
+"""The staging module's publish discipline (r13 ADVICE item 1 + r14
+review): versioned stores under one bounded per-(checkout, sf) location,
+atomic symlink swap, reader-safe replacement, bounded version retention."""
+
+from __future__ import annotations
+
+import os
+
+from slr207_mapreduce_spark.sources.staging import staged_write, staging_path
+
+
+def _write_store(final, payload):
+    with staged_write(final) as stage:
+        os.makedirs(stage)
+        with open(os.path.join(stage, "part-0"), "w") as f:
+            f.write(payload)
+
+
+def test_staged_write_publishes_versions_and_keeps_reader_files(tmp_path):
+    final = str(tmp_path / "store_x")
+    _write_store(final, "v1")
+    assert os.path.islink(final)
+    with open(os.path.join(final, "part-0")) as f:
+        assert f.read() == "v1"
+    # a reader that resolved the v1 directory keeps its files across a
+    # concurrent republish — the builder-vs-reader safety property
+    v1_dir = os.path.realpath(final)
+    _write_store(final, "v2")
+    with open(os.path.join(final, "part-0")) as f:
+        assert f.read() == "v2"
+    assert os.path.exists(os.path.join(v1_dir, "part-0"))  # v1 intact
+    # bounded retention: a third publish sweeps v1, keeps two newest
+    v2_dir = os.path.realpath(final)
+    _write_store(final, "v3")
+    assert not os.path.exists(v1_dir)
+    assert os.path.exists(os.path.join(v2_dir, "part-0"))
+    with open(os.path.join(final, "part-0")) as f:
+        assert f.read() == "v3"
+    # no stage remnants
+    parent = os.path.dirname(final)
+    assert not [e for e in os.listdir(parent) if ".stage-" in e]
+
+
+def test_staging_path_is_per_checkout_and_sf(tmp_path):
+    a = staging_path("kindA", "/root/testdata/sf0.01")
+    b = staging_path("kindA", "/root/testdata/sf0.1")
+    c = staging_path("kindB", "/root/testdata/sf0.01")
+    assert len({a, b, c}) == 3
+    assert a == staging_path("kindA", "/root/testdata/sf0.01")  # stable
+    assert "/.sfgen/stage/" in a
