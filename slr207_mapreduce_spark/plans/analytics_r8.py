@@ -405,3 +405,118 @@ def dedup_semantic_semdedup_merged(
         "cidx",
         F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
     )
+
+
+# Hybrid-retrieval configuration: the BM25 lexical ranking (text_bm25's
+# fixed query {join, hash, scan}) fused with the vector ranking of query
+# embedding vec_id=0 via reciprocal rank fusion, each modality
+# contributing its top-_RRF_DEPTH ranks, RRF constant 60 (Cormack et
+# al.'s standard), final cut top-_RRF_TOPK. Contributions are exact
+# integers (1e9 // (60 + rank)), so the fusion is engine-exact.
+_RRF_K0 = 60
+_RRF_DEPTH = 20
+_RRF_TOPK = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from slr207_mapreduce_spark.operators.similarity import knn_bruteforce_sql
+    from slr207_mapreduce_spark.plans.base import REGISTRY as _REG
+
+    bm25_sql = _REG["text_bm25"].oracle
+    knn_sql = knn_bruteforce_sql(k=_RRF_DEPTH, query_pred="{col} = 0")
+    return f"""
+    WITH bm AS ({bm25_sql}),
+    trank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25_e9 DESC, doc_id ASC) AS r
+      FROM bm
+    ),
+    knn AS ({knn_sql}),
+    contrib AS (
+      SELECT doc_id, 1000000000 // ({_RRF_K0} + r) AS c,
+             r AS text_rank, CAST(NULL AS BIGINT) AS vec_rank
+      FROM trank WHERE r <= {_RRF_DEPTH}
+      UNION ALL
+      SELECT neighbor_id AS doc_id, 1000000000 // ({_RRF_K0} + rank) AS c,
+             CAST(NULL AS BIGINT) AS text_rank, rank AS vec_rank
+      FROM knn
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS rrf_e9,
+             CAST(MAX(text_rank) AS BIGINT) AS text_rank,
+             CAST(MAX(vec_rank) AS BIGINT) AS vec_rank
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_e9, text_rank, vec_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS fr
+      FROM fused
+    ) WHERE fr <= {_RRF_TOPK}
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    doc="Hybrid retrieval via reciprocal rank fusion (Cormack et al. "
+    "2009) — the standard modern curation/retrieval shape, composed "
+    "from two already-oracled families: the BM25 lexical ranking "
+    "(text_bm25's log-free fixed-point scorer, query {join, hash, "
+    f"scan}}) and the exact vector ranking of query embedding 0, each "
+    f"contributing its top-{_RRF_DEPTH} ranks; a doc's fused score is "
+    f"the integer sum of 1e9 // ({_RRF_K0} + rank) over the modalities "
+    "that ranked it (missing modality contributes nothing), final cut "
+    f"top-{_RRF_TOPK} by (score, id). No join anywhere: the two rank "
+    "lists UNION and fold in one tiny groupBy — at 100 TB each "
+    "modality's ranking is the bounded-output retrieval its own "
+    "operator already scales (BM25 = two corpus scans; kNN = the ANN "
+    "tiers), and the fusion only ever touches 2x depth rows. "
+    "Documents and embeddings link by id (doc_id == vec_id).",
+    tags=("text", "similarity", "ranking", "pipeline"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from slr207_mapreduce_spark.operators.similarity import knn_bruteforce
+    from slr207_mapreduce_spark.plans.base import REGISTRY as _REG
+
+    bm = _REG["text_bm25"].build(spark, sf_dir)
+    # top-DEPTH first (TakeOrderedAndProject — the scalable global
+    # top-k), THEN rank: the unpartitioned window only ever sees
+    # _RRF_DEPTH rows, never the corpus-sized BM25 output
+    wt = Window.orderBy(F.desc("bm25_e9"), F.asc("doc_id"))
+    trank = (
+        bm.orderBy(F.desc("bm25_e9"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn("r", F.row_number().over(wt))
+        .select(
+            "doc_id",
+            F.expr(f"1000000000 div ({_RRF_K0} + r)").alias("c"),
+            F.col("r").cast("long").alias("text_rank"),
+            F.lit(None).cast("long").alias("vec_rank"),
+        )
+    )
+    e = load_table(spark, "embeddings", sf_dir)
+    knn = knn_bruteforce(e, e.where(F.col("vec_id") == 0), k=_RRF_DEPTH)
+    vrank = knn.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.expr(f"1000000000 div ({_RRF_K0} + rank)").alias("c"),
+        F.lit(None).cast("long").alias("text_rank"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    fused = (
+        trank.unionByName(vrank)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("rrf_e9"),
+            F.max("text_rank").cast("long").alias("text_rank"),
+            F.max("vec_rank").cast("long").alias("vec_rank"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_e9"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fr", F.row_number().over(wf))
+        .where(F.col("fr") <= _RRF_TOPK)
+        .select("doc_id", "rrf_e9", "text_rank", "vec_rank")
+    )

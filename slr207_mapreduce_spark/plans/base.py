@@ -104,6 +104,7 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "dedup_semantic_semdedup_merged",
     "knn_ivf_pq_materialized",
     "pipeline_incremental_semantic_dedup",
+    "retrieval_hybrid_rrf",
     "unpivot_lineitem_measures",
     "dedup_cdc_chunks",
     "dedup_minhash_estimator_error",
@@ -144,7 +145,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "text_profile_by_source",
     "text_token_count",
     "text_unicode_nfc",
-    "udf_pandas_grouped_agg_range",
 )
 
 
