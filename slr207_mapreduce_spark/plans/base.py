@@ -57,23 +57,23 @@ def register(
 # agg/events/udf/warehouse rotation, r08 the adjudication endgame (each
 # 50/50 green; cumulative 230/251 after r08 per VERDICT r08).
 #
-# Round 14 (this list): the fifth FRESHNESS rotation. Policy, pinned by
+# Round 15 (this list): the sixth FRESHNESS rotation. Policy, pinned by
 # tests/test_oracle.py::test_driver_sample_rotation: the 45 non-sentinel
 # slots are EXACTLY the 45 stalest registry names under the deterministic
 # order (last-adjudicated round, name) with never-adjudicated names
 # treated as round 0 — so min(last-adjudicated round) over the registry
 # rises every round and staleness can never silently accumulate again.
-# For r14 (computed by tools/rotation.py over CORRECTNESS_r01..r13) that
-# is any never-adjudicated r14 additions first (stalest by definition),
-# then the r07/r08 remainder — the events batch analogues, pipeline
-# quarantine/curation names, scalar variants, text analysis block,
-# subquery CTEs — with the head of the r09 block filling the last slots.
+# For r15 (computed by tools/rotation.py over CORRECTNESS_r01..r14) that
+# is the never-adjudicated r15 additions first (stalest by definition),
+# then the r08/r09 remainder — the multimodal decode block, the kNN
+# search tiers, pipeline curation/sampling names, the q3/q5/q18 TPC-H
+# trio, scalar variants, and the text LM block, in (round, name) order.
 #
 # WINDOW_ROUND declares which round this window serves; the rotation test
 # computes the expected window from artifacts of rounds < WINDOW_ROUND, so
 # the driver landing CORRECTNESS_r{WINDOW_ROUND}.json after the final
 # commit does not redden a finished tree (r10 VERDICT item 1).
-WINDOW_ROUND: int = 14
+WINDOW_ROUND: int = 15
 #
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
@@ -83,68 +83,73 @@ WINDOW_ROUND: int = 14
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = ()
 
-# Every name in the r14 window carries a DuckDB oracle — the rotation
-# test pins this empty (dedup_minhash_ml, the registry's rows-only
-# MinHashLSH entry, was pushed past the window tail by this round's new
-# fully-oracled names).
-ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = ()
+# The r15 window reaches the r08/r09 adjudication remainder, which holds
+# the registry's two rows-only approx estimators (their error bounds are
+# separately hash-certified by estimator_error_report /
+# dedup_minhash_estimator_error, both fully oracled) — the rotation test
+# pins exactly these two.
+ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = (
+    "dedup_minhash_ml",
+    "events_approx_percentiles",
+)
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (driver-green in r01-r13)
+    # sentinels (driver-green in r01-r14)
     "wordcount_topk",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
     # --- new this round (never adjudicated; stalest by definition),
-    # then the stalest remainder: the r07/r08 adjudication block
-    # (events_*, pipeline quarantine, scalar_*, text_* block, subq CTEs)
-    # and the head of the r09 block, in (round, name) order ---
-    "dedup_semantic_knn_graph_mutual",
-    "dedup_semantic_semdedup_merged",
-    "knn_ivf_pq_materialized",
-    "pipeline_incremental_semantic_dedup",
-    "retrieval_hybrid_rrf",
-    "unpivot_lineitem_measures",
-    "dedup_cdc_chunks",
-    "dedup_minhash_estimator_error",
-    "dedup_substring_span_positions",
-    "embedding_outlier_by_label",
-    "embedding_random_projection",
-    "events_funnel_stages",
-    "events_gap_filled_hours",
-    "events_linear_interpolate",
-    "events_promo_overlap_join",
-    "events_range_frame_1h",
-    "events_sliding_window",
-    "events_time_rollup",
-    "events_transition_bigrams",
-    "events_zscore_outliers",
-    "join_existence_flag",
-    "join_not_in_null_aware",
-    "pipeline_assign_ids",
-    "pipeline_bloom_membership",
-    "pipeline_csv_ingest_quarantine",
-    "pipeline_global_shuffle",
-    "scalar_array_set_ops",
-    "scalar_format_printf",
-    "scalar_geo_haversine",
-    "scalar_hash_funcs",
-    "scalar_map_higher_order",
-    "scalar_sequence_arrays",
-    "scalar_str_to_map",
-    "subq_cte_top_customers",
-    "subq_in_uncorrelated",
-    "subq_recursive_cte_day_spine",
-    "text_bigram_counts",
-    "text_bpe_pair_counts",
-    "text_fingerprint",
-    "text_keyword_tfidf_topk",
-    "text_lm_score",
-    "text_oov_rate",
-    "text_profile_by_source",
-    "text_token_count",
-    "text_unicode_nfc",
+    # then the stalest remainder: the tail of the r08 block and the r09
+    # adjudication block (kNN search tiers, multimodal decode round
+    # trips, pipeline curation/sampling, q3/q5/q18, scalar variants,
+    # text LM block), in (round, name) order ---
+    "udf_pandas_grouped_agg_range",
+    "cdc_latest_state",
+    "dedup_clusters",
+    "dedup_minhash_ml",
+    "dedup_semantic_clusters",
+    "events_approx_percentiles",
+    "graph_pagerank",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_jl_rerank",
+    "knn_quantized_int8",
+    "multimodal_gif_roundtrip",
+    "multimodal_image_features",
+    "multimodal_image_thumbnail",
+    "multimodal_jpeg_color_roundtrip",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_mjpeg_avi_roundtrip",
+    "multimodal_mulaw_roundtrip",
+    "multimodal_png_roundtrip",
+    "multimodal_ppm_resize_roundtrip",
+    "multimodal_video_frame_index",
+    "multimodal_video_frame_sample_roundtrip",
+    "multimodal_wav_roundtrip",
+    "pipeline_dataset_card",
+    "pipeline_dedup_report",
+    "pipeline_fractional_sample",
+    "pipeline_fuzzy_name_pairs",
+    "pipeline_phonetic_blocking",
+    "pipeline_quality_percentile_by_source",
+    "pipeline_redact",
+    "pipeline_sample_exact_k",
+    "pipeline_schema_evolution_union",
+    "pipeline_weighted_sample",
+    "q18_large_volume_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "scalar_binary_encodings",
+    "scalar_bitwise_ops",
+    "scalar_explode_outer",
+    "scalar_lateral_column_alias",
+    "scalar_to_json",
+    "scalar_zorder_key",
+    "text_bigram_lm",
+    "text_bpe_train_merges",
+    "text_trigram_novelty",
 )
 
 
