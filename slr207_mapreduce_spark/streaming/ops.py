@@ -420,13 +420,18 @@ def streaming_semantic_gate_candidates(
     broadcast index moves the store once per executor instead; the same
     measurement completes in seconds (SCALE.md round-14).
 
-    Bounded-store contract: the broadcast is ``max_store_rows``
-    (default 2^20 ≈ 512 MB of f64 at d=64) — reject-don't-truncate,
-    the cosine_pairs_exact discipline. Beyond it, a deployment shards
-    the store through the partitioned-lists sink (cells partitionBy
-    through sources/sinks.py, layout pinned in
-    tests/test_layout_runtime.py) and runs this gate per shard under
-    ``foreachBatch``.
+    Bounded-store contract: the broadcast ships ``max_store_rows``
+    at most (default 2^20 ≈ 512 MB of f64 at d=64). Beyond it the gate
+    AUTO-BRANCHES (r14 VERDICT item 1 — this used to be a hard
+    ValueError with the mitigation as prose): a batch input returns
+    :func:`semantic_gate_candidates_distributed` — same verdicts
+    bit-identically (pinned by test), store lists kept as a DataFrame
+    and scored per cell, no driver-resident store anywhere; a STREAMING
+    input still raises (a per-cell ``applyInPandas`` is not an
+    append-legal streaming plan) and the deployment shape is
+    ``foreachBatch`` over the distributed gate with the quantizer
+    trained once up front — a tested surface
+    (tests/test_streaming.py::test_semantic_gate_foreachbatch_big_store).
 
     A (new, stored) pair appears at most once: a stored vector lives in
     exactly one cell and a new row probes distinct cells. Zero-norm /
@@ -444,11 +449,25 @@ def streaming_semantic_gate_candidates(
 
     n_store = store_emb.count()
     if n_store > max_store_rows:
-        raise ValueError(
-            f"streaming_semantic_gate_candidates store has {n_store} rows > "
-            f"max_store_rows={max_store_rows}; the gate broadcasts the "
-            "store's inverted lists — shard a bigger store through the "
-            "partitioned-lists sink and gate per shard"
+        if emb_stream.isStreaming:
+            raise ValueError(
+                f"streaming_semantic_gate_candidates store has {n_store} "
+                f"rows > max_store_rows={max_store_rows}; the streaming "
+                "plan broadcasts the store's inverted lists — run the gate "
+                "under foreachBatch with "
+                "semantic_gate_candidates_distributed (train the quantizer "
+                "once, pass trained=/store_lists=), which joins arriving "
+                "rows against the PARTITIONED lists instead"
+            )
+        return semantic_gate_candidates_distributed(
+            emb_stream,
+            store_emb,
+            tau=tau,
+            nprobe=nprobe,
+            n_centroids=n_centroids,
+            iters=iters,
+            seed=seed,
+            n_store=n_store,
         )
     if nprobe == "auto":
         nprobe = auto_ivf_nprobe(n_store)
@@ -485,14 +504,19 @@ def streaming_semantic_gate_candidates(
             vmat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
             nrm = np.sqrt(_np_seq_self_dot(vmat))
             ok = np.isfinite(nrm) & (nrm > 0)
+            # zero out invalid rows' components BEFORE the centroid dot
+            # loop so no NaN/inf ever reaches the argsort keys (r14
+            # ADVICE: nrm_safe alone only fixed the zero-norm case — a
+            # NaN COMPONENT still propagated through cdots); the rows'
+            # probes are skipped below either way, and valid rows are
+            # untouched, so ranking is bit-identical
+            vmat = np.where(ok[:, None], vmat, 0.0)
             cdots = np.zeros((len(ids), len(cidx)))
             for j in range(vmat.shape[1]):
                 cdots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
             # one stable argsort for the whole batch == per-row
             # lexsort((cidx, -ccos)): centroid columns are cidx-ascending
-            # (the knn_graph_ivf probe-stage equivalence, r14 review).
-            # Invalid rows rank against a safe norm (their probes are
-            # skipped below), keeping NaN out of the sort keys.
+            # (the knn_graph_ivf probe-stage equivalence, r14 review)
             nrm_safe = np.where(ok, nrm, 1.0)
             ccos_all = cdots / (nrm_safe[:, None] * cnorm[None, :])
             kp = min(np_probe, len(cidx))
@@ -530,3 +554,177 @@ def streaming_semantic_gate_candidates(
     return emb_stream.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).mapInPandas(gate_batches, schema="vec_id long, store_id long, cos_sim double")
+
+
+def semantic_gate_candidates_distributed(
+    emb_batch: DataFrame,
+    store_emb: DataFrame,
+    tau: float = 0.4,
+    nprobe: int | str = "auto",
+    n_centroids: int | str = "auto",
+    iters: int = 2,
+    seed: int = 7,
+    trained: tuple | None = None,
+    store_lists: DataFrame | None = None,
+    n_store: int | None = None,
+) -> DataFrame:
+    """The beyond-broadcast form of the semantic ingestion gate (r14
+    VERDICT item 1): same (vec_id, store_id, cos_sim) verdicts as
+    :func:`streaming_semantic_gate_candidates` — bit-identically, pinned
+    by tests/test_streaming.py — with the store's inverted lists kept as
+    a DISTRIBUTED DataFrame instead of a driver-collected broadcast, so
+    there is no store-size bound anywhere in the plan.
+
+    Shape (the knn_graph_ivf composition, operators/similarity.py): the
+    coarse quantizer still trains on the store via the bounded-collect
+    fixed-point Lloyd's (centroid state is ≤ k·d ints — tiny at any
+    corpus size); arriving rows rank the centroids in one stateless
+    Arrow pass with EXACTLY the broadcast gate's math (same
+    sequential-in-j fold, same stable argsort == (ccos DESC, cidx ASC))
+    and emit their ``nprobe`` (cell, vec_id, v) probe rows; probes and
+    the store's per-cell members then meet in ONE per-cell
+    ``applyInPandas`` kernel — members × probing rows, sequential-in-j
+    cosine, emit every pair reaching ``tau``. A stored vector lives in
+    exactly one cell and an arriving row probes distinct cells, so a
+    pair appears at most once (the broadcast gate's invariant).
+
+    Scale: the probe shuffle moves ``nprobe`` copies of the ARRIVING
+    batch (never the store); the store side shuffles once on cell id —
+    or never, when ``store_lists`` is a pre-materialized
+    partitionBy(cidx) layout (the sink pinned in
+    tests/test_layout_runtime.py): then routed cells reach the scan as
+    PartitionFilters and a batch reads nprobe/k of the store from disk.
+    Pass ``trained=(cidx, cint)`` (and optionally ``store_lists``) to
+    reuse a once-trained quantizer across batches — the ``foreachBatch``
+    deployment shape for a streaming source, tested end-to-end in
+    tests/test_streaming.py::test_semantic_gate_foreachbatch_big_store.
+
+    This is a batch-DataFrame plan (per-cell ``applyInPandas`` is not
+    append-legal on a stream); :func:`streaming_semantic_gate_candidates`
+    auto-branches here for batch inputs past its broadcast bound and
+    raises toward foreachBatch for streaming ones.
+
+    Dial note: the default dials match the broadcast gate (store-scoped
+    auto cells/nprobe) so the two forms are interchangeable; at stores
+    far beyond the broadcast bound the 256-cell search cap makes cell
+    membership linear in N — pass ``n_centroids="auto_graph"`` to hold
+    per-cell membership at ~192 rows (the knn_graph_ivf linear dial),
+    measured at the >2^20-row tier in SCALE.md round-15."""
+    import numpy as np
+    import pandas as pd
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        _np_seq_self_dot,
+        auto_ivf_nprobe,
+        ivf_assign_cells,
+        ivf_train_centroids,
+    )
+
+    if n_store is None:
+        n_store = store_emb.count()
+    if nprobe == "auto":
+        nprobe = auto_ivf_nprobe(n_store)
+    np_probe = int(nprobe)
+    if trained is None:
+        trained = ivf_train_centroids(
+            store_emb, n_centroids=n_centroids, iters=iters, seed=seed,
+            n_corpus=n_store,
+        )
+    cidx, cint = trained
+    cmat = cint.astype(np.float64) * 1e-6
+    cnorm = np.sqrt(_np_seq_self_dot(cmat)) if len(cidx) else np.zeros(0)
+    if store_lists is None:
+        store_lists = ivf_assign_cells(
+            store_emb, cidx, cint, out_id="store_id", carry_vec=True
+        )
+
+    tau_f = float(tau)
+
+    def probe_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(cidx) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            varr = pdf["v"].to_numpy()
+            vmat = np.vstack(varr).astype(np.float64)
+            nrm = np.sqrt(_np_seq_self_dot(vmat))
+            ok = np.isfinite(nrm) & (nrm > 0)
+            if not ok.any():
+                continue  # dirty arriving rows: gate tolerates, drops
+            ids, varr, vmat = ids[ok], varr[ok], vmat[ok]
+            cdots = np.zeros((len(ids), len(cidx)))
+            for j in range(vmat.shape[1]):
+                cdots += vmat[:, j : j + 1] * cmat.T[j : j + 1, :]
+            nrm = np.sqrt(_np_seq_self_dot(vmat))
+            ccos = cdots / (nrm[:, None] * cnorm[None, :])
+            # same stable argsort == (ccos DESC, cidx ASC) as the
+            # broadcast gate — identical probe sets per arriving row
+            kp = min(np_probe, len(cidx))
+            top = np.argsort(-ccos, axis=1, kind="stable")[:, :kp]
+            rep = np.repeat(np.arange(len(ids)), kp)
+            yield pd.DataFrame(
+                {
+                    "cidx": cidx[top.ravel()],
+                    "vec_id": ids[rep],
+                    "v": varr[rep],
+                }
+            )
+
+    probes = emb_batch.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).mapInPandas(probe_batches, schema="cidx long, vec_id long, v array<double>")
+
+    tagged = store_lists.select(
+        "cidx",
+        F.col("store_id").alias("rid"),
+        "v",
+        F.lit(False).alias("is_query"),
+    ).unionByName(
+        probes.select(
+            "cidx",
+            F.col("vec_id").alias("rid"),
+            "v",
+            F.lit(True).alias("is_query"),
+        )
+    )
+
+    def cell_gate(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "store_id": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        qm = pdf[pdf["is_query"]]
+        mm = pdf[~pdf["is_query"]]
+        if len(qm) == 0 or len(mm) == 0:
+            return empty
+        qid = qm["rid"].to_numpy(dtype=np.int64)
+        mid = mm["rid"].to_numpy(dtype=np.int64)
+        qmat = np.vstack(qm["v"].to_numpy()).astype(np.float64)
+        mmat = np.vstack(mm["v"].to_numpy()).astype(np.float64)
+        # the broadcast gate's per-pair fold, vectorized over BOTH axes:
+        # dots[i, m] accumulates q[i, j] * m[m, j] sequentially in j —
+        # per-element the identical sequence of f64 multiply-adds, so
+        # cosines are bit-identical to the broadcast form
+        dots = np.zeros((len(qid), len(mid)))
+        for j in range(qmat.shape[1]):
+            dots += qmat[:, j : j + 1] * mmat.T[j : j + 1, :]
+        qn = np.sqrt(_np_seq_self_dot(qmat))
+        mn = np.sqrt(_np_seq_self_dot(mmat))
+        cos = dots / (qn[:, None] * mn[None, :])
+        hi, hm = np.nonzero(cos >= tau_f)
+        if len(hi) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": qid[hi],
+                "store_id": mid[hm],
+                "cos_sim": cos[hi, hm],
+            }
+        )
+
+    return tagged.groupBy("cidx").applyInPandas(
+        cell_gate, schema="vec_id long, store_id long, cos_sim double"
+    )

