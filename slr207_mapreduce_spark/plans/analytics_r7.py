@@ -186,7 +186,12 @@ def pipeline_crossmodal_dedup_materialized(
 ) -> DataFrame:
     from slr207_mapreduce_spark.operators.graph import connected_components
     from slr207_mapreduce_spark.plans.analytics_r6 import crossmodal_edge_sets
+    from slr207_mapreduce_spark.plans.base import plan_only_mode
 
+    if plan_only_mode():
+        # r14 VERDICT item 7: enumerators must not pay the staging write
+        # — the from-raw closure is the semantic identity (shared oracle)
+        return REGISTRY["pipeline_crossmodal_dedup"].build(spark, sf_dir)
     # NOTE: building this query RUNS the staging write (the operator's
     # whole point is write-once semantics) — the returned plan is the
     # closure over the stored union, so plan-only consumers see the

@@ -179,8 +179,15 @@ def q_knn_ivf_pq_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_ivf_pq_build_index,
         knn_ivf_pq_query_index,
     )
+    from slr207_mapreduce_spark.plans.base import plan_only_mode
     from slr207_mapreduce_spark.sources.staging import staging_path
 
+    if plan_only_mode():
+        # r14 VERDICT item 7: registry enumerators (plan audit, sweep)
+        # must not pay the staging write — return the from-raw twin
+        # plan, which shares this query's oracle because materialization
+        # is semantically the identity.
+        return REGISTRY["knn_ivf_pq"].build(spark, sf_dir)
     e = load_table(spark, "embeddings", sf_dir)
     path = staging_path("ivfpq_index", sf_dir)
     # NOTE: building this query RUNS the index build + staging write (the
@@ -567,4 +574,322 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fr", F.row_number().over(wf))
         .where(F.col("fr") <= _RRF_TOPK)
         .select("doc_id", "rrf_e9", "text_rank", "vec_rank")
+    )
+
+
+# Batch hybrid retrieval: _RRF_NQ queries at once (r14 VERDICT item 3).
+# Query q's LEXICAL terms are derived from the documents table itself —
+# the top-3 tf-idf keywords of document q under text_keyword_tfidf_topk's
+# exact integer formulation — and its VECTOR leg is embedding q against
+# the materialized IVF-PQ store (build-once/query-many), so the whole
+# thing is the production retrieval shape: one warm index, a batch of
+# queries, per-query fusion.
+_RRF_NQ = 5
+
+
+def _hybrid_rrf_batch_oracle() -> str:
+    from slr207_mapreduce_spark.operators.similarity import knn_ivf_pq_sql
+
+    knn_sql = knn_ivf_pq_sql(
+        k=_RRF_DEPTH, nprobe="auto", m=8, sub_dim=8, ksub=16, rerank="auto",
+        query_pred=f"{{col}} < {_RRF_NQ}",
+    )
+    return f"""
+    WITH knn AS ({knn_sql}),
+    btoks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> length(t) > 0)) AS term
+      FROM documents
+    ),
+    tf_all AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM btoks GROUP BY doc_id, term
+    ),
+    df_all AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf_all GROUP BY term
+    ),
+    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    kw AS (
+      SELECT tf_all.doc_id AS query_id, tf_all.term,
+             ROW_NUMBER() OVER (PARTITION BY tf_all.doc_id
+               ORDER BY tf_all.tf * CAST(FLOOR(1000000000.0 * ndocs.n_docs / df_all.df) AS BIGINT) DESC,
+                        tf_all.term ASC) AS r
+      FROM tf_all JOIN df_all USING (term) CROSS JOIN ndocs
+      WHERE tf_all.doc_id < {_RRF_NQ}
+    ),
+    qterms AS (SELECT query_id, term FROM kw WHERE r <= 3),
+    bdl AS (
+      SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl
+      FROM tf_all GROUP BY doc_id
+    ),
+    bstats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,1))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM bdl
+    ),
+    btf AS (
+      SELECT doc_id, term, CAST(tf AS DOUBLE) AS tf FROM tf_all
+      WHERE term IN (SELECT term FROM qterms)
+    ),
+    bdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM btf GROUP BY term),
+    bscored AS (
+      SELECT btf.doc_id, btf.term,
+             CAST(floor((((bstats.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+               * (btf.tf * (1.5 + 1.0))
+               / (btf.tf + 1.5 * (1.0 - 0.75 + 0.75 * bdl.dl / bstats.avgdl))) * 1e9) AS BIGINT) AS e9
+      FROM btf
+      JOIN bdf ON btf.term = bdf.term
+      JOIN bdl ON btf.doc_id = bdl.doc_id
+      CROSS JOIN bstats
+    ),
+    perq AS (
+      SELECT q.query_id, s.doc_id, CAST(SUM(s.e9) AS BIGINT) AS bm25_e9
+      FROM bscored s JOIN qterms q ON s.term = q.term
+      GROUP BY q.query_id, s.doc_id
+    ),
+    trank AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY bm25_e9 DESC, doc_id ASC) AS r
+      FROM perq
+    ),
+    contrib AS (
+      SELECT query_id, doc_id, 1000000000 // ({_RRF_K0} + r) AS c,
+             r AS text_rank, CAST(NULL AS BIGINT) AS vec_rank
+      FROM trank WHERE r <= {_RRF_DEPTH}
+      UNION ALL
+      SELECT query_id, neighbor_id AS doc_id,
+             1000000000 // ({_RRF_K0} + rank) AS c,
+             CAST(NULL AS BIGINT) AS text_rank, rank AS vec_rank
+      FROM knn
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(c) AS BIGINT) AS rrf_e9,
+             CAST(MAX(text_rank) AS BIGINT) AS text_rank,
+             CAST(MAX(vec_rank) AS BIGINT) AS vec_rank
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_e9, text_rank, vec_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e9 DESC, doc_id ASC) AS fr
+      FROM fused
+    ) WHERE fr <= {_RRF_TOPK}
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf_batch",
+    oracle=_hybrid_rrf_batch_oracle(),
+    doc="ANN-backed BATCH hybrid retrieval (r14 VERDICT item 3): "
+    f"{_RRF_NQ} queries fused per-query in one plan. Each query's "
+    "lexical terms are DERIVED FROM THE DATA — the top-3 tf-idf "
+    "keywords of its own document under text_keyword_tfidf_topk's "
+    "integer-exact formulation — then scored with text_bm25's log-free "
+    "fixed-point BM25 generalized to a (query_id, term) relation (one "
+    "shared tokenize+tf subplan feeds keyword derivation, dl, and tf — "
+    "ws-regex tokens throughout so ReuseExchange collapses the corpus "
+    "scans). The vector leg is the MATERIALIZED IVF-PQ store "
+    f"(build-once/query-many): all {_RRF_NQ} embeddings probe the warm "
+    f"index in one knn_ivf_pq_query_index call at k={_RRF_DEPTH}. "
+    "Fusion stays integer-exact (1e9 // (60 + rank) summed as BIGINTs) "
+    "and every window is partitioned by query_id — bounded per-query "
+    "state, no corpus-sized unpartitioned window. At 100 TB this is "
+    "the retrieval loop's steady state: the index builds once, every "
+    "query batch pays nprobe/k of 8-byte codes plus two bounded rank "
+    "lists per query.",
+    tags=("text", "similarity", "ranking", "pipeline", "sink"),
+)
+def retrieval_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from slr207_mapreduce_spark.functions.portable import dec
+    from slr207_mapreduce_spark.operators.similarity import (
+        knn_ivf_pq,
+        knn_ivf_pq_build_index,
+        knn_ivf_pq_query_index,
+    )
+    from slr207_mapreduce_spark.operators.text import tokens_ws
+    from slr207_mapreduce_spark.plans.base import plan_only_mode
+    from slr207_mapreduce_spark.sources.staging import staging_path
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+
+    # STAGE 1 (eager, bounded — the knn family's collected-query-side
+    # pattern): derive each query's top-3 tf-idf keywords under
+    # text_keyword_tfidf_topk's exact integer scoring. The result is
+    # ≤ _RRF_NQ·3 rows by construction; collecting it here lets STAGE 2
+    # run text_bm25's fused ONE-scan shape over literal terms instead of
+    # re-deriving the (query_id, term) relation in four plan subtrees
+    # (audited: 13 document scans the lazy form paid, 1 after this).
+    tf_all = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_all = tf_all.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    ndocs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    tf_q = tf_all.where(F.col("doc_id") < _RRF_NQ)
+    kw = (
+        df_all.join(F.broadcast(tf_q), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "term",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.lit(1000000000.0) * F.col("n_docs") / F.col("df")
+                ).cast("long")
+            ).alias("score_e9"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e9"), F.asc("term")
+    )
+    qterm_rows = sorted(
+        (
+            (r["query_id"], r["term"])
+            for r in kw.withColumn("r", F.row_number().over(wk))
+            .where(F.col("r") <= 3)
+            .select("query_id", "term")
+            .collect()
+        )
+    )
+    terms = sorted({t for _, t in qterm_rows})
+
+    # STAGE 2: text_bm25's fused scorer over the literal term set — ONE
+    # tokenize+agg pass folds dl and every term's tf; one global pass
+    # folds corpus stats and per-term df into a 1-row broadcast
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, F.lit(1)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    bstats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(dec("dl", 18, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, F.lit(1)))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"), F.col(f"tf_{i}").alias("tf")
+                    )
+                    for i, t in enumerate(terms)
+                ]
+            )
+        ),
+    ).where(F.col("tf") > 0)
+    df_of_term = F.create_map(
+        *[
+            x
+            for i, t in enumerate(terms)
+            for x in (F.lit(t), F.col(f"df_{i}"))
+        ]
+    )[F.col("term")]
+    k1, b = F.lit(1.5), F.lit(0.75)
+    s = (
+        ((F.col("n_docs") - df_of_term + 0.5) / (df_of_term + 0.5) + 1.0)
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    bscored = (
+        tf.crossJoin(F.broadcast(bstats))
+        .select("doc_id", "term", F.floor(s * 1e9).cast("long").alias("e9"))
+    )
+    qmap = F.create_map(
+        *[
+            x
+            for t in terms
+            for x in (
+                F.lit(t),
+                F.array(
+                    *[F.lit(q) for q, tt in qterm_rows if tt == t]
+                ),
+            )
+        ]
+    )[F.col("term")]
+    perq = (
+        bscored.select(
+            F.explode(qmap).alias("query_id"), "doc_id", "e9"
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("e9").cast("long").alias("bm25_e9"))
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_e9"), F.asc("doc_id")
+    )
+    trank = (
+        perq.withColumn("r", F.row_number().over(wt))
+        .where(F.col("r") <= _RRF_DEPTH)
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"1000000000 div ({_RRF_K0} + r)").alias("c"),
+            F.col("r").cast("long").alias("text_rank"),
+            F.lit(None).cast("long").alias("vec_rank"),
+        )
+    )
+
+    # vector leg: the batch of query embeddings against the warm store
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.where(F.col("vec_id") < _RRF_NQ)
+    if plan_only_mode():
+        # enumerators pay no staging write — the from-raw composed index
+        # is bit-identical to query-from-store (the materialized pattern)
+        knn = knn_ivf_pq(
+            e, q, k=_RRF_DEPTH, nprobe="auto", m=8, sub_dim=8, ksub=16,
+            rerank="auto",
+        )
+    else:
+        path = staging_path("ivfpq_index", sf_dir)
+        state = knn_ivf_pq_build_index(
+            e, path, n_centroids="auto", m=8, sub_dim=8, ksub=16
+        )
+        knn = knn_ivf_pq_query_index(
+            e, q, path, state, k=_RRF_DEPTH, nprobe="auto", m=8, sub_dim=8,
+            rerank="auto",
+        )
+    vrank = knn.select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.expr(f"1000000000 div ({_RRF_K0} + rank)").alias("c"),
+        F.lit(None).cast("long").alias("text_rank"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    fused = (
+        trank.unionByName(vrank)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("rrf_e9"),
+            F.max("text_rank").cast("long").alias("text_rank"),
+            F.max("vec_rank").cast("long").alias("vec_rank"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_e9"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fr", F.row_number().over(wf))
+        .where(F.col("fr") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "rrf_e9", "text_rank", "vec_rank")
     )

@@ -33,6 +33,38 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Plan-only enumeration mode (r14 VERDICT item 7, carried from r13
+# finding 3): the *_materialized queries RUN their staging write at
+# plan-BUILD time — write-once semantics is their whole point — which
+# made every registry enumerator (tools/plan_audit.py, test_plan_sweep,
+# bench warm-up sweeps) pay store builds it never queries. Under
+# :func:`plan_only`, those builders return their from-raw twin plan
+# instead (semantically the identity — the materialized queries share
+# their twin's oracle SQL precisely because the store changes WHERE
+# cost is paid, not WHAT is computed) and touch no store. The twin is
+# chosen over plan-over-store-if-present because it is DETERMINISTIC:
+# a fresh clone has no .sfgen stores, so an environment-dependent
+# branch would make plan fingerprints differ between checkouts.
+_PLAN_ONLY: list[bool] = [False]
+
+
+def plan_only_mode() -> bool:
+    """True inside a :func:`plan_only` block — materializing builders
+    must return their from-raw twin plan and perform no store writes."""
+    return _PLAN_ONLY[-1]
+
+
+class plan_only:
+    """Context manager: enumerate registry plans without side effects."""
+
+    def __enter__(self):
+        _PLAN_ONLY.append(True)
+        return self
+
+    def __exit__(self, *exc):
+        _PLAN_ONLY.pop()
+        return False
+
 
 def register(
     name: str,
@@ -105,6 +137,8 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     # adjudication block (kNN search tiers, multimodal decode round
     # trips, pipeline curation/sampling, q3/q5/q18, scalar variants,
     # text LM block), in (round, name) order ---
+    "pipeline_incremental_semantic_dedup_distributed",
+    "retrieval_hybrid_rrf_batch",
     "udf_pandas_grouped_agg_range",
     "cdc_latest_state",
     "dedup_clusters",
@@ -148,8 +182,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "scalar_to_json",
     "scalar_zorder_key",
     "text_bigram_lm",
-    "text_bpe_train_merges",
-    "text_trigram_novelty",
 )
 
 

@@ -66,6 +66,34 @@ _BF_TIERS: tuple[tuple[str, int, int], ...] = (
 _INT8_NQ = similarity_queries.INT8_NQ
 _INT8_K = similarity_queries.INT8_K
 
+# Graph-tier sampled audit (r14 VERDICT item 4): the corpus-wide kNN
+# graph makes EVERY row a query, so its exact reference is O(N^2) — the
+# registered audit instead samples _GRAPH_NQ rows by the seeded md5
+# ranking both engines share (tools/measure_graph_scale.py's
+# methodology, now driver-hash-checked every window instead of
+# harness-only) and scores the graph's edges for those rows against
+# knn_bruteforce's exact top-k (self-excluded on both sides).
+_GRAPH_NQ = 50
+_GRAPH_SEED = 13
+
+
+def _graph_sample_ctes() -> list[str]:
+    from slr207_mapreduce_spark.functions.portable import portable_hash64_sql
+
+    nrm = (
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[])))"
+    )
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", _GRAPH_SEED)
+    return [
+        f"""gsample AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {h} AS h FROM embeddings
+        WHERE {nrm} > 0 AND isfinite({nrm})
+      ) ORDER BY h, vec_id LIMIT {_GRAPH_NQ}
+    )""",
+    ]
+
 
 def _int8_reference_sql() -> str:
     """Exact f64-cosine top-3 for queries vec_id<5 over corpus vec_id>=5 —
@@ -84,11 +112,22 @@ def _int8_reference_sql() -> str:
 
 
 def _recall_oracle() -> str:
+    from slr207_mapreduce_spark.operators.similarity import knn_bruteforce_sql
+
     ctes = [f"bf AS ({REGISTRY['knn_bruteforce'].oracle})"]
     for tier, _, _ in _BF_TIERS:
         ctes.append(f"{tier} AS ({REGISTRY[tier].oracle})")
     ctes.append(f"knn_quantized_int8 AS ({REGISTRY['knn_quantized_int8'].oracle})")
     ctes.append(f"bf_int8 AS ({_int8_reference_sql()})")
+    ctes.extend(_graph_sample_ctes())
+    ctes.append(f"knn_graph AS ({REGISTRY['knn_graph_ivf'].oracle})")
+    ctes.append(
+        "bf_graph AS ("
+        + knn_bruteforce_sql(
+            k=_KNN_K, query_pred="{col} IN (SELECT vec_id FROM gsample)"
+        )
+        + ")"
+    )
     rows = [
         f"""SELECT '{tier}' AS tier, {nq} AS n_queries, {k} AS k,
                COUNT(*) AS hits
@@ -100,6 +139,12 @@ def _recall_oracle() -> str:
         f"""SELECT 'knn_quantized_int8' AS tier, {_INT8_NQ} AS n_queries,
                {_INT8_K} AS k, COUNT(*) AS hits
         FROM knn_quantized_int8 t JOIN bf_int8 b
+          ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id"""
+    )
+    rows.append(
+        f"""SELECT 'knn_graph_ivf' AS tier, {_GRAPH_NQ} AS n_queries,
+               {_KNN_K} AS k, COUNT(*) AS hits
+        FROM knn_graph t JOIN bf_graph b
           ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id"""
     )
     union = "\n      UNION ALL ".join(rows)
@@ -122,11 +167,16 @@ def _recall_oracle() -> str:
     oracle=_recall_oracle(),
     doc="Recall@k of every approximate ANN tier against the exact "
     "brute-force answer, one row per tier: LSH/IVF/PQ-ADC/JL-rerank at "
-    "their registered configs vs knn_bruteforce (k=5, 10 queries), and "
-    "the int8-quantized tier vs exact cosine over its corpus split (k=3). "
-    "The recall join/agg is exact (the driver hash-checks it) even though "
-    "the tier inputs are approximate — the systematic quality audit the "
-    "per-tier exactness oracles cannot provide.",
+    "their registered configs vs knn_bruteforce (k=5, 10 queries), the "
+    "int8-quantized tier vs exact cosine over its corpus split (k=3), "
+    "and — new r15 — the corpus-wide kNN GRAPH tier vs a "
+    f"{_GRAPH_NQ}-row SAMPLED exact reference (seeded md5 row "
+    "selection, both engines; every row is a graph query, so the full "
+    "reference would be O(N^2) — the measure_graph_scale methodology, "
+    "now driver-hash-checked every window instead of harness-only). "
+    "The recall join/agg is exact (the driver hash-checks it) even "
+    "though the tier inputs are approximate — the systematic quality "
+    "audit the per-tier exactness oracles cannot provide.",
     tags=("similarity", "audit"),
 )
 def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,10 +208,36 @@ def q_knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits") / F.lit(nq * k)).alias("recall_at_k"),
         )
 
+    # graph tier: sampled exact reference (seeded md5 row selection —
+    # the same ranking both engines share in the quantizer's training
+    # sample); knn_bruteforce and the graph both exclude self-matches,
+    # so the pair sets are directly comparable
+    from slr207_mapreduce_spark.functions.portable import portable_hash64
+    from slr207_mapreduce_spark.operators.similarity import norm_f64
+
+    nrm = norm_f64(F.col("embedding").cast("array<double>"))
+    gsample = (
+        e.where((nrm > 0) & (nrm < F.lit(float("inf"))))
+        .select(
+            "vec_id",
+            "embedding",
+            portable_hash64(F.col("vec_id").cast("string"), _GRAPH_SEED).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_GRAPH_NQ)
+        .select("vec_id", "embedding")
+    )
+    bf_graph = knn_bruteforce(e, gsample, k=_KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+
     out = None
     for tier, nq, k in _BF_TIERS:
         row = tier_row(tier, nq, k, bf)
         out = row if out is None else out.unionByName(row)
-    return out.unionByName(
+    out = out.unionByName(
         tier_row("knn_quantized_int8", _INT8_NQ, _INT8_K, bf_int8)
+    )
+    return out.unionByName(
+        tier_row("knn_graph_ivf", _GRAPH_NQ, _KNN_K, bf_graph)
     )

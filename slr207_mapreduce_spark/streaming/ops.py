@@ -704,26 +704,41 @@ def semantic_gate_candidates_distributed(
         mid = mm["rid"].to_numpy(dtype=np.int64)
         qmat = np.vstack(qm["v"].to_numpy()).astype(np.float64)
         mmat = np.vstack(mm["v"].to_numpy()).astype(np.float64)
+        qn = np.sqrt(_np_seq_self_dot(qmat))
+        mn = np.sqrt(_np_seq_self_dot(mmat))
         # the broadcast gate's per-pair fold, vectorized over BOTH axes:
         # dots[i, m] accumulates q[i, j] * m[m, j] sequentially in j —
         # per-element the identical sequence of f64 multiply-adds, so
-        # cosines are bit-identical to the broadcast form
-        dots = np.zeros((len(qid), len(mid)))
-        for j in range(qmat.shape[1]):
-            dots += qmat[:, j : j + 1] * mmat.T[j : j + 1, :]
-        qn = np.sqrt(_np_seq_self_dot(qmat))
-        mn = np.sqrt(_np_seq_self_dot(mmat))
-        cos = dots / (qn[:, None] * mn[None, :])
-        hi, hm = np.nonzero(cos >= tau_f)
-        if len(hi) == 0:
+        # cosines are bit-identical to the broadcast form. BLOCKED on
+        # both axes (r15): a skewed cell can hold 100k+ members, and an
+        # unblocked (probes x members) temporary is gigabytes re-swept
+        # 64 times; 2048x8192 blocks cap it at 128 MiB with per-pair
+        # arithmetic unchanged, so blocking is bit-identical.
+        out_frames = []
+        for qlo in range(0, len(qid), 2048):
+            qb = qmat[qlo : qlo + 2048]
+            for mlo in range(0, len(mid), 8192):
+                mb = mmat[mlo : mlo + 8192]
+                dots = np.zeros((qb.shape[0], mb.shape[0]))
+                for j in range(qb.shape[1]):
+                    dots += qb[:, j : j + 1] * mb.T[j : j + 1, :]
+                cos = dots / (
+                    qn[qlo : qlo + 2048, None] * mn[None, mlo : mlo + 8192]
+                )
+                hi, hm = np.nonzero(cos >= tau_f)
+                if len(hi):
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": qid[qlo + hi],
+                                "store_id": mid[mlo + hm],
+                                "cos_sim": cos[hi, hm],
+                            }
+                        )
+                    )
+        if not out_frames:
             return empty
-        return pd.DataFrame(
-            {
-                "vec_id": qid[hi],
-                "store_id": mid[hm],
-                "cos_sim": cos[hi, hm],
-            }
-        )
+        return pd.concat(out_frames, ignore_index=True)
 
     return tagged.groupBy("cidx").applyInPandas(
         cell_gate, schema="vec_id long, store_id long, cos_sim double"

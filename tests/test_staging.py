@@ -48,3 +48,40 @@ def test_staging_path_is_per_checkout_and_sf(tmp_path):
     assert len({a, b, c}) == 3
     assert a == staging_path("kindA", "/root/testdata/sf0.01")  # stable
     assert "/.sfgen/stage/" in a
+
+
+def _stage_tree_snapshot() -> set[str]:
+    root = os.path.dirname(staging_path("probe", "/root/testdata/sf0.01"))
+    if not os.path.isdir(root):
+        return set()
+    out = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        for n in dirnames + filenames:
+            out.add(os.path.join(dirpath, n))
+    return out
+
+
+def test_plan_only_enumeration_writes_nothing(spark):
+    """r14 VERDICT item 7: under plan_only, the materializing queries
+    return their from-raw twin plans (same oracle — materialization is
+    the semantic identity) and the staging area is byte-untouched, so
+    registry enumerators (plan audit, plan sweep) pay zero store
+    builds. Outside plan_only, behavior is unchanged (the oracle gate
+    adjudicates the store-backed plans as before)."""
+    from tests.conftest import SF_SMOKE
+
+    from slr207_mapreduce_spark.plans.base import all_queries, plan_only
+
+    specs = all_queries()
+    materializing = [
+        n for n in specs
+        if "materialized" in n or n == "retrieval_hybrid_rrf_batch"
+    ]
+    assert len(materializing) >= 2  # the class this hatch exists for
+    before = _stage_tree_snapshot()
+    with plan_only():
+        for name in materializing:
+            df = specs[name].build(spark, SF_SMOKE)
+            df.explain  # plan is materializable without any store
+            assert df.columns  # twin keeps the oracle's column contract
+    assert _stage_tree_snapshot() == before
