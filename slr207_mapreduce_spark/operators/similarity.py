@@ -836,6 +836,32 @@ def ivf_train_centroids(
     return cidx, cint
 
 
+# Per-site broadcast accounting (r14 ADVICE item 2): the explicit
+# SparkContext.broadcast sites (cosine_pairs_exact, the IVF-PQ query
+# stage, the streaming semantic gate) each ship bounded state, but
+# registry enumerators build every query in ONE session, so repeated
+# sweeps accumulated one executor-resident broadcast per build. Each
+# site now retires its previous broadcast (non-blocking unpersist) when
+# it creates a new one — an unpersisted broadcast is still re-fetchable
+# from the driver if an older plan executes later, so correctness is
+# unchanged while a sweep holds at most one executor-resident copy per
+# site.
+_TRACKED_BC: dict[str, object] = {}
+
+
+def tracked_broadcast(sc, value, site: str):
+    """``sc.broadcast(value)`` that unpersists the site's previous one."""
+    prev = _TRACKED_BC.get(site)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # a torn-down context's broadcast has nothing to free
+    bc = sc.broadcast(value)
+    _TRACKED_BC[site] = bc
+    return bc
+
+
 def _np_seq_self_dot(m):
     """Sequential-in-j self-dot — bit-identical to the aggregate() fold."""
     import numpy as np
@@ -1525,7 +1551,10 @@ def cosine_pairs_exact(
     nrm = np.sqrt(_np_seq_self_dot(mat)) if len(rows) else np.zeros(0)
     valid = np.isfinite(nrm) & (nrm > 0)
     safe = np.where(valid, nrm, 1.0)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, valid, safe))
+    bc = tracked_broadcast(
+        emb.sparkSession.sparkContext, (ids, mat, valid, safe),
+        "cosine_pairs_exact",
+    )
 
     def pair_batches(batches):
         # Corpus-side column tiling bounds the per-pass temporaries to
@@ -2568,7 +2597,9 @@ def knn_ivf_pq_query_index(
     # explicit broadcast of the per-query state (qids/LUT/probe sets —
     # ~10-20 MB at the max_queries bound): r13 ADVICE item 4's pattern,
     # one copy per executor instead of per-task closure pickling
-    bc = spark.sparkContext.broadcast((qids, lut, probed))
+    bc = tracked_broadcast(
+        spark.sparkContext, (qids, lut, probed), "knn_ivf_pq_query_index"
+    )
 
     def adc_batches(batches):
         b_qids, b_lut, b_probed = bc.value

@@ -30,10 +30,34 @@ import shutil
 import time
 
 
+# Version retention grace (r14 ADVICE item 1): the keep-two-newest sweep
+# is publish-count-based, so two quick successive builds could delete a
+# version a long-lived reader (a lazy plan that captured the old file
+# listing) is still consuming. Versions younger than this are never
+# swept, whatever their publish rank — a reader gets at least this long
+# between resolving the symlink and its files disappearing.
+RETENTION_GRACE_SEC = 30 * 60
+
+
+def _checkout_ok(root: str) -> bool:
+    """True when ``root`` looks like the writable git checkout staging
+    assumes (r14 ADVICE item 4): an installed copy (site-packages /
+    wheel) must not write stores into its own install tree."""
+    return os.path.isdir(os.path.join(root, ".git")) and os.access(
+        root, os.W_OK
+    )
+
+
 def _repo_root() -> str:
-    return os.path.dirname(
+    root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    if _checkout_ok(root):
+        return root
+    cache = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    return os.path.join(cache, "slr207_mapreduce_spark")
 
 
 def staging_path(kind: str, sf_dir: str) -> str:
@@ -91,13 +115,23 @@ def staged_write(final_path: str):
                     # clear it once so the symlink can take its place
                     shutil.rmtree(final_path, ignore_errors=True)
                 os.replace(tmp_link, final_path)
-                # bounded disk: keep the two newest versions, sweep the rest
+                # bounded disk: keep the two newest versions; older ones
+                # are swept only past the retention grace (r14 ADVICE —
+                # a long-lived reader of a just-replaced version keeps
+                # its files for at least RETENTION_GRACE_SEC)
                 versions = sorted(
                     e for e in os.listdir(parent)
                     if e.startswith(f"{base}.v")
                 )
+                sweep_now = time.time()
                 for old in versions[:-2]:
-                    shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
+                    p = os.path.join(parent, old)
+                    try:
+                        if sweep_now - os.path.getmtime(p) < RETENTION_GRACE_SEC:
+                            continue
+                    except OSError:
+                        pass
+                    shutil.rmtree(p, ignore_errors=True)
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
     finally:

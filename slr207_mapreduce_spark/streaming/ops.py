@@ -491,7 +491,12 @@ def streaming_semantic_gate_candidates(
             mmat = np.vstack(grp["v"].to_numpy()).astype(np.float64)
             mnrm = np.sqrt(_np_seq_self_dot(mmat))
             by_cell[int(c)] = (mids, mmat, mnrm)
-    bc = store_emb.sparkSession.sparkContext.broadcast(by_cell)
+    from slr207_mapreduce_spark.operators.similarity import tracked_broadcast
+
+    bc = tracked_broadcast(
+        store_emb.sparkSession.sparkContext, by_cell,
+        "streaming_semantic_gate_candidates",
+    )
 
     tau_f = float(tau)
 

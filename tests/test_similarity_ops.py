@@ -1,0 +1,19 @@
+
+
+def test_tracked_broadcast_retires_previous_but_keeps_it_usable(spark):
+    """r14 ADVICE item 2: each explicit-broadcast site unpersists its
+    previous broadcast when creating a new one (sweeps hold one
+    executor-resident copy per site), and the retired broadcast stays
+    usable — unpersist keeps the driver copy, so an older lazy plan
+    that executes later re-fetches it."""
+    from slr207_mapreduce_spark.operators.similarity import (
+        _TRACKED_BC,
+        tracked_broadcast,
+    )
+
+    b1 = tracked_broadcast(spark.sparkContext, [1, 2], "t_site")
+    b2 = tracked_broadcast(spark.sparkContext, [3, 4], "t_site")
+    assert _TRACKED_BC["t_site"] is b2
+    rdd = spark.sparkContext.parallelize([0], 1)
+    assert rdd.map(lambda _: sum(b1.value)).collect() == [3]  # re-fetch ok
+    assert rdd.map(lambda _: sum(b2.value)).collect() == [7]

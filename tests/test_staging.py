@@ -29,11 +29,28 @@ def test_staged_write_publishes_versions_and_keeps_reader_files(tmp_path):
     with open(os.path.join(final, "part-0")) as f:
         assert f.read() == "v2"
     assert os.path.exists(os.path.join(v1_dir, "part-0"))  # v1 intact
-    # bounded retention: a third publish sweeps v1, keeps two newest
+    # retention GRACE (r14 ADVICE): a fresh version is never swept even
+    # past the keep-two-newest rank — a long-lived reader of v1 keeps
+    # its files while rapid-fire republishes happen
     v2_dir = os.path.realpath(final)
+    _write_store(final, "v3a")
+    assert os.path.exists(os.path.join(v1_dir, "part-0"))  # young: kept
+    # bounded retention: once past the grace, the next publish sweeps
+    # everything but the two newest
+    import time as _time
+
+    from slr207_mapreduce_spark.sources.staging import RETENTION_GRACE_SEC
+
+    old = _time.time() - RETENTION_GRACE_SEC - 60
+    parent0 = os.path.dirname(final)
+    for e in os.listdir(parent0):
+        if e.startswith(os.path.basename(final) + ".v"):
+            os.utime(os.path.join(parent0, e), (old, old))
+    v3a_dir = os.path.realpath(final)
     _write_store(final, "v3")
-    assert not os.path.exists(v1_dir)
-    assert os.path.exists(os.path.join(v2_dir, "part-0"))
+    assert not os.path.exists(v1_dir)  # aged + past rank: swept
+    assert not os.path.exists(v2_dir)
+    assert os.path.exists(os.path.join(v3a_dir, "part-0"))  # two newest kept
     with open(os.path.join(final, "part-0")) as f:
         assert f.read() == "v3"
     # no stage remnants
@@ -85,3 +102,16 @@ def test_plan_only_enumeration_writes_nothing(spark):
             df.explain  # plan is materializable without any store
             assert df.columns  # twin keeps the oracle's column contract
     assert _stage_tree_snapshot() == before
+
+
+def test_repo_root_falls_back_to_cache_outside_checkout(monkeypatch):
+    """r14 ADVICE item 4: an installed copy (site-packages) must not
+    stage stores inside its own install tree — outside a writable git
+    checkout the staging root falls back to the user cache dir."""
+    from slr207_mapreduce_spark.sources import staging
+
+    in_checkout = staging._repo_root()
+    assert os.path.isdir(os.path.join(in_checkout, ".git"))
+    monkeypatch.setattr(staging, "_checkout_ok", lambda root: False)
+    monkeypatch.setenv("XDG_CACHE_HOME", "/tmp/fake-xdg")
+    assert staging._repo_root() == "/tmp/fake-xdg/slr207_mapreduce_spark"
