@@ -146,9 +146,25 @@ def _build_shim(candidate: str) -> str | None:
     init = os.path.join(shim, "google", "__init__.py")
     try:
         if not (os.path.islink(link) and os.path.realpath(link) == os.path.realpath(src)):
-            if os.path.islink(link) or os.path.exists(link):
-                os.remove(link)
-            os.symlink(src, link)
+            # Atomic replace via a unique temp symlink + os.replace: two
+            # concurrent sessions (e.g. a bench and a test run) used to
+            # race in the remove→symlink window, one of them observing a
+            # missing link, failing its import probe, and CACHING a false
+            # "no protobuf" verdict for its whole process (seen once as a
+            # spurious test failure under a concurrent full-registry
+            # check; r15). os.replace over a symlink is atomic on POSIX.
+            tmp_link = f"{link}.tmp.{os.getpid()}"
+            try:
+                os.symlink(src, tmp_link)
+                os.replace(tmp_link, link)
+            except OSError:
+                # e.g. `link` exists as a real directory: fall back to the
+                # non-atomic path (single-session case), cleaning the temp.
+                if os.path.islink(tmp_link):
+                    os.remove(tmp_link)
+                if os.path.islink(link) or os.path.exists(link):
+                    os.remove(link)
+                os.symlink(src, link)
         # Verify CONTENT, not existence: under a verified-private dir only
         # this uid could have written it, but rewriting on any mismatch
         # costs nothing and keeps the invariant explicit.

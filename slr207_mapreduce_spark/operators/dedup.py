@@ -522,38 +522,52 @@ def cdc_chunk_table(
     window — the classic LBFS/storage-dedup construction, and the
     robustness the fixed 32-token windows of dedup_substring_spans lack.
 
-    Plan: one doc-keyed window computes the boundary prefix sum; the chunk
-    assembly groupBy keys on (doc_id, chunk_id) — a superset of the window
-    partitioning, so it inherits the exchange. Per-token cost is O(1)."""
-    from pyspark.sql import Window
+    Plan (r15, guide §2.4): SHUFFLE-FREE. Chunking is a per-document
+    computation, so it is done entirely inside the row with array
+    higher-order functions — boundary positions via one filter over the
+    token array, then one slice + array_join per chunk — and only the
+    finished chunks are exploded. The previous formulation exploded every
+    TOKEN and recovered per-doc order with a doc-keyed window prefix-sum
+    plus a collect_list+array_sort groupBy: one full exchange and two
+    sorts of the entire token stream, ~O(corpus tokens) shuffled bytes at
+    100 TB for a value that never needed to leave its row (measured at
+    the longdoc tier: 1.11 s → see OPTIMIZATION_r15.md; plan diff
+    1 Exchange + Window + SortAggregate → 0 Exchange). Rows, chunk ids,
+    texts and hashes are bit-identical (same boundary rule, same
+    order-preserving assembly; oracle unchanged, pinned by
+    tests/test_pipeline_r4b.py).
 
-    tk = docs.select(
-        F.col(id_col), F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    Expression-shape notes (the test_longdoc hazard class): the token
+    array is BOUND once via a 1-element outer transform (an inlined
+    split would re-evaluate per lambda element — O(tokens²)); boundary
+    positions likewise bound once; chunk assembly slices the bound
+    array, O(chunk) per chunk so O(tokens) per doc total."""
+    h = (
+        f"CAST(conv(substring(md5(concat('s{seed}|', element_at(t, i))), 1, 15),"
+        f" 16, 10) AS BIGINT)"
     )
-    flagged = tk.withColumn(
-        "bflag",
-        F.when(portable_hash64(F.col("tok"), seed) % mod == 0, 1).otherwise(0),
+    chunks = (
+        "transform(array(split(text, ' ')), t -> "
+        f"  transform(array(filter(sequence(1, size(t)), i -> {h} % {mod} = 0)), bp -> "
+        "    transform("
+        "      sequence(1, size(bp) + IF(size(bp) = 0 OR element_at(bp, size(bp)) < size(t), 1, 0)),"
+        "      jj -> array_join(slice(t,"
+        "        IF(jj = 1, 1, element_at(bp, jj - 1) + 1),"
+        "        IF(jj <= size(bp), element_at(bp, jj), size(t))"
+        "          - IF(jj = 1, 1, element_at(bp, jj - 1) + 1) + 1"
+        "      ), ' ')"
+        "    )"
+        "  )[0]"
+        ")[0]"
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    framed = flagged.withColumn(
-        "chunk_id", F.coalesce(F.sum("bflag").over(w), F.lit(0))
-    )
-    return (
-        framed.groupBy(id_col, "chunk_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            ).alias("chunk_text")
-        )
-        .withColumn("chunk_hash", F.md5("chunk_text"))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("__j", "chunk_text"),
+    ).select(
+        F.col(id_col),
+        F.col("__j").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_hash"),
     )
 
 

