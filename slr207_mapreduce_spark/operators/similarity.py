@@ -565,49 +565,83 @@ def knn_lsh_bucketed(
         )
     corpus = parallelize_narrow_scan(corpus, by=id_col)
 
-    def buckets(df: DataFrame, out_id: str, masks: list[int]) -> DataFrame:
-        # ONE scan computing every table's bucket key, then an inline
-        # explode to (id, tbl, bkey) rows — a union-per-table here would
-        # rescan the corpus `tables` times (8 full passes over a 100 TB
-        # embedding table; caught by the round-6 sf1 plan audit). The
-        # multi-probe masks expand the QUERY side only, as a SECOND
+    masks = probe_masks(bits, probe_radius)
+
+    def buckets(df: DataFrame, out_id: str, key_arr: str, probe: bool) -> DataFrame:
+        # ONE scan computing every table's bucket key, then a positional
+        # explode to (id, keys, tbl, bkey) rows — a union-per-table here
+        # would rescan the corpus `tables` times (8 full passes over a
+        # 100 TB embedding table; caught by the round-6 sf1 plan audit).
+        # The multi-probe masks expand the QUERY side only, as a SECOND
         # explode over a literal mask array XORed onto the base key — an
         # O(tables + masks) expression tree, NOT O(tables × masks) structs
         # (a fused tables×masks inline measured ~7 s of pure
         # driver/Catalyst time at 16×7 — the tree, not the data, was the
-        # cost).
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(t).cast("int").alias("tbl"),
-                    signbit_bucket_dims(
-                        F.col(vec_col), _table_dims(t, bits, dim)
-                    ).alias("bkey0"),
-                )
-                for t in range(tables)
-            ]
+        # cost). Every row CARRIES the full per-table key array (16
+        # bigints) so pair rows can re-derive any earlier table's match
+        # without a join back — see the dedup filter below.
+        #
+        # The key array is ONE selectExpr string, not a py4j-composed
+        # F.array(F.when...) tree: tables × bits × when/element_at Column
+        # calls cost ~1.7 s of pure driver/py4j time per build at the sf1
+        # dial (16 tables — measured r15, build 2.13 s → 0.4 s; the
+        # minhash selectExpr precedent). Same expression bit-for-bit:
+        # CASE WHEN element_at(v, d+1) > 0 THEN 2^j ELSE 0, summed, CAST
+        # BIGINT — the Spark rendering of signbit_bucket_dims_sql.
+        per_table = []
+        for t in range(tables):
+            terms = " + ".join(
+                f"CASE WHEN element_at({vec_col}, {d + 1}) > 0 "
+                f"THEN {1 << j} ELSE 0 END"
+                for j, d in enumerate(_table_dims(t, bits, dim))
+            )
+            per_table.append(f"CAST({terms} AS BIGINT)")
+        base = df.selectExpr(
+            f"{id_col} AS {out_id}",
+            f"array({', '.join(per_table)}) AS {key_arr}",
+        ).select(
+            out_id, key_arr, F.posexplode(F.col(key_arr)).alias("tbl", "bkey0")
         )
-        base = df.select(F.col(id_col).alias(out_id), F.inline(entries))
-        if masks == [0]:
-            return base.select(out_id, "tbl", F.col("bkey0").alias("bkey"))
+        if not probe or masks == [0]:
+            return base.select(out_id, key_arr, "tbl", F.col("bkey0").alias("bkey"))
         return base.select(
             out_id,
+            key_arr,
             "tbl",
             F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
             "bkey0",
         ).select(
             out_id,
+            key_arr,
             "tbl",
             F.col("bkey0").bitwiseXOR(F.col("mask")).cast("long").alias("bkey"),
         )
 
-    qb = buckets(queries, "query_id", probe_masks(bits, probe_radius))
-    cb = buckets(corpus, "neighbor_id", [0])
+    qb = buckets(queries, "query_id", "qkeys", probe=True)
+    cb = buckets(corpus, "neighbor_id", "ckeys", probe=False)
+    # Emit each pair from its FIRST matching table only, instead of a
+    # global `.distinct()` — the minhash family's r13 trick applied to the
+    # OR-of-ANDs join: within one table a pair matches for at most one
+    # probe mask (the mask is determined as ckey XOR qkey), so duplicates
+    # only arise ACROSS tables, and "some earlier table t' also matched"
+    # is exactly `(ckeys[t'] XOR qkeys[t']) IN masks` — recomputable from
+    # the carried key arrays as a per-row filter. This replaces a full
+    # shuffle of the candidate-pair set (LSH's entire output — the
+    # dominant shuffle of this operator at 100 TB) with ≤ tables-1 integer
+    # XOR/membership tests on only the candidate rows; the kept set is
+    # bit-identical to DISTINCT over all (table, mask) matches (pinned by
+    # tests/test_similarity_ops.py).
+    mask_arr = ", ".join(f"{m}L" for m in masks)  # bigint literals: match the key type
+    first_match = (
+        "tbl = 0 OR NOT exists(sequence(1, tbl), "
+        f"tt -> array_contains(array({mask_arr}), "
+        "element_at(ckeys, tt) ^ element_at(qkeys, tt)))"
+    )
     cand = (
         cb.join(F.broadcast(qb), on=["tbl", "bkey"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(F.expr(first_match))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))

@@ -121,28 +121,36 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "session"),
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    prev_ts = F.lag("ts").over(w)
-    # unix_seconds truncates to the second — matches DuckDB date_diff('second')
-    # which counts second-boundary crossings, not exact elapsed time.
-    gap_s = F.unix_seconds(F.col("ts")) - F.unix_seconds(prev_ts)
-    is_new = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        e.select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.sum(is_new).over(wsum).cast("long").alias("session_id"),
+    # ONE spark.sql() text over the cached events view (r15 build-latency
+    # pass, guide §1 — the chained form paid ~0.16 s of eager per-op
+    # analysis at sf0.1; plan unchanged: one exchange, two fused window
+    # passes, the final groupBy reuses the user_id partitioning).
+    # unix_seconds truncates to the second — matches DuckDB
+    # date_diff('second'), which counts second-boundary crossings.
+    from slr207_mapreduce_spark.sources.tables import table_view
+
+    v = table_view(spark, "events", sf_dir)
+    return spark.sql(f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR (unix_seconds(ts) - unix_seconds(LAG(ts) OVER w)) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM {v}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM flagged
         )
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
-    )
+        SELECT user_id, session_id, COUNT(1) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    """)
 
 
 @register(

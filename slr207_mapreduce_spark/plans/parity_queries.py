@@ -42,8 +42,29 @@ _SQL_KEEP = r"regexp_matches(lower(word), '[`-z]')"
     tags=("parity",),
 )
 def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    return word_count_topk(docs.select(F.col("text").alias("value")), k=20)
+    # ONE spark.sql() text over the cached documents view (table_view):
+    # the chained-DataFrame form paid ~0.18 s of eager per-op analysis at
+    # sf0.1 (r15 build-latency pass, guide §1) — same tokenizer regex,
+    # keep-filter, aggregation and top-K as parity/wordcount.py
+    # (word_count_topk remains the library surface), identical plan.
+    from slr207_mapreduce_spark.parity.wordcount import TOKEN_DELIMITERS
+    from slr207_mapreduce_spark.sources.tables import table_view
+
+    v = table_view(spark, "documents", sf_dir)
+    delims = (
+        TOKEN_DELIMITERS.replace("\\", "\\\\")
+        .replace("'", "\\'")
+        .replace("\n", "\\n")
+        .replace("\t", "\\t")
+    )
+    return spark.sql(f"""
+        SELECT word, COUNT(1) AS cnt
+        FROM (SELECT explode(split(text, '{delims}')) AS word FROM {v})
+        WHERE lower(word) RLIKE '[`-z]'
+        GROUP BY word
+        ORDER BY cnt DESC, word ASC
+        LIMIT 20
+    """)
 
 
 @register(

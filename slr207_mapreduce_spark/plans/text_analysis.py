@@ -214,16 +214,24 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
-        F.length("term") > 0
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    return tf.groupBy("term").agg(
-        F.sum("tf").cast("long").alias("total_tf"),
-        F.count(F.lit(1)).alias("df"),
-        F.max("tf").cast("long").alias("max_tf_in_doc"),
-    )
+    # ONE spark.sql() text over the cached documents view (r15
+    # build-latency pass, guide §1); same two-aggregation, no-join plan.
+    from slr207_mapreduce_spark.sources.tables import table_view
+
+    v = table_view(spark, "documents", sf_dir)
+    return spark.sql(f"""
+        WITH tf AS (
+          SELECT doc_id, term, COUNT(1) AS tf
+          FROM (SELECT doc_id, explode(split(text, ' ')) AS term FROM {v})
+          WHERE length(term) > 0
+          GROUP BY doc_id, term
+        )
+        SELECT term,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               COUNT(1) AS df,
+               CAST(MAX(tf) AS BIGINT) AS max_tf_in_doc
+        FROM tf GROUP BY term
+    """)
 
 
 @register(

@@ -34,11 +34,23 @@ from slr207_mapreduce_spark.functions.portable import (
     int_units,
 )
 from slr207_mapreduce_spark.plans.base import register
-from slr207_mapreduce_spark.sources.tables import load_table
+from slr207_mapreduce_spark.sources.tables import load_table, table_view
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
+
+
+# Build-latency note (r15, guide §1): these five builders are assembled as
+# ONE spark.sql() text over cached temp views (sources/tables.table_view)
+# instead of chained DataFrame ops — every DataFrame op is eagerly
+# analyzed, and the chained forms paid 0.12-0.48 s of pure analyzer/py4j
+# time per build at sf0.1 (measured; the bench times build+execute, and
+# build was 30-50% of these queries' walls). The SQL texts reproduce the
+# previous logical plans operator-for-operator — same filters, join order,
+# broadcast hints, fixed-point arithmetic and aliases — so the physical
+# plans and results are unchanged (oracle exact-value checked at sf0.01
+# and sf0.1; plan shapes pinned by tests/test_plans.py).
 
 
 # --------------------------------------------------------------------------
@@ -80,51 +92,50 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tags=("relational", "agg", "bench"),
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    q_c = int_units("l_quantity")  # 1e-2 units
-    p_c = int_units("l_extendedprice")  # 1e-2
-    d_c = int_units("l_discount")  # 1e-2
-    t_c = int_units("l_tax")  # 1e-2
-    gross_u4 = p_c * (F.lit(100) - d_c)  # price*(1-disc) in 1e-4 units
-    charge_u6 = gross_u4 * (F.lit(100) + t_c)  # *(1+tax) in 1e-6 units
-    partials = (
-        l.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
-        .agg(
-            F.sum(q_c).alias("sq"),
-            F.sum(p_c).alias("sp"),
-            F.sum(d_c).alias("sd"),
-            F.sum(gross_u4).alias("sg"),
-            F.sum(charge_u6).alias("sc"),
-            F.count(F.lit(1)).alias("n"),
+    l = table_view(spark, "lineitem", sf_dir)
+    # int_units(col): FLOOR(col*100 + 0.5D) — int64 fixed-point, same bits
+    # as functions/portable.int_units (0.5D: double literal, matching the
+    # DataFrame form's python-float lit; a bare 0.5 would be DECIMAL(1,1)).
+    u = lambda c: f"FLOOR({c} * 100 + 0.5D)"  # noqa: E731
+    gross_u4 = f"{u('l_extendedprice')} * (100 - {u('l_discount')})"
+    charge_u6 = f"{gross_u4} * (100 + {u('l_tax')})"
+    # exact_total(c, d): CAST(c AS DOUBLE) / 10^d as a double literal —
+    # cast-the-integer-first (see functions/portable.exact_total).
+    return spark.sql(f"""
+        WITH part AS (
+          SELECT l_returnflag, l_linestatus,
+                 SUM({u('l_quantity')})      AS sq,
+                 SUM({u('l_extendedprice')}) AS sp,
+                 SUM({u('l_discount')})      AS sd,
+                 SUM({gross_u4})             AS sg,
+                 SUM({charge_u6})            AS sc,
+                 COUNT(1)                    AS n
+          FROM {l}
+          WHERE l_shipdate <= TIMESTAMP'2000-09-02'
+          GROUP BY l_returnflag, l_linestatus, spark_partition_id()
+        ),
+        tot AS (
+          SELECT l_returnflag, l_linestatus,
+                 SUM(CAST(sq AS DECIMAL(38,0))) AS tq,
+                 SUM(CAST(sp AS DECIMAL(38,0))) AS tp,
+                 SUM(CAST(sd AS DECIMAL(38,0))) AS td,
+                 SUM(CAST(sg AS DECIMAL(38,0))) AS tg,
+                 SUM(CAST(sc AS DECIMAL(38,0))) AS tc,
+                 SUM(n) AS count_order
+          FROM part GROUP BY l_returnflag, l_linestatus
         )
-    )
-    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    return (
-        partials.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(d38("sq")).alias("tq"),
-            F.sum(d38("sp")).alias("tp"),
-            F.sum(d38("sd")).alias("td"),
-            F.sum(d38("sg")).alias("tg"),
-            F.sum(d38("sc")).alias("tc"),
-            F.sum("n").alias("count_order"),
-        )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            exact_total("tq", 2).alias("sum_qty"),
-            exact_total("tp", 2).alias("sum_base_price"),
-            exact_total("tg", 4).alias("sum_disc_price"),
-            exact_total("tc", 6).alias("sum_charge"),
-            (exact_total("tq", 2) / dbl("count_order")).alias("avg_qty"),
-            (exact_total("tp", 2) / dbl("count_order")).alias("avg_price"),
-            (exact_total("td", 2) / dbl("count_order")).alias("avg_disc"),
-            "count_order",
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+        SELECT l_returnflag, l_linestatus,
+               CAST(tq AS DOUBLE) / 100.0D     AS sum_qty,
+               CAST(tp AS DOUBLE) / 100.0D     AS sum_base_price,
+               CAST(tg AS DOUBLE) / 10000.0D   AS sum_disc_price,
+               CAST(tc AS DOUBLE) / 1000000.0D AS sum_charge,
+               (CAST(tq AS DOUBLE) / 100.0D) / CAST(count_order AS DOUBLE) AS avg_qty,
+               (CAST(tp AS DOUBLE) / 100.0D) / CAST(count_order AS DOUBLE) AS avg_price,
+               (CAST(td AS DOUBLE) / 100.0D) / CAST(count_order AS DOUBLE) AS avg_disc,
+               count_order
+        FROM tot
+        ORDER BY l_returnflag, l_linestatus
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -154,23 +165,24 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "bench"),
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    )
-    l = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
-    )
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
+    l = table_view(spark, "lineitem", sf_dir)
+    o = table_view(spark, "orders", sf_dir)
+    c = table_view(spark, "customer", sf_dir)
+    return spark.sql(f"""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM {l}
+        JOIN {o} ON l_orderkey = o_orderkey
+        JOIN {c} ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP'1998-01-01'
+          AND l_shipdate  > TIMESTAMP'1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -208,33 +220,34 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "bench"),
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
-    )
-    l = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    s_asia = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
-    return (
-        l.join(F.broadcast(s_asia), l.l_suppkey == s_asia.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(
-            c,
-            (o.o_custkey == c.c_custkey)
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+    l = table_view(spark, "lineitem", sf_dir)
+    o = table_view(spark, "orders", sf_dir)
+    c = table_view(spark, "customer", sf_dir)
+    s = table_view(spark, "supplier", sf_dir)
+    n = table_view(spark, "nation", sf_dir)
+    r = table_view(spark, "region", sf_dir)
+    # Same join tree and broadcast hints as the previous DataFrame form:
+    # the ASIA supplier chain pre-joins (all broadcasts) and semi-filters
+    # lineitem BEFORE the fact-fact orders join — see the register() doc.
+    return spark.sql(f"""
+        WITH s_asia AS (
+          SELECT /*+ BROADCAST(n), BROADCAST(r) */ s_suppkey, s_nationkey, n_name
+          FROM {s} JOIN {n} n ON s_nationkey = n_nationkey
+                   JOIN {r} r ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
         )
-        .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
-    )
+        SELECT /*+ BROADCAST(s_asia) */ n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM {l}
+        JOIN s_asia ON l_suppkey = s_suppkey
+        JOIN {o} ON l_orderkey = o_orderkey
+        JOIN {c} ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        WHERE o_orderdate >= TIMESTAMP'1996-01-01'
+          AND o_orderdate <  TIMESTAMP'1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -258,20 +271,20 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "filter", "bench"),
 )
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.where(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
+    l = table_view(spark, "lineitem", sf_dir)
+    # 0.05D/0.07D: double literals matching the DataFrame form's python
+    # floats (a bare 0.05 would be a DECIMAL(3,2) literal and change the
+    # pushed-filter type).
+    return spark.sql(f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(1) AS n_rows
+        FROM {l}
+        WHERE l_shipdate >= TIMESTAMP'1997-01-01'
+          AND l_shipdate <  TIMESTAMP'1998-01-01'
+          AND l_discount >= 0.05D AND l_discount <= 0.07D
+          AND l_quantity < 24
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -303,27 +316,24 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join"),
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    n = _t(spark, sf_dir, "nation")
-    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "revenue",
-            F.col("c_acctbal").cast("double").alias("c_acctbal"),
-            "n_name",
-        )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
+    l = table_view(spark, "lineitem", sf_dir)
+    o = table_view(spark, "orders", sf_dir)
+    c = table_view(spark, "customer", sf_dir)
+    n = table_view(spark, "nation", sf_dir)
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(n) */ c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               n_name
+        FROM {l}
+        JOIN {o} ON l_orderkey = o_orderkey
+        JOIN {c} ON o_custkey = c_custkey
+        JOIN {n} n ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP'1997-01-01'
+          AND o_orderdate <  TIMESTAMP'1998-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """)

@@ -41,17 +41,25 @@ def _t(spark, sf_dir, name):
     tags=("window",),
 )
 def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .select("c_nationkey", "o_orderkey", "o_totalprice")
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 3)
-    )
+    # ONE spark.sql() text over cached views (r15 build-latency pass,
+    # guide §1); plan unchanged — including InferWindowGroupLimit's
+    # partial/final WindowGroupLimit pair, which IS the two-level
+    # top-N-per-group pruning (each map task forwards only its local
+    # top-3 per nation before the exchange).
+    from slr207_mapreduce_spark.sources.tables import table_view
+
+    o = table_view(spark, "orders", sf_dir)
+    c = table_view(spark, "customer", sf_dir)
+    return spark.sql(f"""
+        SELECT c_nationkey, o_orderkey, o_totalprice, rk
+        FROM (
+          SELECT c_nationkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+          FROM {o} JOIN {c} ON o_custkey = c_custkey
+        )
+        WHERE rk <= 3
+    """)
 
 
 @register(

@@ -15,6 +15,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_shuffle_partitions() -> str:
+    """Initial shuffle partition count, scale-adaptive (r15, guide §2.2):
+    max(local parallelism, 32), overridable via
+    $SPARK_GRAFT_SHUFFLE_PARTITIONS. The old literal "32" was the local
+    box's core count — right here, but a constant a 256-core cluster
+    would silently under-partition with. Deriving from the session's core
+    budget ($SPARK_GRAFT_CPUS, the driver convention, else os.cpu_count)
+    keeps the local default — and hence the driver's bench — unchanged at
+    32 while scaling initial parallelism with the deployment; AQE's
+    advisoryPartitionSizeInBytes (64 MB) then coalesces small shuffles
+    whatever the initial count, so the setting governs only the ceiling.
+    On a real cluster, size it to 2-3× total cores or rely on the env
+    override; partition BYTES (~64 MB-1 GB targets, guide §2.2) should
+    drive the choice at 100 TB."""
+    override = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if override:
+        return override
+    try:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        cores = os.cpu_count() or 8
+    return str(max(32, cores))
+
+
 def _default_driver_memory() -> str:
     """Heap for the single local[N] JVM: min(24g, ~20% of detected RAM),
     floor 2g, overridable via $SPARK_GRAFT_DRIVER_MEM. A hardcoded 24g was
@@ -55,7 +79,7 @@ SCALE_DEFAULTS: dict[str, str] = {
     # >> open cost, so large-scale split planning is unchanged.
     "spark.sql.files.openCostInBytes": "524288",
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     "spark.sql.parquet.compression.codec": "zstd",
     # local[N] runs driver and executors in ONE JVM whose heap defaults to
     # 1g — on a 32-core/128 GiB box that heap is what OOMed the sf1
