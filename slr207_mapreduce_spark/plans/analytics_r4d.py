@@ -548,7 +548,9 @@ def knn_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, "embeddings", sf_dir)
-    jl_short = auto_jl_shortlist(e.count())
+    from slr207_mapreduce_spark.operators.similarity import _dial_count
+
+    jl_short = auto_jl_shortlist(_dial_count(e))
     proj = embedding_random_projection(spark, sf_dir).drop("label")
     pcols = [f"p{k}" for k in range(_PROJ_DIM)]
     qrows = proj.where(F.col("vec_id") < _JL_Q).collect()

@@ -89,23 +89,48 @@ def register(
 # agg/events/udf/warehouse rotation, r08 the adjudication endgame (each
 # 50/50 green; cumulative 230/251 after r08 per VERDICT r08).
 #
-# Round 15 (this list): the sixth FRESHNESS rotation. Policy, pinned by
-# tests/test_oracle.py::test_driver_sample_rotation: the 45 non-sentinel
-# slots are EXACTLY the 45 stalest registry names under the deterministic
-# order (last-adjudicated round, name) with never-adjudicated names
-# treated as round 0 — so min(last-adjudicated round) over the registry
-# rises every round and staleness can never silently accumulate again.
-# For r15 (computed by tools/rotation.py over CORRECTNESS_r01..r14) that
-# is the never-adjudicated r15 additions first (stalest by definition),
-# then the r08/r09 remainder — the multimodal decode block, the kNN
-# search tiers, pipeline curation/sampling names, the q3/q5/q18 TPC-H
-# trio, scalar variants, and the text LM block, in (round, name) order.
+# Round 16 (this list): the seventh FRESHNESS rotation, with one r16
+# policy extension. Base policy, pinned by
+# tests/test_oracle.py::test_driver_sample_rotation: the non-sentinel
+# slots are the stalest registry names under the deterministic order
+# (last-adjudicated round, name) with never-adjudicated names treated as
+# round 0 — so min(last-adjudicated round) over the registry rises every
+# round and staleness can never silently accumulate.
+#
+# r16 extension (r15 VERDICT item 3): a query whose IMPLEMENTATION was
+# rewritten by an optimization round must be re-adjudicated by the driver
+# before its rewrite is called settled, even if it is "fresh" by the
+# staleness order (r15 rewrote five queries that had just rotated out of
+# the window). REWRITTEN_PRIORITY_NAMES therefore takes the slots right
+# after the sentinels, and the stalest order fills the remainder — both
+# tiers deterministic, both pinned by the rotation test.
 #
 # WINDOW_ROUND declares which round this window serves; the rotation test
 # computes the expected window from artifacts of rounds < WINDOW_ROUND, so
 # the driver landing CORRECTNESS_r{WINDOW_ROUND}.json after the final
 # commit does not redden a finished tree (r10 VERDICT item 1).
-WINDOW_ROUND: int = 15
+WINDOW_ROUND: int = 16
+
+# Queries whose WIRED implementation changed in the r15/r16 optimization
+# rounds after their last driver adjudication (r15: SQL conversions + the
+# CDC/LSH structural rewrites, per r15 VERDICT item 3; r16: the
+# order-independent CASE/IF forms in the CDC chunk count and the LSH
+# first-match filter, the LSH dial's metadata row count, and the
+# metadata doc-count probe in dedup_ngram_jaccard's auto plan selector).
+# Each is oracle-verified locally at sf0.01 AND sf0.1 (tools/check.py,
+# exact values); this list routes them through the driver's own hash gate
+# as well. Drained (reset to empty) once adjudicated. The r16 Arrow
+# MinHash kernel was A/B-measured and NOT wired (OPTIMIZATION_r16.md), so
+# the minhash consumers keep their adjudicated implementation and take no
+# slot here.
+REWRITTEN_PRIORITY_NAMES: tuple[str, ...] = (
+    "dedup_cdc_chunks",
+    "knn_lsh_bucketed",
+    "text_term_stats",
+    "q10_returned_items",
+    "window_rank_topn_per_group",
+    "dedup_ngram_jaccard",
+)
 #
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
 # the r07 snapshot (tests/data/registry_r07.txt) must appear in
@@ -115,73 +140,71 @@ WINDOW_ROUND: int = 15
 # round (e.g. the window is already full of higher-priority backlog).
 DEFERRED_NEW_NAMES: tuple[str, ...] = ()
 
-# The r15 window reaches the r08/r09 adjudication remainder, which holds
-# the registry's two rows-only approx estimators (their error bounds are
-# separately hash-certified by estimator_error_report /
-# dedup_minhash_estimator_error, both fully oracled) — the rotation test
-# pins exactly these two.
+# The r16 window's stalest fill reaches the r10 adjudication remainder,
+# which holds two rows-only approx estimators (their error bounds are
+# separately hash-certified by estimator_error_report, fully oracled) —
+# the rotation test pins exactly these two.
 ROWS_ONLY_WINDOW_NAMES: tuple[str, ...] = (
-    "dedup_minhash_ml",
-    "events_approx_percentiles",
+    "agg_approx_count_distinct",
+    "agg_hll_mergeable_sketches",
 )
 
 DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
-    # sentinels (driver-green in r01-r14)
+    # sentinels (driver-green in r01-r15)
     "wordcount_topk",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "join_salted",
     "events_sessionization",
-    # --- new this round (never adjudicated; stalest by definition),
-    # then the stalest remainder: the tail of the r08 block and the r09
-    # adjudication block (kNN search tiers, multimodal decode round
-    # trips, pipeline curation/sampling, q3/q5/q18, scalar variants,
-    # text LM block), in (round, name) order ---
-    "pipeline_incremental_semantic_dedup_distributed",
-    "retrieval_hybrid_rrf_batch",
-    "udf_pandas_grouped_agg_range",
-    "cdc_latest_state",
-    "dedup_clusters",
-    "dedup_minhash_ml",
-    "dedup_semantic_clusters",
-    "events_approx_percentiles",
-    "graph_pagerank",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_jl_rerank",
-    "knn_quantized_int8",
-    "multimodal_gif_roundtrip",
-    "multimodal_image_features",
-    "multimodal_image_thumbnail",
-    "multimodal_jpeg_color_roundtrip",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_mjpeg_avi_roundtrip",
-    "multimodal_mulaw_roundtrip",
-    "multimodal_png_roundtrip",
-    "multimodal_ppm_resize_roundtrip",
-    "multimodal_video_frame_index",
-    "multimodal_video_frame_sample_roundtrip",
-    "multimodal_wav_roundtrip",
-    "pipeline_dataset_card",
-    "pipeline_dedup_report",
-    "pipeline_fractional_sample",
-    "pipeline_fuzzy_name_pairs",
-    "pipeline_phonetic_blocking",
-    "pipeline_quality_percentile_by_source",
-    "pipeline_redact",
-    "pipeline_sample_exact_k",
-    "pipeline_schema_evolution_union",
-    "pipeline_weighted_sample",
-    "q18_large_volume_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "scalar_binary_encodings",
-    "scalar_bitwise_ops",
-    "scalar_explode_outer",
-    "scalar_lateral_column_alias",
-    "scalar_to_json",
-    "scalar_zorder_key",
-    "text_bigram_lm",
+    # --- rewritten-priority tier (REWRITTEN_PRIORITY_NAMES, see above) ---
+    "dedup_cdc_chunks",
+    "knn_lsh_bucketed",
+    "text_term_stats",
+    "q10_returned_items",
+    "window_rank_topn_per_group",
+    "dedup_ngram_jaccard",
+    # --- stalest remainder (tools/rotation.py over CORRECTNESS_r01..r15):
+    # the r09 text/warehouse tail, then the r10 agg/join/scalar/setop/
+    # window block, in (round, name) order ---
+    "text_bpe_train_merges",
+    "text_trigram_novelty",
+    "warehouse_incremental_agg_merge",
+    "agg_approx_count_distinct",
+    "agg_basic_stats",
+    "agg_collect_sorted",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_exact_moments",
+    "agg_group_by_all",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_hll_mergeable_sketches",
+    "agg_rollup",
+    "asof_purchase_last_view",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_null_safe",
+    "join_range_nonequi",
+    "join_right_outer",
+    "knn_recall_report",
+    "scalar_date_funcs",
+    "scalar_regexp_split",
+    "scalar_string_funcs",
+    "setop_distinct",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_by_name",
+    "setop_union_distinct",
+    "window_first_last_nth",
+    "window_lag_lead",
+    "window_ntile",
 )
 
 

@@ -31,7 +31,10 @@ def _default_shuffle_partitions() -> str:
     drive the choice at 100 TB."""
     override = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if override:
-        return override
+        try:
+            return str(int(override))
+        except ValueError:
+            pass  # non-integer override: fall through to the derived value
     try:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
     except ValueError:
@@ -79,7 +82,11 @@ SCALE_DEFAULTS: dict[str, str] = {
     # >> open cost, so large-scale split planning is unchanged.
     "spark.sql.files.openCostInBytes": "524288",
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
+    # spark.sql.shuffle.partitions is ENV-DEPENDENT and therefore resolved
+    # per call in get_session()/harden_session() via
+    # _default_shuffle_partitions() — baking it into this literal froze the
+    # env at import time, silently ignoring SPARK_GRAFT_SHUFFLE_PARTITIONS /
+    # SPARK_GRAFT_CPUS set afterwards (r15 ADVICE item 4).
     "spark.sql.parquet.compression.codec": "zstd",
     # local[N] runs driver and executors in ONE JVM whose heap defaults to
     # 1g — on a 32-core/128 GiB box that heap is what OOMed the sf1
@@ -112,6 +119,7 @@ def get_session(
     # dir, never an overwrite — r07 ADVICE). SPARK_GRAFT_TYPED_STATE=0
     # skips the wiring entirely for deployments that never run typed state.
     conf = dict(SCALE_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = _default_shuffle_partitions()
     if extra_conf:
         conf.update(extra_conf)
     if os.environ.get("SPARK_GRAFT_TYPED_STATE", "1") != "0":

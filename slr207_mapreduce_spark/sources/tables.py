@@ -86,6 +86,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     df = _read_table(spark, name, path)
     if cache is not None:
         cache[path] = df
+    try:
+        _HANDLE_PATHS[df] = path
+    except TypeError:  # DataFrame type without weakref support
+        pass
     return df
 
 
@@ -102,6 +106,51 @@ def _read_table(spark: SparkSession, name: str, path: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
+
+
+# Reverse map: unmodified load_table handle -> its parquet path. Keyed
+# weakly by the DataFrame object itself, so ONLY the exact cached handle
+# (not a filter/select derived from it) resolves — the gate behind
+# metadata_row_count's operator contract.
+_HANDLE_PATHS: "WeakKeyDictionary[DataFrame, str]" = WeakKeyDictionary()
+# Footer-derived row counts per path (scan METADATA, not query results —
+# same immutable-corpus contract as _TABLE_CACHE's snapshotted listing).
+_META_COUNTS: dict[str, int] = {}
+
+
+def metadata_row_count(df: DataFrame) -> int | None:
+    """Exact row count from parquet footers for an UNMODIFIED
+    :func:`load_table` handle; ``None`` for any other DataFrame.
+
+    Operator contract (r15 VERDICT item 4, guide §1 "driver-side work"):
+    the auto-dial sites (LSH table budget, IVF centroid/probe dials, PQ
+    rerank) need ``corpus.count()`` only to pick an integer budget, and
+    when the corpus is a raw table handle that count equals the sum of
+    the parquet footers' num_rows — readable driver-side in milliseconds
+    instead of a full Spark job per build. A filtered/projected input
+    deliberately resolves to None (row count is data-dependent there) so
+    callers fall back to ``df.count()`` — semantics never change, only
+    the job floor for the raw-handle case. Counts are cached per path
+    under the same immutable-corpus contract as the handle cache; a
+    caller that overwrites a path in place should read it directly."""
+    try:
+        path = _HANDLE_PATHS.get(df)
+    except TypeError:
+        return None
+    if path is None:
+        return None
+    if path not in _META_COUNTS:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for name in sorted(os.listdir(path)):
+                if name.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(path, name)).num_rows
+        else:
+            total = pq.read_metadata(path).num_rows
+        _META_COUNTS[path] = int(total)
+    return _META_COUNTS[path]
 
 
 # Per-session registry of created temp-view names (see table_view).

@@ -92,6 +92,7 @@ def test_semdedup_recall_report_is_internally_consistent(spark):
             assert r.recall == r.within_cell_pairs / r.exact_pairs
 
 
+@pytest.mark.slow  # >30 s scale/e2e leg (r15 VERDICT item 2)
 def test_crossmodal_materialized_matches_from_raw(spark):
     """The write-then-close variant must produce BIT-IDENTICAL clusters to
     the query-from-raw closure (they share one oracle — this is the

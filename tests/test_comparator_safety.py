@@ -24,7 +24,21 @@ def _all_specs():
     return sorted(all_queries().items())
 
 
-@pytest.mark.parametrize("name,spec", _all_specs(), ids=lambda v: v if isinstance(v, str) else "")
+def _window_or_slow():
+    # Default path = the driver's 50-query window (the only outputs the
+    # driver materializes this round, i.e. the only ones that can crash
+    # its comparator); the full-registry sweep is the `slow` tier (r15
+    # VERDICT item 2) and runs in the repo's own verification flow.
+    from slr207_mapreduce_spark.plans.base import DRIVER_SAMPLE_FIRST
+
+    window = set(DRIVER_SAMPLE_FIRST)
+    return [
+        (pair if pair[0] in window else pytest.param(*pair, marks=pytest.mark.slow))
+        for pair in _all_specs()
+    ]
+
+
+@pytest.mark.parametrize("name,spec", _window_or_slow(), ids=lambda v: v if isinstance(v, str) else "")
 def test_query_output_is_comparator_safe(spark, name, spec):
     from tools.check import comparator_unsafe_cols
 

@@ -11,6 +11,8 @@ any task failure is fatal), so it runs as a subprocess here.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -19,6 +21,7 @@ import sys
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
+@pytest.mark.slow  # >30 s scale/e2e leg (r15 VERDICT item 2)
 def test_chaos_check_green():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "chaos_check.py")],

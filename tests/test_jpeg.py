@@ -623,6 +623,7 @@ def test_batch_decoders_match_single_image_paths():
         assert np.array_equal(a, b), i
 
 
+@pytest.mark.slow  # >30 s scale/e2e leg (r15 VERDICT item 2)
 def test_batch_decoder_error_contract_matches_single():
     """For corrupted/truncated members of a batch, the batch decoder must
     behave exactly like the per-blob scalar loop it replaced: succeed with

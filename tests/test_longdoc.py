@@ -123,6 +123,7 @@ LONGDOC_QUERIES = [
 
 
 @pytest.mark.parametrize("qname", LONGDOC_QUERIES)
+@pytest.mark.slow  # >30 s scale/e2e leg (r15 VERDICT item 2)
 def test_longdoc_query_matches_oracle(spark, longdoc_dir, qname):
     from check import compare
 

@@ -16,9 +16,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import pytest
+
 from tests.conftest import SF_CORRECT, SF_SMOKE
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
+
+# slow: measurement-tool smokes replay real Spark legs (r15 VERDICT item 2)
+pytestmark = pytest.mark.slow
 
 
 def test_warehouse_tier_leg_smoke(spark):

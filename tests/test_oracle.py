@@ -17,7 +17,24 @@ def _specs():
 
 def pytest_generate_tests(metafunc):
     if "qname" in metafunc.fixturenames:
-        metafunc.parametrize("qname", sorted(_specs()))
+        # Default path = the driver's own 50-query adjudication window
+        # (sentinels + rewritten-priority + stalest fill) — the exact
+        # surface the driver will hash this round, preflighted on every
+        # run. The full-registry sweep is the `slow` tier (r15 VERDICT
+        # item 2: the suite must fit the driver's verify budget); it
+        # still runs in the repo's own verification flow and is
+        # duplicated by `python tools/check.py` (exact values, strictly
+        # stronger), which every optimization gate uses.
+        from slr207_mapreduce_spark.plans.base import DRIVER_SAMPLE_FIRST
+
+        window = set(DRIVER_SAMPLE_FIRST)
+        metafunc.parametrize(
+            "qname",
+            [
+                n if n in window else pytest.param(n, marks=pytest.mark.slow)
+                for n in sorted(_specs())
+            ],
+        )
 
 
 def test_query_matches_oracle(spark, duck, qname):
@@ -92,6 +109,7 @@ def test_driver_sample_rotation():
     tools/rotation.py at round start, not by this test."""
     from slr207_mapreduce_spark.plans.base import (
         DRIVER_SAMPLE_FIRST,
+        REWRITTEN_PRIORITY_NAMES,
         ROWS_ONLY_WINDOW_NAMES,
         WINDOW_ROUND,
     )
@@ -112,14 +130,24 @@ def test_driver_sample_rotation():
     if not last:
         return  # fresh checkout without driver artifacts
     sentinels = first50[:5]
+    # r16 extension: the rewritten-priority tier (queries whose
+    # implementation changed in an optimization round after their last
+    # adjudication — r15 VERDICT item 3) occupies the slots right after
+    # the sentinels, then the stalest order fills the remainder. Both
+    # tiers are literal and deterministic; priority names must be real,
+    # registered, non-sentinel queries.
+    prio = list(REWRITTEN_PRIORITY_NAMES)
+    assert len(set(prio)) == len(prio) and not (set(prio) & set(sentinels))
+    assert all(n in specs for n in prio)
+    assert first50[5 : 5 + len(prio)] == prio
     rest_sorted = sorted(
-        (n for n in specs if n not in sentinels),
+        (n for n in specs if n not in sentinels and n not in prio),
         key=lambda n: (last.get(n, 0), n),
     )
-    expected = set(rest_sorted[:45])
-    actual = set(first50) - set(sentinels)
+    expected = set(rest_sorted[: 45 - len(prio)])
+    actual = set(first50) - set(sentinels) - set(prio)
     assert actual == expected, (
-        f"window must hold the 45 stalest names; "
+        f"window must hold the priority tier + the stalest remainder; "
         f"missing={sorted(expected - actual)} extra={sorted(actual - expected)}"
     )
     # Monotone freshness: every name OUTSIDE the window is strictly

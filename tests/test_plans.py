@@ -67,6 +67,7 @@ def test_wordcount_has_partial_aggregation(spark):
     assert "hashpartitioning" in plan
 
 
+@pytest.mark.slow  # >30 s scale/e2e leg (r15 VERDICT item 2)
 def test_no_python_udf_in_relational_hot_paths(spark):
     """Core relational + parity + text queries must stay JVM-side: no
     BatchEvalPython (row-at-a-time UDF) nodes anywhere. (udf_* queries are

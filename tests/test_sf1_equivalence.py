@@ -42,7 +42,8 @@ import pytest
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
-pytestmark = pytest.mark.sf1
+# slow: the sf1 tier is the >30 s scale class (r15 VERDICT item 2)
+pytestmark = [pytest.mark.sf1, pytest.mark.slow]
 
 
 @pytest.fixture(scope="module")

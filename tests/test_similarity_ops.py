@@ -11,9 +11,13 @@ def test_tracked_broadcast_retires_previous_but_keeps_it_usable(spark):
         tracked_broadcast,
     )
 
-    b1 = tracked_broadcast(spark.sparkContext, [1, 2], "t_site")
-    b2 = tracked_broadcast(spark.sparkContext, [3, 4], "t_site")
-    assert _TRACKED_BC["t_site"] is b2
-    rdd = spark.sparkContext.parallelize([0], 1)
+    sc = spark.sparkContext
+    b1 = tracked_broadcast(sc, [1, 2], "t_site")
+    b2 = tracked_broadcast(sc, [3, 4], "t_site")
+    # r15 VERDICT item 4: keyed by (SparkContext identity, site) so two
+    # concurrent sessions in one process never retire each other's live
+    # broadcasts
+    assert _TRACKED_BC[(id(sc), "t_site")] is b2
+    rdd = sc.parallelize([0], 1)
     assert rdd.map(lambda _: sum(b1.value)).collect() == [3]  # re-fetch ok
     assert rdd.map(lambda _: sum(b2.value)).collect() == [7]

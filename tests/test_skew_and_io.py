@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -271,6 +273,7 @@ def _skewed_events(spark, bot_events: int, bot_id: int = 777):
     return bot.unionAll(normals)
 
 
+@pytest.mark.slow  # >30 s scale/e2e leg (r15 VERDICT item 2)
 def test_capped_sessionization_segmented_matches_loop_on_heavy_hitter(spark):
     """Round-5 verdict item #4: the segmented capped sessionizer must be
     EXACTLY equal to the per-user sequential scan on a fixture with a bot

@@ -4,6 +4,8 @@ atomic symlink swap, reader-safe replacement, bounded version retention."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from slr207_mapreduce_spark.sources.staging import staged_write, staging_path
@@ -78,6 +80,7 @@ def _stage_tree_snapshot() -> set[str]:
     return out
 
 
+@pytest.mark.slow  # >30 s scale/e2e leg (r15 VERDICT item 2)
 def test_plan_only_enumeration_writes_nothing(spark):
     """r14 VERDICT item 7: under plan_only, the materializing queries
     return their from-raw twin plans (same oracle — materialization is

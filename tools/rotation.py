@@ -41,15 +41,23 @@ def last_adjudicated() -> dict[str, int]:
 
 
 def main() -> int:
-    from slr207_mapreduce_spark.plans.base import all_queries
+    from slr207_mapreduce_spark.plans.base import (
+        REWRITTEN_PRIORITY_NAMES,
+        all_queries,
+    )
 
     specs = all_queries()
     last = last_adjudicated()
+    # r16 policy extension: the rewritten-priority tier (implementation
+    # changed after last adjudication) goes right after the sentinels;
+    # staleness fills the remainder. NOTE: at each round start, drain
+    # REWRITTEN_PRIORITY_NAMES of names the newest artifact adjudicated.
+    prio = [n for n in REWRITTEN_PRIORITY_NAMES if n in specs]
     rest = sorted(
-        (n for n in specs if n not in SENTINELS),
+        (n for n in specs if n not in SENTINELS and n not in prio),
         key=lambda n: (last.get(n, 0), n),
     )
-    window = list(SENTINELS) + rest[:45]
+    window = list(SENTINELS) + prio + rest[: 45 - len(prio)]
     no_oracle = [n for n in window if specs[n].oracle is None]
     max_round = max(last.values(), default=0)
     print(f"# suggested WINDOW_ROUND: {max_round + 1}")
