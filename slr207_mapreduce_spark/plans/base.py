@@ -130,6 +130,11 @@ REWRITTEN_PRIORITY_NAMES: tuple[str, ...] = (
     "q10_returned_items",
     "window_rank_topn_per_group",
     "dedup_ngram_jaccard",
+    # r16 batch 2 (this round's events rewrites, oracle-verified at
+    # sf0.01+sf0.1 exact values and edge-pinned by
+    # tests/test_events_rewrites_r16.py):
+    "events_funnel_stages",  # window-chain -> single-exchange aggregation
+    "events_gap_filled_hours",  # two scans + join -> one scan, lead spine
 )
 #
 # Registry-growth policy (r07 VERDICT item 5): any query registered after
@@ -163,6 +168,8 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "q10_returned_items",
     "window_rank_topn_per_group",
     "dedup_ngram_jaccard",
+    "events_funnel_stages",
+    "events_gap_filled_hours",
     # --- stalest remainder (tools/rotation.py over CORRECTNESS_r01..r15):
     # the r09 text/warehouse tail, then the r10 agg/join/scalar/setop/
     # window block, in (round, name) order ---
@@ -203,8 +210,6 @@ DRIVER_SAMPLE_FIRST: tuple[str, ...] = (
     "setop_union_by_name",
     "setop_union_distinct",
     "window_first_last_nth",
-    "window_lag_lead",
-    "window_ntile",
 )
 
 

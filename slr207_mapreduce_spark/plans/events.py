@@ -203,29 +203,55 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(a.sum_value, 0.0) AS sum_value
     FROM spine s LEFT JOIN agg a ON s.hour = a.hour
     """,
-    doc="Gap-filled hourly series: a calendar spine (sequence + explode) "
-    "left-joined to the hourly aggregate so empty hours appear as zero "
-    "rows — the time-series densification pattern (the spine is generated, "
-    "never collected to the driver).",
+    doc="Gap-filled hourly series: every hour between the first and last "
+    "present hour appears, empty hours as zero rows — the time-series "
+    "densification pattern. ONE events scan (r16, guide §1.2): the "
+    "calendar spine is derived from the hourly aggregate itself — each "
+    "present hour emits itself plus zero rows for the gap up to the NEXT "
+    "present hour (lead over the tiny hour-level frame), replacing the "
+    "previous second full scan (bounds min/max) + left join. The global "
+    "lead window runs on aggregated rows only (|hours| — a decade of "
+    "hourly buckets is <100k rows, trivially single-partition).",
     tags=("events", "window_agg", "gapfill"),
 )
 def events_gap_filled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
-    )
-    agg = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("present_hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
     )
-    return spine.join(agg, "hour", "left").select(
-        "hour",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    w = Window.orderBy("present_hour")
+    return (
+        agg.select(
+            "present_hour",
+            "n_events",
+            "sum_value",
+            F.lead("present_hour").over(w).alias("next_hour"),
+        )
+        .select(
+            "present_hour",
+            "n_events",
+            "sum_value",
+            F.explode(
+                F.sequence(
+                    F.col("present_hour"),
+                    F.coalesce(
+                        F.col("next_hour") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("present_hour"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+        )
+        .select(
+            "hour",
+            F.when(F.col("hour") == F.col("present_hour"), F.col("n_events"))
+            .otherwise(F.lit(0))
+            .alias("n_events"),
+            F.when(F.col("hour") == F.col("present_hour"), F.col("sum_value"))
+            .otherwise(F.lit(0.0))
+            .alias("sum_value"),
+        )
     )
 
 

@@ -91,42 +91,41 @@ def events_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Ordered funnel (view → click → purchase): each stage keeps users "
     "whose stage event STRICTLY follows their previous stage's first "
-    "event. ONE scan + one per-user shuffle: the three stage times are "
-    "chained window minimums over the same user partition (t2's "
-    "predicate references t1, a window value — no self-join, no "
-    "re-scan; the naive three-round join chain scanned events six "
-    "times), then a per-user dedup and three global counts.",
+    "event. ONE scan + one per-user shuffle, AGGREGATION form (r16, guide "
+    "§2.3): per user the partial aggregate carries min view-time plus the "
+    "click/purchase time lists only, so non-funnel rows collapse map-side "
+    "and the exchange never moves event_type strings or the full event "
+    "stream (the previous window form shuffled every row, then sorted, "
+    "then made three whole-partition window passes + a dedup). Stage "
+    "times chain per user via array filters: t2 = min click strictly "
+    "after t1, t3 = min purchase strictly after t2 — null-propagation "
+    "identical to the window form (x > NULL filters to an empty array, "
+    "array_min of empty = NULL).",
     tags=("events", "funnel"),
 )
 def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events").withColumn("es", _epoch_s())
-    w = Window.partitionBy("user_id")
-    staged = (
-        ev.withColumn(
-            "t1", F.min(F.when(F.col("event_type") == "view", F.col("es"))).over(w)
-        )
-        .withColumn(
-            "t2",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("es") > F.col("t1")),
-                    F.col("es"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t3",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase") & (F.col("es") > F.col("t2")),
-                    F.col("es"),
-                )
-            ).over(w),
-        )
-        .select("user_id", "t1", "t2", "t3")
-        .distinct()
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("es"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("es"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("es"))
+        ).alias("purchases"),
+    )
+    staged = per_user.select(
+        "user_id",
+        "t1",
+        F.array_min(F.filter(F.col("clicks"), lambda x: x > F.col("t1"))).alias("t2"),
+        "purchases",
+    ).select(
+        "user_id",
+        "t1",
+        "t2",
+        F.array_min(F.filter(F.col("purchases"), lambda x: x > F.col("t2"))).alias(
+            "t3"
+        ),
     )
     return staged.agg(
         F.count("t1").alias("n_viewed"),
