@@ -56,6 +56,30 @@ def _release_ids(sc, ids: set[int]) -> None:
     unpersist_rdd_ids(sc, ids)
 
 
+def _pin_partitioned(df: DataFrame, key: str) -> DataFrame:
+    """Persist a LOOP-INVARIANT frame hash-partitioned by ``key`` and
+    materialize it (r16, guide §2.4).
+
+    ``localCheckpoint`` — the previous mechanism for loop invariants —
+    comes back as a ``LogicalRDD`` with ``UnknownPartitioning``
+    (verified on Spark 4.1: plans/r16/graph_pagerank_before.txt node (6)),
+    so EVERY iteration re-exchanged the full edge table just to join it
+    against the round's small label/rank frame. ``persist`` preserves the
+    explicit ``repartition(P, key)`` through ``InMemoryRelation``, so the
+    per-round join streams the cached side with NO exchange and only the
+    small per-round frame moves. The partition count is pinned to the
+    session's shuffle partitions so the per-round aggregation exchanges
+    line up with it. Blocks evicted under memory pressure are recomputed
+    from lineage (persist keeps it) — strictly safer than localCheckpoint,
+    whose evicted blocks are unrecoverable. Callers unpersist in their
+    ``finally``; the materializing count() keeps eager semantics."""
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pinned = df.repartition(p, key).persist()
+    pinned.count()
+    return pinned
+
+
 def result_checkpoint_ids(df: DataFrame) -> set[int]:
     """Ids of every ``LogicalRDD`` leaf under ``df``'s analyzed plan — the
     localCheckpoint blocks the frame pins.  Empty set on any unexpected plan
@@ -108,13 +132,18 @@ def connected_components(
     extra exchange per round for a boolean. decimal(38,0) keeps the sum
     exact far beyond int64 (1e12 nodes x 1e12-scale ids < 1e38)."""
     sc = edges.sparkSession.sparkContext
-    # materialize once: the loop re-evaluates sym every round, and the
-    # symmetrizing union would otherwise recompute the (possibly very
-    # expensive) upstream edge pipeline twice per round
-    sym, sym_ids = _ckpt(
+    # materialize once, hash-partitioned by the per-round join key (r16,
+    # guide §2.4 — see _pin_partitioned): the loop re-evaluates sym every
+    # round, and the symmetrizing union would otherwise recompute the
+    # (possibly very expensive) upstream edge pipeline twice per round;
+    # pinning the partitioning additionally deletes the per-round
+    # re-exchange of the full edge set that the checkpointed
+    # (UnknownPartitioning) form paid on every iteration.
+    sym = _pin_partitioned(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        .distinct(),
+        "a",
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -184,7 +213,7 @@ def connected_components(
     finally:
         # sym is never part of the result; on error also free the last
         # round's blocks so the failure path doesn't leak for the session
-        _release_ids(sc, sym_ids)
+        sym.unpersist(blocking=False)
         if not converged:
             _release_ids(sc, prev_ids)
     # Only the final labels frame stays pinned — it IS the result
@@ -218,22 +247,33 @@ def pagerank_fp(
 
     Returns (node, rank_fp) — rank_fp summing to ~base over all nodes.
     """
-    sc = edges.sparkSession.sparkContext
-    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    # both loop-invariant frames are pinned: nodes joins into every round's
-    # rank update, graph into every round's contribution sum — unpinned,
-    # each would re-derive its distinct-union/join over the edge scan every
-    # iteration (iters full rescans of the upstream pipeline)
-    nodes, nodes_ids = _ckpt(
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    # All three loop-invariant frames are pinned (r16, guide §2.4/§5):
+    # nodes joins into every round's rank update, graph into every round's
+    # contribution sum — unpinned, each would re-derive its distinct-union/
+    # join over the edge scan every iteration. sym is persisted too so the
+    # one-time nodes/deg/graph builds execute the upstream edge pipeline
+    # ONCE instead of three times. nodes/graph are persisted hash-
+    # partitioned on their per-round join keys (see _pin_partitioned) —
+    # the checkpointed (UnknownPartitioning) form re-exchanged the FULL
+    # edge table every round; now only the round's rank frame and the
+    # map-side-combined contribution sums move.
+    nodes = _pin_partitioned(
         sym.select(F.col("src").alias("node"))
         .union(sym.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        "node",
     )
     n = nodes.count()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
-    graph, graph_ids = _ckpt(sym.join(deg, "src"))
-    base_ids = nodes_ids | graph_ids
+    graph = _pin_partitioned(sym.join(deg, "src"), "src")
+    sym.unpersist(blocking=False)  # only the builds above read it
 
+    sc = edges.sparkSession.sparkContext
     teleport = (15 * base) // (100 * n)
     ranks = nodes.withColumn("rank_fp", F.lit(base // n).cast("long"))
     prev_ids: set[int] = set()
@@ -270,7 +310,8 @@ def pagerank_fp(
         # final ranks are checkpointed → they no longer read nodes/graph
         # blocks; only the result frame itself stays pinned (callers may
         # free it after their terminal action via release_result)
-        _release_ids(sc, base_ids)
+        nodes.unpersist(blocking=False)
+        graph.unpersist(blocking=False)
     return ranks
 
 
@@ -348,10 +389,14 @@ def bfs_distances(
     of the dedup-cluster / trade-graph use cases here.
     """
     sc = edges.sparkSession.sparkContext
-    sym, sym_ids = _ckpt(
+    # hash-partitioned persist, not localCheckpoint: every hop joins the
+    # frontier against sym on `a`, and the checkpointed form re-exchanged
+    # the full edge set per hop (see _pin_partitioned).
+    sym = _pin_partitioned(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        .distinct(),
+        "a",
     )
     settled, settled_ids = _ckpt(
         seeds.select(F.col(node).alias("node"))
@@ -382,7 +427,7 @@ def bfs_distances(
         _release_ids(sc, settled_ids)
         raise
     finally:
-        _release_ids(sc, sym_ids)
+        sym.unpersist(blocking=False)
         _release_ids(sc, frontier_ids)
     # only the settled frame (the result) stays pinned; callers may free it
     # after their terminal action via release_result

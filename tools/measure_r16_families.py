@@ -36,13 +36,17 @@ def noop(df) -> None:
 
 
 def timeit(spark, label: str, make_df, runs: int) -> float:
+    """Warm once, then min-of-N of build+execute. The BUILD must be inside
+    the timed region: the iterative operators (connected_components,
+    pagerank_fp) run their rounds eagerly at build time via per-round
+    localCheckpoints — timing only the final noop would measure a
+    checkpoint replay, not the query."""
     spark.sparkContext.setJobDescription(label)
     noop(make_df())  # warm (plan + code cache + page cache)
     best = float("inf")
     for _ in range(runs):
-        df = make_df()
         t0 = time.monotonic()
-        noop(df)
+        noop(make_df())
         best = min(best, time.monotonic() - t0)
     spark.sparkContext.setJobDescription(None)
     return round(best, 3)
@@ -74,7 +78,7 @@ def main() -> int:
     sf1 = ensure_sf1(REPO)
     spark = get_session(app_name="measure-r16-families", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    specs = {s.name: s for s in all_queries()}
+    specs = all_queries()
     out: dict = {"sf_dir": sf1, "runs": args.runs, "loadavg": os.getloadavg()}
 
     def q(name):
